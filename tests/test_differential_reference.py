@@ -1,0 +1,127 @@
+"""Differential fuzzing: Python kernel vs the compiled reference.
+
+Generates deterministic pseudo-random HTML-ish inputs (seeded, heavy on
+quirk constructs) and asserts the Python kernel's to_raw_html /
+to_text / to_text(raw) / to_html outputs and error counts byte-match
+the reference parser. Skips when g++ or the read-only reference tree is
+unavailable (e.g. in a deployment environment).
+"""
+
+import random
+import shutil
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from htmlparser_spark.htmldom import parse, to_html, to_raw_html, to_text
+
+REF = Path("/root/reference")
+TOOL_SRC = Path(__file__).parent / "tools" / "ref_tool.cpp"
+TOOL_BIN = Path("/tmp/htmlparser_ref_tool")
+
+
+@pytest.fixture(scope="module")
+def ref_tool():
+    if not REF.exists() or shutil.which("g++") is None:
+        pytest.skip("reference tree or g++ unavailable")
+    if not TOOL_BIN.exists() or TOOL_BIN.stat().st_mtime < TOOL_SRC.stat().st_mtime:
+        r = subprocess.run(
+            ["g++", "-std=c++11", "-O1", f"-I{REF}", str(TOOL_SRC),
+             str(REF / "html.cpp"), "-o", str(TOOL_BIN)],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"reference tool build failed: {r.stderr[:500]}")
+    return TOOL_BIN
+
+
+def run_reference(tool: Path, docs):
+    # Reference operates on bytes; keep inputs latin-1-safe so len(str)
+    # == len(bytes) and outputs round-trip losslessly.
+    inp = b"".join(
+        str(len(d.encode("latin-1"))).encode() + b"\n" + d.encode("latin-1") + b"\n"
+        for d in docs
+    )
+    out = subprocess.run([str(tool)], input=inp, capture_output=True).stdout
+    results = []
+    pos = 0
+    for _ in docs:
+        fields = []
+        for _f in range(4):
+            nl = out.index(b"\n", pos)
+            ln = int(out[pos:nl])
+            fields.append(out[nl + 1:nl + 1 + ln].decode("latin-1"))
+            pos = nl + 1 + ln + 1
+        nl = out.index(b"\n", pos)
+        fields.append(int(out[pos:nl]))
+        pos = nl + 1
+        results.append(fields)
+    return results
+
+
+TAGS = ["div", "p", "span", "b", "a", "script", "style", "title", "br",
+        "img", "ul", "li", "SCRIPT", "DiV", "h1", "meta", "textarea"]
+ATTRS = ["href", "id", "class", "CLASS", "data-x", "=", "a'b"]
+VALS = ["x", "a b", "attr-val1", "xy'z", 'q"q', "", "x\x00y", "a  b\v c"]
+TEXTS = ["hello", "a &amp; b", "  sp  ", "x\vy", "<", "</", "a\x00b", "",
+         "line1\nline2", "-", "--", "if(a</b)"]
+
+
+def gen_doc(rng: random.Random) -> str:
+    parts = []
+    for _ in range(rng.randint(1, 25)):
+        r = rng.random()
+        if r < 0.30:
+            parts.append(rng.choice(TEXTS))
+        elif r < 0.55:
+            t = rng.choice(TAGS)
+            attrs = ""
+            for _a in range(rng.randint(0, 3)):
+                k = rng.choice(ATTRS)
+                v = rng.choice(VALS)
+                q = rng.choice(['"', "'", ""])
+                if q == "" and (" " in v or not v):
+                    q = '"'
+                sep = rng.choice([" ", "  ", " \t"])
+                attrs += f"{sep}{k}={q}{v}{q}" if rng.random() < 0.8 else f"{sep}{k}"
+            sc = rng.choice(["", "", "", " /"])
+            parts.append(f"<{t}{attrs}{sc}>")
+        elif r < 0.70:
+            parts.append(f"</{rng.choice(TAGS)}>")
+        elif r < 0.80:
+            parts.append(rng.choice(
+                ["<!--c-->", "<!--a-b-->", "<!---->", "<!--->", "<!-->",
+                 "<!--a--b-->", "<!--x", "<!-- -->", "<!--a--->"]))
+        elif r < 0.86:
+            parts.append(rng.choice(
+                ["<!DOCTYPE html>", "<!doctype x y>", "<!DOCTYPE>",
+                 "<!DOCTYPE html PUBLIC \"x\">", "<!DOC>", "<!x y>", "<?php ?>",
+                 "<? >", "</ x>", "</>"]))
+        elif r < 0.93:
+            parts.append(rng.choice(
+                ["<script>var a=1;</script>", "<script>if(a</b>){}</script>",
+                 "<style>.a{}</style>", "<title>T</title>",
+                 "<script>x</scr", "<textarea>a<b></textarea>",
+                 "<script>s</script >", "<script>s</SCRIPT>"]))
+        else:
+            parts.append(rng.choice(["<", "</", "<!", "<a", '<a href="x',
+                                     "< div>", "<3>", "\x00"]))
+    return "".join(parts)
+
+
+def test_differential_random_docs(ref_tool):
+    rng = random.Random(20260816)
+    docs = [gen_doc(rng) for _ in range(400)]
+    # plus targeted truncations of every doc (EOF-in-every-state coverage)
+    docs += [d[: rng.randint(0, len(d))] for d in docs[:200] if d]
+    expected = run_reference(ref_tool, docs)
+    for doc_s, (raw, txt, txt_raw, pretty, n_err) in zip(docs, expected):
+        d = parse(doc_s)
+        assert to_raw_html(d) == raw, repr(doc_s)
+        assert to_text(d) == txt, repr(doc_s)
+        assert to_text(d, raw=True) == txt_raw, repr(doc_s)
+        assert to_html(d) == pretty, repr(doc_s)
+        assert len(d.errors) == n_err, repr(doc_s)
