@@ -1,0 +1,244 @@
+"""Driver-contract query battery: Spark queries + DuckDB oracle SQL.
+
+Each entry exercises one operator family from SURVEY §2 (or a
+training-data op) over /root/testdata parquet. The HTML-processing
+queries synthesize deterministic markup around `documents.text`
+in-flight (text is markup-free, so extraction identities are exactly
+expressible in ANSI SQL — that is what makes the kernel DuckDB-
+checkable). Column names/types are aligned on both sides: integers are
+BIGINT everywhere.
+
+Queries without an oracle entry (minhash/simhash/ANN-LSH/…) are
+non-SQL-expressible; the driver records a rows-only check for those.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .kernel import explode_nodes, extract_text
+from .operators.extract import extract_transcripts
+from .operators.select import selector_count
+
+__all__ = ["QUERIES", "ORACLES", "load"]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# Deterministic HTML wrapper used by the extraction queries. Exercises
+# tags, attrs (alphabetical serialization), rawtext script, comments
+# and the boilerplate-strip stage, while keeping the extraction result
+# SQL-expressible (extracted_text == text).
+_WRAP_PREFIX = '<html><body><div class="doc d'
+_WRAP_MID1 = '" id="doc-'
+_WRAP_MID2 = '"><p>'
+_WRAP_SUFFIX = ('</p></div><script>var x=1;</script>'
+                "<!--boilerplate--></body></html>")
+
+
+def _wrapped_html():
+    return F.concat(
+        F.lit(_WRAP_PREFIX), (F.col("doc_id") % 7).cast("string"),
+        F.lit(_WRAP_MID1), F.col("doc_id").cast("string"),
+        F.lit(_WRAP_MID2), F.col("text"), F.lit(_WRAP_SUFFIX))
+
+
+def _wrapped_sql_expr() -> str:
+    return (f"'{_WRAP_PREFIX}' || CAST(doc_id % 7 AS VARCHAR) || "
+            f"'{_WRAP_MID1}' || CAST(doc_id AS VARCHAR) || '{_WRAP_MID2}' "
+            f"|| text || '{_WRAP_SUFFIX}'")
+
+
+def _docs_wrapped(spark, sf_dir):
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", _wrapped_html().alias("text")))
+
+
+# ---------------------------------------------------------------- #
+# extraction / kernel queries                                       #
+# ---------------------------------------------------------------- #
+
+def q_extract_text_identity(spark, sf_dir):
+    """Parse kernel on markup-free text: extraction is the identity."""
+    df = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = extract_text(df, strip=True, include_raw=False)
+    return out.select("doc_id", "extracted_text")
+
+
+def q_extract_wrapped(spark, sf_dir):
+    """Full kernel path: tags + rawtext + comment + boilerplate strip."""
+    out = extract_text(_docs_wrapped(spark, sf_dir), strip=True,
+                       include_raw=False)
+    return out.select("doc_id", "extracted_text")
+
+
+def q_extract_nchars(spark, sf_dir):
+    out = extract_text(_docs_wrapped(spark, sf_dir), strip=True,
+                       include_raw=False)
+    return out.select(
+        "doc_id",
+        F.length("extracted_text").cast("long").alias("n_extracted"))
+
+
+def q_raw_html_roundtrip(spark, sf_dir):
+    """Canonical serializer: attrs alphabetized, comments/script kept."""
+    out = extract_text(_docs_wrapped(spark, sf_dir), strip=True,
+                       include_raw=True)
+    return out.select("doc_id", "raw_html")
+
+
+def q_node_counts(spark, sf_dir):
+    """Tree-builder node/error accounting on synthesized list markup."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.repeat(F.lit("<li>w</li>"), (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("</ul><div><p>unclosed</div>"),
+        ).alias("text"))
+    out = extract_text(df, strip=True, include_raw=False)
+    return out.select("doc_id", F.col("n_nodes").cast("long").alias("n_nodes"),
+                      F.col("n_errors").cast("long").alias("n_errors"))
+
+
+def q_extract_attrs(spark, sf_dir):
+    """Attribute extraction through the exploded relational DOM view."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit('<a class="lnk" href="'), F.col("source"),
+                 F.lit('" id="a-'), F.col("doc_id").cast("string"),
+                 F.lit('">go</a>')).alias("text"))
+    nodes = explode_nodes(df, key_cols=("doc_id",))
+    return (nodes.filter((F.col("kind") == 1) & (F.col("tag_name") == "a"))
+            .select("doc_id",
+                    F.col("attrs")["href"].alias("href"),
+                    F.col("attrs")["id"].alias("aid")))
+
+
+def q_selector_li_count(spark, sf_dir):
+    """Selector engine (kernel path): per-doc 'ul > li' match count."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.repeat(F.lit("<li>w</li>"), (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("</ul>"),
+        ).alias("text"))
+    return selector_count(df, "ul > li", key_cols=("doc_id",))
+
+
+def q_transcripts_e2e(spark, sf_dir):
+    """Flagship pipeline e2e: synthesize transcripts from documents,
+    run salted-repartition → parse kernel → ordering window."""
+    docs = load(spark, sf_dir, "documents")
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        _wrapped_html().alias("text"),
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+    out = extract_transcripts(tr, strip=True, include_raw=False, order=True)
+    return out.select("conv_id",
+                      F.col("turn_idx").cast("long").alias("turn_idx"),
+                      F.col("turn_seq").cast("long").alias("turn_seq"),
+                      "extracted_text")
+
+
+# ---------------------------------------------------------------- #
+# orchestration / relational queries                                #
+# ---------------------------------------------------------------- #
+
+def q_events_order(spark, sf_dir):
+    """Stable-ordering machinery shared with the transcripts pipeline."""
+    ev = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select("event_id", "user_id",
+                     F.row_number().over(w).cast("long").alias("rn"))
+
+
+def q_events_stats(spark, sf_dir):
+    ev = load(spark, sf_dir, "events")
+    # timestamps are TIMESTAMP_NTZ; format as strings so the comparison
+    # is timezone-independent on both engines
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return (ev.groupBy("event_type")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.countDistinct("user_id").cast("long").alias("n_users"),
+                 F.date_format(F.min("ts"), fmt).alias("first_ts"),
+                 F.date_format(F.max("ts"), fmt).alias("last_ts")))
+
+
+def q_orders_by_segment(spark, sf_dir):
+    """Broadcast join (small dim) + aggregation."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey, "inner")
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.min("o_orderkey").cast("long").alias("min_order"),
+                 F.max("o_orderkey").cast("long").alias("max_order")))
+
+
+ORACLES = {
+    "extract_text_identity":
+        "SELECT doc_id, text AS extracted_text FROM documents",
+    "extract_wrapped":
+        "SELECT doc_id, text AS extracted_text FROM documents",
+    "extract_nchars":
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_extracted "
+        "FROM documents",
+    "raw_html_roundtrip":
+        f"SELECT doc_id, {_wrapped_sql_expr()} AS raw_html FROM documents",
+    "node_counts":
+        # <ul> + k*(li+text) + </ul> + div + p + text('unclosed') = 4+2k
+        # nodes; '</div>' implicitly closes p -> exactly 1 error
+        "SELECT doc_id, CAST(4 + 2*(doc_id % 5 + 1) AS BIGINT) AS n_nodes, "
+        "CAST(1 AS BIGINT) AS n_errors FROM documents",
+    "extract_attrs":
+        "SELECT doc_id, source AS href, 'a-' || CAST(doc_id AS VARCHAR) "
+        "AS aid FROM documents",
+    "selector_li_count":
+        "SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_matches "
+        "FROM documents",
+    "transcripts_e2e":
+        "SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id, "
+        "CAST(doc_id // 50 AS BIGINT) AS turn_idx, "
+        "CAST(row_number() OVER (PARTITION BY doc_id % 50 "
+        "ORDER BY doc_id // 50) AS BIGINT) AS turn_seq, "
+        "text AS extracted_text FROM documents",
+    "events_order":
+        "SELECT event_id, user_id, CAST(row_number() OVER (PARTITION BY "
+        "user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events",
+    "events_stats":
+        "SELECT event_type, count(*) AS n_events, "
+        "count(DISTINCT user_id) AS n_users, "
+        "strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts, "
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts "
+        "FROM events GROUP BY event_type",
+    "orders_by_segment":
+        "SELECT c_mktsegment, count(*) AS n_orders, "
+        "min(o_orderkey) AS min_order, max(o_orderkey) AS max_order "
+        "FROM orders JOIN customer ON o_custkey = c_custkey "
+        "GROUP BY c_mktsegment",
+}
+
+QUERIES = {
+    "extract_text_identity": q_extract_text_identity,
+    "extract_wrapped": q_extract_wrapped,
+    "extract_nchars": q_extract_nchars,
+    "raw_html_roundtrip": q_raw_html_roundtrip,
+    "node_counts": q_node_counts,
+    "extract_attrs": q_extract_attrs,
+    "selector_li_count": q_selector_li_count,
+    "transcripts_e2e": q_transcripts_e2e,
+    "events_order": q_events_order,
+    "events_stats": q_events_stats,
+    "orders_by_segment": q_orders_by_segment,
+}

@@ -1,0 +1,16 @@
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from htmlparser_spark.session import get_spark
+
+    s = get_spark(app="htmlparser_spark-tests", cores=4,
+                  shuffle_partitions=4)
+    yield s
+    s.stop()
