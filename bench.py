@@ -1,0 +1,149 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns_per_sec": ...}
+
+The headline is the flagship extraction pipeline (salted repartition →
+fused parse/extract kernel → ordering window) over transcripts
+synthesized from the documents table (each doc fans out into turns of
+quirk-grammar HTML), sized to be kernel-dominated. Auxiliary queries
+cover the training-data operators.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
+TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "60"))
+
+# quirk-grammar fragments appended per turn so every tokenizer path is
+# hot in the benchmark, not just <p>text</p>
+_FRAGS = (
+    "<script>if(a</b>){x;}</script>",
+    "<ul><li>one</li><li>two</li><li>three</li></ul>",
+    '<a href="x" href="y">dup</a><!--a-b-->',
+    "<div><p>unclosed<br><img src=pic.png>",
+    "<DiV CLASS='MiXeD'>case</DiV><!DOCTYPE html>",
+    "<table><tr><td>cell</td></tr></table><textarea>raw <b>x</b></textarea>",
+)
+
+
+def build_transcripts(spark, sf_dir: str, turns_per_doc: int):
+    """documents × turns_per_doc quirk-grammar turns; deterministic."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    turns = spark.range(turns_per_doc).select(
+        F.col("id").cast("int").alias("turn_off"))
+    frag = F.element_at(
+        F.array(*[F.lit(f) for f in _FRAGS]),
+        ((F.col("doc_id") + F.col("turn_off")) % len(_FRAGS) + 1).cast("int"))
+    return (docs.crossJoin(turns)
+            .select(
+                F.concat(F.lit("conv-"), (F.col("doc_id") % 500).cast("string"))
+                .alias("conv_id"),
+                ((F.col("doc_id") / 500).cast("int") * turns_per_doc
+                 + F.col("turn_off")).alias("turn_idx"),
+                F.lit("user").alias("role"),
+                F.concat(F.lit('<html><body><div class="m"><p>'),
+                         F.col("text"), F.lit("</p>"), frag,
+                         F.lit("</div></body></html>")).alias("text"),
+                F.lit("").alias("tool"),
+                F.lit(None).cast("timestamp").alias("ts")))
+
+
+def main() -> int:
+    from htmlparser_spark.session import get_spark
+    from htmlparser_spark.operators.extract import extract_transcripts
+    from htmlparser_spark import queries as Q
+
+    spark = get_spark(app="htmlparser-bench", cores=CPUS,
+                      shuffle_partitions=max(CPUS, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, float] = {}
+
+    # headline: extraction pipeline, kernel-dominated. The synthesized
+    # crossJoin collapses to 1 partition — spread it like a real
+    # multi-file table before timing (ingest layout, not pipeline work).
+    tr = build_transcripts(spark, SF_DIR, TURNS_PER_DOC) \
+        .repartition(CPUS * 2).persist()
+    n_turns = tr.count()
+    n_bytes = tr.agg(F.sum(F.length("text"))).collect()[0][0]
+    # warm the Python workers (one tiny UDF pass) so the headline
+    # measures steady-state throughput, not interpreter spawn time
+    extract_transcripts(tr.limit(CPUS * 4), include_raw=False,
+                        order=False).write.format("noop") \
+        .mode("overwrite").save()
+    t0 = time.time()
+    out = extract_transcripts(tr, strip=True, include_raw=True, order=True,
+                              num_partitions=CPUS * 2)
+    agg = out.agg(F.count("*"), F.sum(F.length("extracted_text")),
+                  F.sum("n_nodes"), F.sum("n_errors")).collect()[0]
+    t_extract = time.time() - t0
+    results["extract_pipeline"] = round(t_extract, 3)
+    assert agg[0] == n_turns
+
+    # kernel-only: parse + to_text, no raw/ordering/shuffle — the
+    # apples-to-apples unit the reference's single-thread anchor
+    # measures (BASELINE.md)
+    t0 = time.time()
+    from htmlparser_spark.kernel import extract_text
+    extract_text(tr, strip=False, include_raw=False) \
+        .select("conv_id", F.length("extracted_text")) \
+        .write.format("noop").mode("overwrite").save()
+    t_kernel = time.time() - t0
+    results["extract_kernel_only"] = round(t_kernel, 3)
+    tr.unpersist()
+
+    aux = [
+        ("dedup_exact", Q.q_dedup_exact),
+        ("minhash_pairs", Q.q_minhash_pairs),
+        ("simhash_pairs", Q.q_simhash_pairs),
+        ("ngram_jaccard", Q.q_ngram_jaccard),
+        ("ann_brute_topk", Q.q_ann_brute_topk),
+        ("ann_lsh_topk", Q.q_ann_lsh_topk),
+        ("token_quality_lang",
+         lambda s, d: Q.q_quality_counts(s, d).join(
+             Q.q_lang_id(s, d), "doc_id")),
+        ("events_order", Q.q_events_order),
+        ("selector_li_count", Q.q_selector_li_count),
+        ("raw_html_roundtrip", Q.q_raw_html_roundtrip),
+    ]
+    for name, fn in aux:
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        results[name] = round(time.time() - t0, 3)
+
+    total = round(sum(results.values()), 3)
+    line = {
+        "metric": "headline suite wall-clock (extract pipeline + "
+                  "training-data ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "turns": n_turns,
+        "input_mb": round((n_bytes or 0) / 1e6, 1),
+        "turns_per_sec": round(n_turns / t_extract, 1),
+        "extract_mb_per_sec": round((n_bytes or 0) / 1e6 / t_extract, 1),
+        "kernel_turns_per_sec": round(n_turns / t_kernel, 1),
+        "kernel_mb_per_sec": round((n_bytes or 0) / 1e6 / t_kernel, 1),
+    }
+    spark.stop()
+    print(json.dumps(line))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,244 @@
+"""Fused single-pass extraction: tokenize → (stripped) text + raw html
++ node/error counts WITHOUT materializing the node arrays.
+
+This is the pipeline hot path. It reuses the exact scanner functions of
+``parse.py`` (tag/attr/comment/doctype/bogus/rawtext states — all the
+verified quirks live there), and replaces the tree builder with direct
+emission:
+
+- extracted text: the reference ``to_text`` logic (html.cpp:449-489)
+  evaluated on the event stream — block-boundary newlines, ``<br>``
+  newlines, verbatim content — with the boilerplate-strip stage
+  (script/style subtree drop) applied inline. Stripping is restricted
+  to rawtext tags (script/style have pure-text subtrees), which is what
+  makes inline dropping equivalent to tree-filter-then-serialize.
+- raw html: the reference ``to_raw_html`` (html.cpp:394-432) emitted in
+  event order — identical to a pre-order walk of the finished tree
+  because node creation order IS pre-order and closes happen on pop.
+
+Equivalence with the Doc-based path is enforced by differential tests
+(tests/test_fused_equivalence.py) over the fuzz grammar and the
+transcripts corpus.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+from .constants import (
+    INLINE_TAGS,
+    RAWTEXT_TAGS,
+    RE_HAS_NONSPACE,
+    VOID_TAGS,
+    collapse_spaces,
+)
+from .parse import (
+    _scan_bogus,
+    _scan_comment,
+    _scan_doctype,
+    _scan_rawtext,
+    _scan_tag,
+)
+from .serialize import DEFAULT_STRIP_TAGS
+
+__all__ = ["extract_fused"]
+
+
+def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
+                  raw_collapse: bool = False) -> Tuple[str, Optional[str], int, int]:
+    """Returns (extracted_text, raw_html|None, n_nodes, n_errors)."""
+    n = len(s)
+    i = 0
+    pending: List[str] = []          # data-state text accumulator
+    stack: List[str] = []            # open tag names (the node stack)
+    n_nodes = 0
+    n_errors = 0
+    # to_text state
+    txt: List[str] = []
+    is_block = False
+    strip_tags = DEFAULT_STRIP_TAGS if strip else None
+    # to_raw_html state
+    raw: Optional[List[str]] = [] if want_raw else None
+
+    def emit_text(content: str, in_rawtext: bool, suppressed: bool) -> None:
+        """A text node entered the tree (non-empty by construction)."""
+        nonlocal n_nodes, is_block
+        n_nodes += 1
+        if not suppressed:
+            if is_block:
+                if txt:
+                    txt.append("\n")
+                is_block = False
+            txt.append(content)
+        if raw is not None:
+            if RE_HAS_NONSPACE.search(content):
+                raw.append(content if in_rawtext else collapse_spaces(content))
+
+    def emit_open_raw(name: str, attrs: dict, selfc: bool) -> None:
+        if raw is None:
+            return
+        raw.append("<")
+        raw.append(name)
+        if attrs:
+            for k in sorted(attrs):
+                raw.append(f' {k}="{attrs[k]}"')
+        raw.append(" />" if selfc else ">")
+
+    def text_block_open(name: str) -> None:
+        nonlocal is_block
+        if name == "br":
+            txt.append("\n")
+        if name not in INLINE_TAGS:
+            is_block = True
+
+    def text_block_close(name: str) -> None:
+        nonlocal is_block
+        if name not in INLINE_TAGS:
+            is_block = True
+
+    def flush_text() -> None:
+        if pending:
+            t = "".join(pending)
+            pending.clear()
+            if t:
+                emit_text(t, False, False)
+
+    def close_to(name: str, rawcontent: str, raw_suppressed: bool) -> None:
+        """Implicit closure: pop to the matching ancestor (or drop)."""
+        nonlocal n_errors, n_nodes
+        try:
+            j = len(stack) - 1 - stack[::-1].index(name)
+        except ValueError:
+            return  # unmatched close: dropped silently
+        n_errors += len(stack) - 1 - j
+        if rawcontent:
+            emit_text(rawcontent, True, raw_suppressed)
+        for k in range(len(stack) - 1, j - 1, -1):
+            t = stack[k]
+            if raw is not None:
+                raw.append(f"</{t}>")
+            text_block_close(t)
+        del stack[j:]
+
+    while i < n:
+        j = s.find("<", i)
+        if j < 0:
+            pending.append(s[i:])
+            break
+        if j > i:
+            pending.append(s[i:j])
+        i = j + 1
+        if i >= n:
+            break
+        c = s[i]
+        if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+            flush_text()
+            res = _scan_tag(s, i, n)
+            if res is None:
+                break
+            name, at, sc, i = res
+            n_nodes += 1
+            effective_sc = sc or name in VOID_TAGS
+            emit_open_raw(name, at, effective_sc)
+            stripped = (strip_tags is not None and name in strip_tags)
+            if not stripped:
+                text_block_open(name)
+            if effective_sc:
+                if not stripped:
+                    text_block_close(name)
+                continue
+            if name in RAWTEXT_TAGS:
+                parts: List[str] = []
+                i, closed = _scan_rawtext(s, i, n, name, parts)
+                rawc = "".join(parts)
+                if closed:
+                    if rawc:
+                        emit_text(rawc, True, stripped)
+                    if raw is not None:
+                        raw.append(f"</{name}>")
+                    if not stripped:
+                        text_block_close(name)
+                else:
+                    # EOF in rawtext: content flushed, tag closed at EOF
+                    if rawc:
+                        emit_text(rawc, True, stripped)
+                    stack.append(name)
+                    break
+            else:
+                stack.append(name)
+        elif c == "/":
+            k = i + 1
+            if k >= n:
+                break
+            d = s[k]
+            if ("a" <= d <= "z") or ("A" <= d <= "Z"):
+                flush_text()
+                res = _scan_tag(s, k, n)
+                if res is None:
+                    break
+                name, _at, _sc, i = res
+                close_to(name, "", False)
+            elif d == ">":
+                i = k + 1
+            else:
+                flush_text()
+                cont, i, emitted = _scan_bogus(s, k, k, n)
+                if emitted:
+                    n_nodes += 1  # comment node
+                    if raw is not None:
+                        raw.append(f"<!--{cont}-->")
+                elif cont:
+                    emit_text(cont, False, False)
+        elif c == "!":
+            k = i + 1
+            if k >= n:
+                break
+            if s.startswith("--", k):
+                flush_text()
+                cont, i, emitted = _scan_comment(s, k + 2, n)
+                if emitted:
+                    n_nodes += 1
+                    if raw is not None:
+                        raw.append(f"<!--{cont}-->")
+                elif cont:
+                    emit_text(cont, False, False)
+            elif s[k:k + 7].lower() == "doctype":
+                flush_text()
+                cont, i, emitted = _scan_doctype(s, k + 7, n)
+                if emitted:
+                    n_nodes += 1
+                    if raw is not None:
+                        raw.append(f"<!DOCTYPE {cont}>")
+                elif cont:
+                    emit_text(cont, False, False)
+            else:
+                flush_text()
+                cont, i, emitted = _scan_bogus(s, k, k + 1, n)
+                if emitted:
+                    n_nodes += 1
+                    if raw is not None:
+                        raw.append(f"<!--{cont}-->")
+                elif cont:
+                    emit_text(cont, False, False)
+        elif c == "?":
+            flush_text()
+            cont, i, emitted = _scan_bogus(s, i, i, n)
+            if emitted:
+                n_nodes += 1
+                if raw is not None:
+                    raw.append(f"<!--{cont}-->")
+            elif cont:
+                emit_text(cont, False, False)
+        else:
+            pending.append("<")
+
+    flush_text()
+    # EOF: implicitly close everything still open (serializers close,
+    # no error records — html.cpp:1008-1010)
+    if raw is not None:
+        for t in reversed(stack):
+            raw.append(f"</{t}>")
+    text = "".join(txt)
+    if raw_collapse:
+        text = collapse_spaces(text)
+    return text, ("".join(raw) if raw is not None else None), n_nodes, n_errors

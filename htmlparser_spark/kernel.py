@@ -32,7 +32,6 @@ from pyspark.sql.types import (
 )
 
 from .htmldom import parse
-from .htmldom.serialize import DEFAULT_STRIP_TAGS, to_raw_html, to_text
 
 __all__ = [
     "NODE_STRUCT",
@@ -95,7 +94,7 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
     ``strip`` toggles the boilerplate-strip stage (drop script/style
     subtrees) — ON for the pipeline, OFF for reference-equality runs.
     """
-    strip_tags = DEFAULT_STRIP_TAGS if strip else None
+    from .htmldom.fused import extract_fused
 
     def extract_fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -108,12 +107,11 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
             for i, s in enumerate(texts):
                 if s is None:
                     continue
-                doc = parse(s)
-                ext[i] = to_text(doc, raw=raw_collapse, skip_tags=strip_tags)
-                if include_raw:
-                    raw[i] = to_raw_html(doc)
-                n_nodes[i] = len(doc)
-                n_errors[i] = len(doc.errors)
+                # fused single-pass kernel (differentially tested against
+                # the Doc path in tests/test_fused_equivalence.py)
+                ext[i], raw[i], n_nodes[i], n_errors[i] = extract_fused(
+                    s, strip=strip, want_raw=include_raw,
+                    raw_collapse=raw_collapse)
             out = pdf.copy()
             out["extracted_text"] = pd.Series(ext, dtype="object")
             if include_raw:

@@ -1,0 +1,153 @@
+"""Text-analysis operators for training-data pipelines.
+
+Everything here that can be a JVM-side Catalyst expression IS one
+(whole-stage-codegen friendly, no Python in the hot path); only the
+rolling-hash fingerprint needs a vectorized pandas UDF (numpy).
+
+Operators:
+- token_count        — whitespace tokenization count
+- quality_counts     — alpha/digit/space/punct/upper char counts + token stats
+- quality_score      — composite [0,1] quality heuristic
+- lang_id            — n-gram/stopword-ratio language guess (en/de/fr/es + other)
+- fingerprint_md5    — exact content fingerprint (md5 hex)
+- fingerprint_rolling— 64-bit polynomial rolling hash (numpy pandas UDF)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+from pyspark.sql.functions import pandas_udf
+
+__all__ = [
+    "token_count_col", "with_token_count",
+    "quality_counts", "quality_score_col",
+    "lang_id_col", "with_lang_id",
+    "fingerprint_md5_col", "rolling_hash_udf",
+]
+
+
+def token_count_col(text: Column) -> Column:
+    """Whitespace token count; empty/blank string counts 0."""
+    t = F.trim(text)
+    return F.when(t == "", F.lit(0).cast("long")).otherwise(
+        F.size(F.split(t, r"\s+")).cast("long"))
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out: str = "n_tokens") -> DataFrame:
+    return df.withColumn(out, token_count_col(F.col(text_col)))
+
+
+def _count_class(text: Column, pattern: str) -> Column:
+    """Chars matching a regex class — via length difference (exact,
+    engine-portable)."""
+    return (F.length(text)
+            - F.length(F.regexp_replace(text, pattern, ""))).cast("long")
+
+
+def quality_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append integer character-class counts (hash-stable across
+    engines: no floats)."""
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_chars_t", F.length(t).cast("long"))
+            .withColumn("n_alpha", _count_class(t, "[A-Za-z]"))
+            .withColumn("n_digit", _count_class(t, "[0-9]"))
+            .withColumn("n_space", _count_class(t, r"[ \t\n\r]"))
+            .withColumn("n_upper", _count_class(t, "[A-Z]"))
+            .withColumn("n_tokens", token_count_col(t)))
+
+
+def quality_score_col(text: Column) -> Column:
+    """Composite quality heuristic in [0,1]: balanced alpha ratio,
+    sane mean word length, low symbol noise. Pure Catalyst expression."""
+    n = F.greatest(F.length(text), F.lit(1)).cast("double")
+    alpha = _count_class(text, "[A-Za-z]").cast("double") / n
+    space = _count_class(text, r"[ \t\n\r]").cast("double") / n
+    other = F.lit(1.0) - alpha - (_count_class(text, "[0-9]").cast("double") / n) - space
+    n_tok = F.greatest(token_count_col(text), F.lit(1)).cast("double")
+    mean_wlen = (F.length(text).cast("double") - _count_class(
+        text, r"[ \t\n\r]").cast("double")) / n_tok
+    wlen_ok = F.when((mean_wlen >= 2.5) & (mean_wlen <= 10.0), F.lit(1.0)) \
+        .otherwise(F.lit(0.4))
+    return F.round(
+        F.greatest(F.lit(0.0),
+                   F.least(F.lit(1.0),
+                           alpha * 0.6 + (F.lit(1.0) - other) * 0.2
+                           + wlen_ok * 0.2)), 6)
+
+
+# Tiny per-language stopword marker sets (public common words).
+_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "ist", "nicht"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "que", "los", "una"),
+}
+
+
+def _marker_hits(text: Column, word: str) -> Column:
+    """Occurrences of ' word ' in the space-padded lowercased text —
+    replace-based counting, identical semantics on Spark and DuckDB."""
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    needle = f" {word} "
+    return ((F.length(padded)
+             - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
+            / F.lit(len(needle) - 1)).cast("long")
+
+
+def lang_id_col(text: Column, min_hits: int = 2) -> Column:
+    """Stopword-marker language guess. Returns 'en'/'de'/'fr'/'es' with
+    the most marker hits (ties broken by that order), or 'other' when
+    the best language has fewer than ``min_hits`` hits."""
+    scores = [
+        (lang, sum((_marker_hits(text, w) for w in words[1:]),
+                   _marker_hits(text, words[0])))
+        for lang, words in _LANG_MARKERS.items()
+    ]
+    best_score = F.greatest(*[s for _, s in scores])
+    result = F.lit("other")
+    # build reversed so earlier languages win ties
+    for lang, s in reversed(scores):
+        result = F.when((s == best_score) & (best_score >= min_hits),
+                        F.lit(lang)).otherwise(result)
+    return result
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out: str = "lang_guess") -> DataFrame:
+    return df.withColumn(out, lang_id_col(F.col(text_col)))
+
+
+def fingerprint_md5_col(text: Column) -> Column:
+    return F.md5(F.encode(text, "UTF-8"))
+
+
+_ROLL_BASE = np.uint64(1000003)
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+@pandas_udf(LongType())
+def rolling_hash_udf(texts: pd.Series) -> pd.Series:
+    """64-bit polynomial document fingerprint over UTF-8 bytes:
+    h = Σ b[i] * BASE^(n-1-i)  (mod 2^64), fully vectorized in numpy
+    (uint64 multiply wraps mod 2^64 natively — no Python byte loop)."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(texts):
+            if not s:
+                out[i] = 0
+                continue
+            b = np.frombuffer(
+                s.encode("utf-8", "surrogatepass"), dtype=np.uint8
+            ).astype(np.uint64)
+            pw = np.full(len(b), _ROLL_BASE, dtype=np.uint64)
+            pw[0] = 1
+            np.cumprod(pw, out=pw)          # pw[i] = BASE^i mod 2^64
+            out[i] = np.uint64((b * pw[::-1]).sum())
+    return pd.Series(out.view(np.int64))

@@ -186,6 +186,166 @@ def q_orders_by_segment(spark, sf_dir):
                  F.max("o_orderkey").cast("long").alias("max_order")))
 
 
+# ---------------------------------------------------------------- #
+# training-data pipeline ops                                        #
+# ---------------------------------------------------------------- #
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact dedup groups: shuffles 64-bit hashes, not documents."""
+    from .operators.dedup import exact_dup_groups
+    docs = load(spark, sf_dir, "documents")
+    # synthesize real duplicates so the operator has work to do
+    dupped = docs.select("doc_id", "text").unionAll(
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+    return exact_dup_groups(dupped)
+
+
+def q_token_count(spark, sf_dir):
+    from .operators.text_stats import with_token_count
+    return with_token_count(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "n_tokens")
+
+
+def q_quality_counts(spark, sf_dir):
+    from .operators.text_stats import quality_counts
+    return quality_counts(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "n_chars_t", "n_alpha", "n_digit", "n_space",
+             "n_upper", "n_tokens")
+
+
+def q_lang_id(spark, sf_dir):
+    from .operators.text_stats import with_lang_id
+    return with_lang_id(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "lang_guess")
+
+
+def q_fingerprint(spark, sf_dir):
+    from .operators.text_stats import fingerprint_md5_col
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", fingerprint_md5_col(F.col("text")).alias("fp")))
+
+
+def q_multimodal_meta(spark, sf_dir):
+    from .operators.multimodal import attach_media_blob, media_metadata
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return media_metadata(attach_media_blob(docs)).select(
+        "doc_id", "n_bytes", "sha")
+
+
+def q_ann_brute_topk(spark, sf_dir):
+    """Exact cosine top-10 for 3 query vectors (broadcast + codegen)."""
+    from .operators.similarity import brute_force_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select("query_id", "vec_id", "rank")
+
+
+# -- rows-only ops (not SQL-expressible; driver records weaker check) --
+
+def q_minhash_pairs(spark, sf_dir):
+    """MinHash+LSH near-dup pairs on a corpus with planted near-dups."""
+    from .operators.dedup import minhash_dedup_pairs
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # plant near-duplicates: copy every 20th doc with one word appended
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5)
+
+
+def q_simhash_pairs(spark, sf_dir):
+    from .operators.dedup import simhash_candidates
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    return (simhash_candidates(docs.unionAll(planted))
+            .filter(F.col("hamming") <= 6))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard inside lang buckets (JVM-side arrays)."""
+    from .operators.dedup import ngram_jaccard_pairs
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    planted = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"), "lang")
+    return ngram_jaccard_pairs(docs.unionAll(planted), k=3, threshold=0.5,
+                               bucket_col="lang", max_len_delta=8,
+                               parallelism=spark.sparkContext.defaultParallelism)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    from .operators.similarity import lsh_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return lsh_topk(emb, queries, k=10, n_planes=8)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-dup detection; the corpus has no natural
+    near-dups (max cosine ≈0.51), so plant exact copies of every 10th
+    vector — the operator must find exactly those."""
+    from .operators.dedup import embedding_near_dups
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    return embedding_near_dups(emb.unionAll(planted), threshold=0.95,
+                               n_planes=8)
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    from .operators.text_stats import rolling_hash_udf
+    return (load(spark, sf_dir, "documents")
+            .select("doc_id", rolling_hash_udf(F.col("text")).alias("fp64")))
+
+
+def q_multimodal_decode(spark, sf_dir):
+    from .operators.multimodal import attach_media_blob, decode_image_features
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media_blob(docs)
+    return decode_image_features(media, fake=True)
+
+
+def q_frame_sample(spark, sf_dir):
+    from .operators.multimodal import attach_media_blob, frame_sample_stub
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    media = attach_media_blob(docs, media_type="video")
+    out = frame_sample_stub(media)
+    return out.select("doc_id", "frame_idx", "ts_ms",
+                      F.length("frame_blob").cast("long").alias("n_bytes"))
+
+
+def _lang_hits_sql(words) -> str:
+    terms = []
+    for w in words:
+        needle = f" {w} "
+        terms.append(
+            f"(length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', '{needle}', ' '))) "
+            f"// {len(needle) - 1}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _lang_id_oracle() -> str:
+    from .operators.text_stats import _LANG_MARKERS
+    hits = {lang: _lang_hits_sql(ws) for lang, ws in _LANG_MARKERS.items()}
+    best = "greatest(" + ", ".join(hits.values()) + ")"
+    case = "CASE "
+    for lang in ("en", "de", "fr", "es"):
+        case += (f"WHEN {best} >= 2 AND {hits[lang]} = {best} "
+                 f"THEN '{lang}' ")
+    case += "ELSE 'other' END"
+    return f"SELECT doc_id, {case} AS lang_guess FROM documents"
+
+
 ORACLES = {
     "extract_text_identity":
         "SELECT doc_id, text AS extracted_text FROM documents",
@@ -227,7 +387,42 @@ ORACLES = {
         "min(o_orderkey) AS min_order, max(o_orderkey) AS max_order "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment",
+    "dedup_exact":
+        "WITH dupped AS (SELECT doc_id, text FROM documents UNION ALL "
+        "SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0) "
+        "SELECT min(doc_id) AS keep_id, count(*) AS n_dups "
+        "FROM dupped GROUP BY text",
+    "token_count":
+        "SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END::BIGINT "
+        "AS n_tokens FROM documents",
+    "quality_counts":
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars_t, "
+        "CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha, "
+        "CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit, "
+        "CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]', '', 'g')) AS BIGINT) AS n_space, "
+        "CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper, "
+        "CASE WHEN trim(text) = '' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END::BIGINT AS n_tokens "
+        "FROM documents",
+    "fingerprint":
+        "SELECT doc_id, md5(text) AS fp FROM documents",
+    "multimodal_meta":
+        "SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) "
+        "AS n_bytes, sha256(text) AS sha FROM documents",
+    "ann_brute_topk":
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv "
+        "FROM embeddings WHERE vec_id < 3), "
+        "scored AS (SELECT q.query_id, e.vec_id, "
+        "list_cosine_similarity(e.embedding, q.qv) AS cos "
+        "FROM embeddings e CROSS JOIN q), "
+        "ranked AS (SELECT query_id, vec_id, row_number() OVER ("
+        "PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank "
+        "FROM scored) "
+        "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank "
+        "FROM ranked WHERE rank <= 10",
 }
+ORACLES["lang_id"] = _lang_id_oracle()
 
 QUERIES = {
     "extract_text_identity": q_extract_text_identity,
@@ -241,4 +436,21 @@ QUERIES = {
     "events_order": q_events_order,
     "events_stats": q_events_stats,
     "orders_by_segment": q_orders_by_segment,
+    # training-data ops (oracle-checked)
+    "dedup_exact": q_dedup_exact,
+    "token_count": q_token_count,
+    "quality_counts": q_quality_counts,
+    "lang_id": q_lang_id,
+    "fingerprint": q_fingerprint,
+    "multimodal_meta": q_multimodal_meta,
+    "ann_brute_topk": q_ann_brute_topk,
+    # training-data ops (rows-only: not ANSI-SQL-expressible)
+    "minhash_pairs": q_minhash_pairs,
+    "simhash_pairs": q_simhash_pairs,
+    "ngram_jaccard": q_ngram_jaccard,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "rolling_fingerprint": q_rolling_fingerprint,
+    "multimodal_decode": q_multimodal_decode,
+    "frame_sample": q_frame_sample,
 }

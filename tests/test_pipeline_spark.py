@@ -1,0 +1,97 @@
+"""Spark pipeline equality + checkpoint/resume tests (FIXTURES §5.2.2).
+
+- per-turn byte equality: Spark pipeline output vs the Phase-0 kernel
+  run on the driver, over the quirk-grammar synthetic transcripts;
+- resume: run buckets partially, re-run, assert identical final table
+  and zero duplicate work (lineage counts).
+"""
+
+import shutil
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.htmldom import parse, to_raw_html, to_text_stripped
+from htmlparser_spark.operators.checkpoint import (
+    lineage_rows,
+    run_checkpointed,
+    with_partition_id,
+)
+from htmlparser_spark.operators.extract import extract_transcripts
+from htmlparser_spark.sources.transcripts import (
+    generate_rows,
+    generate_spark_df,
+)
+
+
+def test_pipeline_matches_kernel_per_turn(spark):
+    rows = generate_rows(n_convs=30, n_turns=200, seed=7, mega_text=False)
+    df = generate_spark_df(spark, n_convs=30, n_turns=200, seed=7,
+                           mega_text=False, num_partitions=8)
+    out = extract_transcripts(df, strip=True, include_raw=True, order=True)
+    got = {(r.conv_id, r.turn_idx): (r.extracted_text, r.raw_html, r.turn_seq)
+           for r in out.collect()}
+    assert len(got) == 200
+    # driver-side kernel reference
+    by_conv = {}
+    for conv_id, turn_idx, _role, text, _tool, _ts in rows:
+        doc = parse(text)
+        exp = (to_text_stripped(doc), to_raw_html(doc))
+        assert got[(conv_id, turn_idx)][:2] == exp, (conv_id, turn_idx)
+        by_conv.setdefault(conv_id, []).append(turn_idx)
+    # turn_seq = 1-based rank of turn_idx within the conversation
+    for conv_id, idxs in by_conv.items():
+        for rank, ti in enumerate(sorted(idxs), start=1):
+            assert got[(conv_id, ti)][2] == rank
+
+
+def test_checkpoint_resume_idempotent(spark, tmp_path):
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    df = generate_spark_df(spark, n_convs=20, n_turns=120, seed=11,
+                           mega_text=False)
+
+    # partial run: only buckets 0-1 of 4 (simulate a failure after two
+    # buckets committed) — run the real pipeline on a filtered input
+    part = with_partition_id(df, 4).filter(F.col("partition_id") < 2) \
+        .drop("partition_id")
+    l1 = run_checkpointed(spark, part, out_dir, man_dir, n_buckets=4,
+                          run_id="r1", extract_kwargs={"include_raw": False})
+    done1 = {r.partition_id for r in l1.collect()}
+    assert done1 <= {0, 1} and done1
+
+    # resume over the FULL input: only remaining buckets re-processed
+    l2 = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
+                          run_id="r2", extract_kwargs={"include_raw": False})
+    done2 = {r.partition_id for r in l2.collect()}
+    assert done1.isdisjoint(done2)
+    assert done1 | done2 == {0, 1, 2, 3}
+
+    # third run: nothing to do
+    l3 = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
+                          run_id="r3", extract_kwargs={"include_raw": False})
+    assert l3.count() == 0
+
+    # final table complete, no duplicates, content hash consistent
+    final = spark.read.parquet(out_dir)
+    assert final.count() == 120
+    assert final.select("conv_id", "turn_idx").distinct().count() == 120
+    # lineage recompute matches the manifest
+    man = spark.read.parquet(man_dir)
+    re_lin = lineage_rows(final, "check").select(
+        "partition_id", "n_rows", "content_hash")
+    got = {(r.partition_id, r.n_rows, r.content_hash)
+           for r in re_lin.collect()}
+    exp = {(r.partition_id, r.n_rows, r.content_hash)
+           for r in man.select("partition_id", "n_rows",
+                               "content_hash").collect()}
+    assert got == exp
+
+
+def test_mega_text_roundtrip(spark):
+    """A ~512KB turn flows through bounded Arrow batches intact."""
+    df = generate_spark_df(spark, n_convs=3, n_turns=10, seed=42,
+                           mega_text=True)
+    out = extract_transcripts(df, strip=True, include_raw=False, order=False)
+    big = out.orderBy(F.length("extracted_text").desc()).first()
+    assert big.n_nodes >= 32000  # 16k li + 16k text nodes + ul
+    assert big.extracted_text.startswith("item text\nitem text")
