@@ -85,8 +85,9 @@ def main() -> int:
                         order=False).write.format("noop") \
         .mode("overwrite").save()
     t0 = time.time()
-    out = extract_transcripts(tr, strip=True, include_raw=True, order=True,
-                              num_partitions=CPUS * 2)
+    # input already spread over CPUS*2 partitions above — the parse
+    # kernel is row-independent, so no salt shuffle needed here
+    out = extract_transcripts(tr, strip=True, include_raw=True, order=True)
     agg = out.agg(F.count("*"), F.sum(F.length("extracted_text")),
                   F.sum("n_nodes"), F.sum("n_errors")).collect()[0]
     t_extract = time.time() - t0

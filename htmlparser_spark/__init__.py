@@ -13,7 +13,7 @@ Layout:
     htmldom/    pure-Python parse/select/serialize kernel (no Spark)
     kernel.py   Arrow-batch kernels + Spark schemas
     operators/  extraction pipeline, selectors-as-DataFrames, dedup, ANN
-    sources/    transcripts synthesizer + table IO (parquet/iceberg)
+    sources/    transcripts synthesizers (test-scale + distributed)
     functions/  column-level helpers (JVM-side expressions)
     streaming/  Structured Streaming variant of the extraction pipeline
     plans/      plan-inspection helpers (pushdown/codegen assertions)

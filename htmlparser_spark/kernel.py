@@ -77,8 +77,9 @@ EXTRACT_OUTPUT_FIELDS = [
 
 
 def extract_result_schema(passthrough: StructType,
-                          include_raw: bool = True) -> StructType:
-    fields = list(passthrough.fields)
+                          include_raw: bool = True,
+                          drop_cols: tuple = ()) -> StructType:
+    fields = [f for f in passthrough.fields if f.name not in drop_cols]
     for f in EXTRACT_OUTPUT_FIELDS:
         if f.name == "raw_html" and not include_raw:
             continue
@@ -87,7 +88,8 @@ def extract_result_schema(passthrough: StructType,
 
 
 def make_extract_fn(text_col: str = "text", strip: bool = True,
-                    include_raw: bool = True, raw_collapse: bool = False):
+                    include_raw: bool = True, raw_collapse: bool = False,
+                    drop_text: bool = False):
     """Build the mapInPandas kernel: per Arrow batch, parse every turn
     and emit extracted_text (+ raw_html, node/error counts).
 
@@ -112,7 +114,12 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
                 ext[i], raw[i], n_nodes[i], n_errors[i] = extract_fused(
                     s, strip=strip, want_raw=include_raw,
                     raw_collapse=raw_collapse)
-            out = pdf.copy()
+            # dropping the source HTML here (not in a later projection)
+            # keeps it out of the Arrow return transfer and every
+            # downstream shuffle — at 10^12-turn scale the raw HTML is
+            # the widest column in the table
+            out = (pdf.drop(columns=[text_col]) if drop_text
+                   else pdf.copy())
             out["extracted_text"] = pd.Series(ext, dtype="object")
             if include_raw:
                 out["raw_html"] = pd.Series(raw, dtype="object")
@@ -124,12 +131,18 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
 
 
 def extract_text(df: DataFrame, text_col: str = "text", strip: bool = True,
-                 include_raw: bool = True, raw_collapse: bool = False) -> DataFrame:
+                 include_raw: bool = True, raw_collapse: bool = False,
+                 drop_text: bool = False) -> DataFrame:
     """DataFrame-level extraction: append extracted_text / raw_html /
-    n_nodes / n_errors to ``df`` via one Arrow-batched stage."""
-    schema = extract_result_schema(df.schema, include_raw=include_raw)
+    n_nodes / n_errors to ``df`` via one Arrow-batched stage.
+    ``drop_text=True`` removes the source HTML column from the output
+    (shuffle/sink payload reduction for the pipeline hot path)."""
+    schema = extract_result_schema(
+        df.schema, include_raw=include_raw,
+        drop_cols=(text_col,) if drop_text else ())
     fn = make_extract_fn(text_col=text_col, strip=strip,
-                         include_raw=include_raw, raw_collapse=raw_collapse)
+                         include_raw=include_raw, raw_collapse=raw_collapse,
+                         drop_text=drop_text)
     return df.mapInPandas(fn, schema)
 
 

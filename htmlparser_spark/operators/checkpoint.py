@@ -66,6 +66,16 @@ def filter_resume(df: DataFrame, spark: SparkSession,
     return df.join(F.broadcast(done), "partition_id", "left_anti")
 
 
+def completed_ids(spark: SparkSession, path: str) -> Optional[list]:
+    """Committed bucket ids as a driver-side list (None = no manifest).
+    Bounded by n_buckets, so always small enough to collect."""
+    m = load_manifest(spark, path)
+    if m is None:
+        return None
+    return [r.partition_id for r in m.select("partition_id").distinct()
+            .collect()]
+
+
 def lineage_rows(out: DataFrame, run_id: str) -> DataFrame:
     """(partition_id, n_rows, content_hash, run_id) per bucket.
     content_hash: order-insensitive XOR of per-row content hashes."""
@@ -80,26 +90,91 @@ def append_manifest(lineage: DataFrame, path: str) -> None:
     lineage.write.mode("append").parquet(path)
 
 
+def append_manifest_rows(rows, path: str) -> None:
+    """Driver-side manifest append (pyarrow, atomic rename). The
+    manifest is tiny (≤ n_buckets rows) — a Spark job here costs
+    seconds of scheduling for no work, and in production this commit
+    is an Iceberg metadata append, i.e. also a driver-side operation."""
+    if not rows:
+        return
+    import os
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pa.table({
+        "partition_id": pa.array([r.partition_id for r in rows],
+                                 pa.int64()),
+        "n_rows": pa.array([r.n_rows for r in rows], pa.int64()),
+        "content_hash": pa.array([r.content_hash for r in rows],
+                                 pa.int64()),
+        "run_id": pa.array([r.run_id for r in rows], pa.string()),
+    })
+    os.makedirs(path, exist_ok=True)
+    tmp = os.path.join(path, f".tmp-{uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(path,
+                                f"manifest-{uuid.uuid4().hex}.parquet"))
+
+
 def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
                      manifest_path: str, n_buckets: int = 64,
                      run_id: str = "run-0", key_col: str = "conv_id",
-                     extract_kwargs: Optional[dict] = None) -> DataFrame:
+                     extract_kwargs: Optional[dict] = None,
+                     cluster_write: bool = True) -> list:
     """Full checkpointed pipeline: bucket → resume-filter → extract →
     write(partitionBy bucket, dynamic overwrite) → lineage append.
-    Returns the lineage rows of THIS run (empty if nothing to do)."""
+    Returns the lineage rows of THIS run as a driver-side list of Rows
+    (partition_id, n_rows, content_hash, run_id); empty if nothing to
+    do. The list is bounded by n_buckets, so driver-side is safe."""
+    import time
+
     from .extract import extract_transcripts
+
+    trace = os.environ.get("HTMLPARSER_TRACE") == "1"
+    marks = [("t0", time.time())]
+
+    def mark(name):
+        if trace:
+            marks.append((name, time.time()))
+            print(f"[trace] {name}: "
+                  f"{marks[-1][1] - marks[-2][1]:.1f}s", flush=True)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     bucketed = with_partition_id(df, n_buckets, key_col)
-    todo = filter_resume(bucketed, spark, manifest_path)
-    if todo.isEmpty():
-        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    done = completed_ids(spark, manifest_path)
+    todo = bucketed
+    if done:
+        # resume: committed buckets are a small driver-side list
+        # (≤ n_buckets) → plain IN-filter, no join, no extra scan
+        todo = bucketed.filter(~F.col("partition_id").isin(done))
+        if len(set(done)) >= n_buckets or todo.isEmpty():
+            return []
+    mark("resume")
     out = extract_transcripts(todo, **(extract_kwargs or {}))
+    if cluster_write:
+        # cluster by bucket before the partitioned write: file count
+        # becomes ~n_buckets instead of write_tasks × n_buckets, and
+        # the dynamic-overwrite commit stays O(n_buckets) as the
+        # cluster grows. sortWithinPartitions makes each bucket file
+        # (conv_id, turn_idx)-sorted — deterministic layout, ordered
+        # consumer reads, better parquet encoding.
+        out = out.repartition(n_buckets, "partition_id") \
+            .sortWithinPartitions("partition_id", "conv_id", "turn_idx")
     out.write.mode("overwrite").partitionBy("partition_id") \
         .parquet(output_path)
-    written = spark.read.parquet(output_path).join(
-        F.broadcast(todo.select("partition_id").distinct()),
-        "partition_id", "left_semi")
-    lineage = lineage_rows(written, run_id)
-    append_manifest(lineage, manifest_path)
-    return lineage
+    mark("extract+write")
+    # lineage is computed from a RE-READ of what landed on disk (not
+    # from the in-memory plan) — it certifies the committed bytes.
+    # Column pruning keeps this pass cheap: only the hash inputs are
+    # read back, not raw_html.
+    written = spark.read.parquet(output_path) \
+        .select("partition_id", "conv_id", "turn_idx", "extracted_text")
+    if done:
+        written = written.filter(~F.col("partition_id").isin(done))
+    rows = lineage_rows(written, run_id).collect()
+    mark("lineage")
+    append_manifest_rows(rows, manifest_path)
+    mark("manifest_append")
+    return rows

@@ -47,14 +47,32 @@ def extract_transcripts(df: DataFrame, *, strip: bool = True,
                         include_raw: bool = True,
                         order: bool = True,
                         num_partitions: int | None = None,
-                        repartition: bool = True) -> DataFrame:
+                        repartition: bool | None = None,
+                        keep_text: bool = False) -> DataFrame:
     """transcripts(conv_id, turn_idx, role, text, tool, ts) →
-    + extracted_text, raw_html, n_nodes, n_errors [, turn_seq]."""
+    - text (unless keep_text), + extracted_text, raw_html, n_nodes,
+    n_errors [, turn_seq].
+
+    The source HTML is dropped inside the kernel by default: the
+    ordering shuffle and the sink then carry only the extracted
+    payload (raw HTML is the widest column at transcript scale).
+
+    ``repartition``: the parse kernel is row-independent, so it runs
+    directly on scan partitions — for splittable columnar sources
+    (parquet/Iceberg) those are uniform in bytes regardless of how
+    conversations skew, and skipping the shuffle saves a full pass of
+    the raw-HTML payload. Enable the salted repartition only when the
+    source layout itself is unbalanced (non-splittable files, one
+    giant file, or a pre-keyed layout): hashing (conv_id, turn_idx)
+    spreads even a single mega-conversation uniformly.
+    Default (None): salt iff an explicit ``num_partitions`` is given."""
+    if repartition is None:
+        repartition = num_partitions is not None
     out = df
     if repartition:
         out = salted_repartition(out, num_partitions)
     out = extract_text(out, text_col="text", strip=strip,
-                       include_raw=include_raw)
+                       include_raw=include_raw, drop_text=not keep_text)
     if order:
         w = Window.partitionBy("conv_id").orderBy("turn_idx")
         out = out.withColumn("turn_seq", F.row_number().over(w))

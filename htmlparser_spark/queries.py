@@ -150,6 +150,32 @@ def q_transcripts_e2e(spark, sf_dir):
                       "extracted_text")
 
 
+def q_word_match_norm(spark, sf_dir):
+    """JVM-side reference utils (functions/): the contains_word
+    first-occurrence quirk + the \\v-inclusive space collapse, as
+    Catalyst expressions over documents.text."""
+    from .functions import collapse_spaces, contains_word
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select(
+        "doc_id",
+        contains_word("text", "the").cast("long").alias("w_the"),
+        contains_word("text", "data").cast("long").alias("w_data"),
+        F.length(collapse_spaces("text")).cast("long").alias("n_collapsed"))
+
+
+def _word_match_sql(word: str) -> str:
+    """DuckDB replica of utils::contains_word (html.cpp:1030-1038):
+    boundary-check ONLY the first occurrence, tokenizer space set."""
+    sp = "(chr(32)||chr(9)||chr(10)||chr(12)||chr(13))"
+    p = f"strpos(text, '{word}')"
+    wl = len(word)
+    return (f"CAST(({p} > 0 AND ({p} = 1 OR strpos({sp}, "
+            f"substr(text, {p} - 1, 1)) > 0) AND ({p} + {wl} - 1 = "
+            f"length(text) OR strpos({sp}, substr(text, {p} + {wl}, 1)) "
+            f"> 0)) AS BIGINT)")
+
+
 # ---------------------------------------------------------------- #
 # orchestration / relational queries                                #
 # ---------------------------------------------------------------- #
@@ -367,6 +393,11 @@ ORACLES = {
     "selector_li_count":
         "SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_matches "
         "FROM documents",
+    "word_match_norm":
+        f"SELECT doc_id, {_word_match_sql('the')} AS w_the, "
+        f"{_word_match_sql('data')} AS w_data, "
+        "CAST(length(regexp_replace(text, '[ \\f\\n\\r\\t\\v]+', ' ', "
+        "'g')) AS BIGINT) AS n_collapsed FROM documents",
     "transcripts_e2e":
         "SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id, "
         "CAST(doc_id // 50 AS BIGINT) AS turn_idx, "
@@ -432,6 +463,7 @@ QUERIES = {
     "node_counts": q_node_counts,
     "extract_attrs": q_extract_attrs,
     "selector_li_count": q_selector_li_count,
+    "word_match_norm": q_word_match_norm,
     "transcripts_e2e": q_transcripts_e2e,
     "events_order": q_events_order,
     "events_stats": q_events_stats,

@@ -25,7 +25,7 @@ import random
 from typing import List, Tuple
 
 __all__ = ["generate_rows", "generate_pandas", "generate_spark_df",
-           "TRANSCRIPTS_SCHEMA_DDL"]
+           "generate_distributed", "TRANSCRIPTS_SCHEMA_DDL"]
 
 TRANSCRIPTS_SCHEMA_DDL = ("conv_id string, turn_idx int, role string, "
                           "text string, tool string, ts timestamp")
@@ -126,6 +126,66 @@ def generate_pandas(n_convs: int = 200, n_turns: int = 2000, seed: int = 42,
     rows = generate_rows(n_convs, n_turns, seed, mega_text)
     return pd.DataFrame(
         rows, columns=["conv_id", "turn_idx", "role", "text", "tool", "ts"])
+
+
+def generate_distributed(spark, n_turns: int, turns_per_conv: int = 40,
+                         num_partitions: int = 64, seed: int = 42,
+                         mega_frac: float = 0.25):
+    """Deterministic transcripts table built entirely from Spark
+    expressions — scales to millions of turns without driver-side row
+    materialization (the list-of-tuples generator above is for test
+    scale only).
+
+    Skew realism matches ``generate_rows``: conversation ``conv-mega``
+    holds ``mega_frac`` of all turns (the mega-conversation the salted
+    repartition must spread); the rest are uniform ``turns_per_conv``
+    conversations. Every quirk fragment appears in table data. Rows
+    are emitted in hash-shuffled order so stable (conv_id, turn_idx)
+    ordering is actually exercised downstream.
+    """
+    from pyspark.sql import functions as F
+
+    mega = int(n_turns * mega_frac)
+    ids = spark.range(0, n_turns, 1, num_partitions)
+    frags = F.array(*[F.lit(f) for f in _QUIRK_FRAGMENTS])
+    nf = len(_QUIRK_FRAGMENTS)
+
+    def pick(mult: int):
+        return F.element_at(
+            frags, (F.pmod(F.col("id") * mult + seed, F.lit(nf)) + 1
+                    ).cast("int"))
+
+    # variable-length word body (deterministic, 0-24 words)
+    body = F.concat(
+        F.lit("<p>"),
+        F.repeat(F.lit("lorem ipsum dolor sit amet "),
+                 F.pmod(F.xxhash64(F.col("id"), F.lit(seed)), F.lit(5))
+                 .cast("int")),
+        F.lit("turn "), F.col("id").cast("string"), F.lit("</p>"))
+
+    df = ids.select(
+        F.when(F.col("id") < mega, F.lit("conv-mega"))
+        .otherwise(F.concat(
+            F.lit("conv-"),
+            F.floor((F.col("id") - mega) / turns_per_conv).cast("string")))
+        .alias("conv_id"),
+        F.when(F.col("id") < mega, F.col("id"))
+        .otherwise(F.pmod(F.col("id") - mega, F.lit(turns_per_conv)))
+        .cast("int").alias("turn_idx"),
+        F.element_at(F.array(F.lit("user"), F.lit("assistant"),
+                             F.lit("tool")),
+                     (F.pmod(F.col("id"), F.lit(3)) + 1).cast("int"))
+        .alias("role"),
+        F.concat(F.lit('<html><body><div class="main">'), body,
+                 pick(2654435761), pick(40503), F.lit("</div>"),
+                 F.lit("<footer>boilerplate</footer></body></html>"))
+        .alias("text"),
+        F.lit("").alias("tool"),
+        F.timestamp_seconds(F.lit(1767225600) + F.col("id") * 60)
+        .alias("ts"),
+        F.xxhash64(F.col("id"), F.lit(seed ^ 0x5EED)).alias("_shuf"))
+    return (df.repartition(num_partitions, "_shuf")
+            .sortWithinPartitions("_shuf").drop("_shuf"))
 
 
 def generate_spark_df(spark, n_convs: int = 200, n_turns: int = 2000,

@@ -1,0 +1,98 @@
+"""Differential tests: JVM Column helpers vs the pure-Python kernel
+utils they mirror — the two implementations of each reference quirk
+must never drift apart (SURVEY §2.3 #4, #6)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.functions import (
+    attr_get,
+    attr_has,
+    collapse_spaces,
+    contains_word,
+    is_inline_tag,
+    is_rawtext_tag,
+    is_void_tag,
+    n_tokens,
+)
+from htmlparser_spark.htmldom.constants import (
+    INLINE_TAGS,
+    RAWTEXT_TAGS,
+    VOID_TAGS,
+    collapse_spaces as py_collapse,
+    contains_word as py_contains,
+)
+
+COLLAPSE_CASES = [
+    "a  b", "  lead", "trail  ", "a\t\n\f\r\vb", "\v\v", "", "x",
+    "a \v b", "word",
+]
+
+WORD_CASES = [
+    # (haystack, needle) — incl. the first-occurrence false negative
+    ("xab ab", "ab"),        # quirk: does NOT match
+    ("ab xab", "ab"),        # matches (first occurrence clean)
+    ("ab", "ab"),
+    ("xab", "ab"),
+    ("ab\tcd", "cd"),
+    ("ab\vcd", "cd"),        # \v is NOT a word boundary
+    ("a  b", "b"),
+    ("nope", "zz"),
+    ("prefix suffix", "fix"),
+]
+
+
+def test_collapse_spaces_matches_kernel(spark):
+    df = spark.createDataFrame([(s,) for s in COLLAPSE_CASES], "s string")
+    got = [r.c for r in
+           df.select(collapse_spaces("s").alias("c")).collect()]
+    assert got == [py_collapse(s) for s in COLLAPSE_CASES]
+
+
+def test_contains_word_matches_kernel(spark):
+    df = spark.createDataFrame(WORD_CASES, "s string, w string")
+    for s, w in WORD_CASES:
+        col = df.filter(F.col("s") == s).filter(F.col("w") == w) \
+            .select(contains_word("s", w).alias("m")).collect()
+        assert col[0].m == py_contains(s, w), (s, w)
+
+
+def test_contains_word_first_occurrence_quirk(spark):
+    """The load-bearing quirk: 'xab ab' !~ word 'ab'."""
+    df = spark.createDataFrame([("xab ab",)], "s string")
+    assert df.select(contains_word("s", "ab").alias("m")) \
+        .first().m is False
+
+
+def test_tag_set_predicates(spark):
+    tags = sorted(INLINE_TAGS | VOID_TAGS | RAWTEXT_TAGS | {"div", "p"})
+    df = spark.createDataFrame([(t,) for t in tags], "t string")
+    rows = df.select(
+        "t", is_void_tag("t").alias("v"), is_inline_tag("t").alias("i"),
+        is_rawtext_tag("t").alias("r")).collect()
+    for r in rows:
+        assert r.v == (r.t in VOID_TAGS)
+        assert r.i == (r.t in INLINE_TAGS)
+        assert r.r == (r.t in RAWTEXT_TAGS)
+
+
+def test_attr_get_missing_is_empty_string(spark):
+    df = spark.createDataFrame(
+        [({"href": "x"},), ({},), (None,)],
+        "attrs map<string,string>")
+    got = [r.v for r in df.select(attr_get("attrs", "href").alias("v"),
+                                  attr_has("attrs", "href").alias("h"))
+           .collect()]
+    assert got == ["x", "", ""]
+
+
+@pytest.mark.parametrize("s,n", [
+    ("a b  c", 3), ("", 0), ("   ", 0), ("one", 1),
+    ("a\tb\nc\fd\re", 5), ("a\vb", 1),  # \v is not a token boundary
+])
+def test_n_tokens(spark, s, n):
+    df = spark.createDataFrame([(s,)], "s string")
+    assert df.select(n_tokens("s").alias("n")).first().n == n

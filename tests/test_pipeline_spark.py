@@ -56,20 +56,20 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
         .drop("partition_id")
     l1 = run_checkpointed(spark, part, out_dir, man_dir, n_buckets=4,
                           run_id="r1", extract_kwargs={"include_raw": False})
-    done1 = {r.partition_id for r in l1.collect()}
+    done1 = {r.partition_id for r in l1}
     assert done1 <= {0, 1} and done1
 
     # resume over the FULL input: only remaining buckets re-processed
     l2 = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
                           run_id="r2", extract_kwargs={"include_raw": False})
-    done2 = {r.partition_id for r in l2.collect()}
+    done2 = {r.partition_id for r in l2}
     assert done1.isdisjoint(done2)
     assert done1 | done2 == {0, 1, 2, 3}
 
     # third run: nothing to do
     l3 = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
                           run_id="r3", extract_kwargs={"include_raw": False})
-    assert l3.count() == 0
+    assert l3 == []
 
     # final table complete, no duplicates, content hash consistent
     final = spark.read.parquet(out_dir)

@@ -1,0 +1,76 @@
+"""Optimizer-behavior pins: pushdown, pruning, codegen, no row-UDFs.
+
+These tests fail if a future change accidentally widens a scan,
+blocks a filter from reaching parquet, or sneaks a row-at-a-time
+Python UDF into the pipeline."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.kernel import extract_text
+from htmlparser_spark.plans import (
+    assert_no_python_row_udf,
+    assert_pushed_filter,
+    assert_read_schema_only,
+    codegen_stage_count,
+    explain_string,
+    scan_info,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_column_pruning_reaches_scan(spark, docs):
+    """Kernel input projection prunes the parquet read to (doc_id, text)."""
+    df = extract_text(docs.select("doc_id", "text"), include_raw=False)
+    assert_read_schema_only(df, ["doc_id", "text"])
+
+
+def test_filter_pushdown_reaches_scan(spark, docs):
+    df = docs.filter(F.col("lang") == "en").select("doc_id", "text")
+    assert_pushed_filter(df, "lang")
+    assert_read_schema_only(df, ["doc_id", "text", "lang"])
+
+
+def test_partition_bucket_filter_pushdown(spark, tmp_path, docs):
+    """Resume's bucket filter prunes partition directories at the scan
+    (the read side of idempotent resume at 100 TB)."""
+    out = str(tmp_path / "bucketed")
+    docs.limit(200).withColumn(
+        "partition_id", F.pmod(F.xxhash64("doc_id"), F.lit(4))) \
+        .write.partitionBy("partition_id").parquet(out)
+    back = spark.read.parquet(out).filter(~F.col("partition_id").isin([0, 1]))
+    infos = scan_info(back)
+    pf = " ".join(i.get("PartitionFilters", "") for i in infos)
+    assert "partition_id" in pf, f"no partition pruning: {infos}"
+
+
+def test_pipeline_has_no_row_python_udf(spark, docs):
+    df = extract_text(docs.select("doc_id", "text"), include_raw=False)
+    assert_no_python_row_udf(df)
+    # and the Python that IS there is Arrow-batched
+    assert "MapInPandas" in explain_string(df, "extended")
+
+
+def test_relational_ops_stay_in_codegen(spark):
+    """Post-kernel relational work (filter/agg) compiles to
+    WholeStageCodegen spans. (Plan built with AQE off: an unexecuted
+    adaptive plan carries no codegen annotations to count.)"""
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = spark.read.parquet(f"{SF}/documents.parquet")
+        df = (docs.select("doc_id", "source", F.length("text").alias("n"))
+              .filter(F.col("n") > 10)
+              .groupBy("source").agg(F.sum("n").alias("total")))
+        assert codegen_stage_count(df) >= 1
+        assert_no_python_row_udf(df)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")

@@ -1,0 +1,94 @@
+"""Structured Streaming plane: same kernel, same bytes.
+
+- file-source stream drained with availableNow → parquet sink must be
+  byte-equal to the batch kernel on the same rows
+- custom stateful operator (applyInPandasWithState) accumulates
+  per-conversation running lineage across micro-batches
+- watermarked windowed aggregation plans without error
+"""
+
+from __future__ import annotations
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.htmldom import parse, to_text_stripped
+from htmlparser_spark.sources.transcripts import generate_pandas
+from htmlparser_spark.streaming import (
+    conv_running_state,
+    extract_stream,
+    read_transcripts_stream,
+    turn_rates,
+    write_extracted_stream,
+)
+
+N_TURNS = 120
+
+
+@pytest.fixture()
+def input_dir(spark, tmp_path):
+    """Two parquet files → two file-source micro-batch candidates."""
+    pdf = generate_pandas(n_convs=10, n_turns=N_TURNS, seed=5,
+                          mega_text=False)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")  # Spark reads micros
+    d = tmp_path / "in"
+    d.mkdir()
+    pdf.iloc[: N_TURNS // 2].to_parquet(d / "part-0.parquet", index=False)
+    pdf.iloc[N_TURNS // 2:].to_parquet(d / "part-1.parquet", index=False)
+    return d, pdf
+
+
+def test_stream_extraction_matches_batch_kernel(spark, tmp_path, input_dir):
+    d, pdf = input_dir
+    sdf = read_transcripts_stream(spark, str(d), max_files_per_trigger=1)
+    assert sdf.isStreaming
+    out = extract_stream(sdf, strip=True)
+    q = write_extracted_stream(out, str(tmp_path / "out"),
+                               str(tmp_path / "ck"))
+    q.awaitTermination(120)
+    got = {(r.conv_id, r.turn_idx): r.extracted_text
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert len(got) == N_TURNS
+    for row in pdf.itertuples(index=False):
+        exp = to_text_stripped(parse(row.text))
+        assert got[(row.conv_id, row.turn_idx)] == exp
+
+
+def test_stateful_conv_running_state(spark, tmp_path, input_dir):
+    d, pdf = input_dir
+    sdf = read_transcripts_stream(spark, str(d))
+    extracted = extract_stream(sdf, strip=True)
+    state = conv_running_state(extracted)
+    q = (state.writeStream.format("memory").queryName("conv_state")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = spark.sql(
+        "select conv_id, max(n_turns) n, max(max_turn_idx) mx "
+        "from conv_state group by conv_id").collect()
+    exp = pdf.groupby("conv_id").agg(
+        n=("turn_idx", "size"), mx=("turn_idx", "max"))
+    assert len(rows) == len(exp)
+    for r in rows:
+        assert r.n == int(exp.loc[r.conv_id, "n"]), r.conv_id
+        assert r.mx == int(exp.loc[r.conv_id, "mx"]), r.conv_id
+    spark.catalog.dropTempView("conv_state")
+
+
+def test_watermarked_turn_rates_plans(spark, input_dir):
+    d, _ = input_dir
+    sdf = read_transcripts_stream(spark, str(d))
+    agg = turn_rates(sdf, window="1 minute", watermark="5 minutes")
+    # streaming aggregation with watermark must be startable
+    q = (agg.writeStream.format("memory").queryName("rates")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # windows older than watermark close; with availableNow the final
+    # watermark commit may keep the tail window open — presence of the
+    # view is the contract here
+    assert spark.table("rates").columns == ["window", "role",
+                                            "n_turns", "n_bytes"]
+    spark.catalog.dropTempView("rates")
