@@ -223,22 +223,31 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.length(F.col(text_col)).alias("len"),
         _shingle_array_expr(text_col, k).alias("sh"),
         *([F.col(bucket_col).alias("bk")] if bucket_col else [])).cache()
+    # Length banding makes the length constraint an EQUI-join key:
+    # |len_a - len_b| <= D implies |band_a - band_b| <= 1 for
+    # band = floor(len / D), so exploding one side into its three
+    # adjacent bands covers every qualifying pair exactly once. Pair
+    # generation drops from O(n²) per bucket to O(n) per (bucket,
+    # band) — the difference between 5k docs and 5B docs.
+    band = F.floor(F.col("len") / F.lit(max(max_len_delta, 1)))
     a = base.select(F.col(id_col).alias("id_a"), F.col("len").alias("len_a"),
-                    F.col("sh").alias("sh_a"),
+                    F.col("sh").alias("sh_a"), band.alias("band"),
                     *([F.col("bk")] if bucket_col else []))
     if parallelism:
-        # broadcast-join output parallelism follows the probe side; fan
-        # the CPU-heavy intersect work across the cluster explicitly
-        a = a.repartition(parallelism)
+        a = a.repartition(parallelism, "band",
+                          *(["bk"] if bucket_col else []))
     b = base.select(F.col(id_col).alias("id_b"), F.col("len").alias("len_b"),
                     F.col("sh").alias("sh_b"),
+                    F.explode(F.array(band - 1, band, band + 1))
+                    .alias("band"),
                     *([F.col("bk").alias("bk2")] if bucket_col else []))
     cond = (F.col("id_a") < F.col("id_b")) & \
         (F.abs(F.col("len_a") - F.col("len_b")) <= max_len_delta)
+    keys = [a["band"] == b["band"]]
     if bucket_col:
-        joined = a.join(b, (F.col("bk") == F.col("bk2")) & cond)
-    else:
-        joined = a.join(b, cond)
+        keys.append(F.col("bk") == F.col("bk2"))
+    joined = a.join(b, keys[0] if len(keys) == 1 else keys[0] & keys[1]) \
+        .filter(cond)
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))

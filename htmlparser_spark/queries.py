@@ -150,6 +150,41 @@ def q_transcripts_e2e(spark, sf_dir):
                       "extracted_text")
 
 
+def q_to_html_pretty(spark, sf_dir):
+    """The third serializer (to_html pretty printer, html.cpp:325-392):
+    indented block layout, inline single-text tags, rawtext verbatim.
+    Oracle reconstructs the exact indented string in SQL."""
+    import pandas as pd
+
+    from .htmldom import parse, to_html
+
+    df = _docs_wrapped(spark, sf_dir)
+
+    def fn(batches):
+        for pdf in batches:
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "pretty_html": [to_html(parse(s)) for s in pdf["text"]],
+            })
+
+    return df.mapInPandas(fn, "doc_id bigint, pretty_html string")
+
+
+def q_selector_matches_li(spark, sf_dir):
+    """Selector engine row-level output: one row per 'ul > li' match
+    with walk-order seq, pre-order node id, and subtree text."""
+    from .operators.select import selector_matches
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.repeat(F.lit("<li>w</li>"), (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("</ul>"),
+        ).alias("text"))
+    return selector_matches(df, "ul > li", key_cols=("doc_id",)).select(
+        "doc_id", "match_seq", "node_id", "tag_name", "match_text")
+
+
 def q_word_match_norm(spark, sf_dir):
     """JVM-side reference utils (functions/): the contains_word
     first-occurrence quirk + the \\v-inclusive space collapse, as
@@ -393,6 +428,26 @@ ORACLES = {
     "selector_li_count":
         "SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_matches "
         "FROM documents",
+    "to_html_pretty":
+        # exact indented layout of the wrapped doc; text whitespace
+        # runs collapse with the serializer set (incl. \v)
+        "SELECT doc_id, '<html>' || chr(10)||chr(9) || '<body>' || "
+        "chr(10)||repeat(chr(9),2) || '<div class=\"doc d' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '\" id=\"doc-' || "
+        "CAST(doc_id AS VARCHAR) || '\">' || chr(10)||repeat(chr(9),3) || "
+        "'<p>' || regexp_replace(text, '[ \\f\\n\\r\\t\\v]+', ' ', 'g') || "
+        "'</p>' || chr(10)||repeat(chr(9),2) || '</div>' || "
+        "chr(10)||repeat(chr(9),2) || '<script>var x=1;</script>' || "
+        "chr(10)||repeat(chr(9),2) || '<!--boilerplate-->' || "
+        "chr(10)||chr(9) || '</body>' || chr(10) || '</html>' "
+        "AS pretty_html FROM documents",
+    "selector_matches_li":
+        # doc = <ul>(id 0) then per li: li(1+2i), text(2+2i); walk
+        # order == document order, seq 0-based, subtree text 'w'
+        "SELECT doc_id, CAST(u.seq AS BIGINT) AS match_seq, "
+        "CAST(1 + 2*u.seq AS BIGINT) AS node_id, 'li' AS tag_name, "
+        "'w' AS match_text FROM documents CROSS JOIN "
+        "UNNEST(range(0, CAST(doc_id % 5 AS BIGINT) + 1)) AS u(seq)",
     "word_match_norm":
         f"SELECT doc_id, {_word_match_sql('the')} AS w_the, "
         f"{_word_match_sql('data')} AS w_data, "
@@ -464,6 +519,8 @@ QUERIES = {
     "extract_attrs": q_extract_attrs,
     "selector_li_count": q_selector_li_count,
     "word_match_norm": q_word_match_norm,
+    "selector_matches_li": q_selector_matches_li,
+    "to_html_pretty": q_to_html_pretty,
     "transcripts_e2e": q_transcripts_e2e,
     "events_order": q_events_order,
     "events_stats": q_events_stats,
