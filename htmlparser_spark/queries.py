@@ -150,6 +150,26 @@ def q_transcripts_e2e(spark, sf_dir):
                       "extracted_text")
 
 
+def q_exploded_nodes(spark, sf_dir):
+    """The relational DOM view itself (SURVEY §1.2): full per-node
+    rows — ids, tree shape, kinds, tag indices — SQL-reconstructed by
+    the oracle for the synthesized list markup."""
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.repeat(F.lit("<li>w</li>"), (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("</ul>"),
+        ).alias("text"))
+    nodes = explode_nodes(df, key_cols=("doc_id",))
+    return nodes.select(
+        "doc_id",
+        *[F.col(c).cast("long").alias(c) for c in
+          ("node_id", "parent_id", "depth", "kind", "tag_index",
+           "n_tag_children", "n_tag_siblings")],
+        "tag_name", "content")
+
+
 def q_to_html_pretty(spark, sf_dir):
     """The third serializer (to_html pretty printer, html.cpp:325-392):
     indented block layout, inline single-text tags, rawtext verbatim.
@@ -428,6 +448,23 @@ ORACLES = {
     "selector_li_count":
         "SELECT doc_id, CAST(doc_id % 5 + 1 AS BIGINT) AS n_matches "
         "FROM documents",
+    "exploded_nodes":
+        # doc = ul(0) + per li i: li(1+2i) + text(2+2i); k = doc_id%5+1
+        "WITH k AS (SELECT doc_id, CAST(doc_id % 5 AS BIGINT) + 1 AS k "
+        "FROM documents) "
+        "SELECT doc_id, CAST(0 AS BIGINT) node_id, CAST(-1 AS BIGINT) "
+        "parent_id, CAST(0 AS BIGINT) depth, CAST(1 AS BIGINT) kind, "
+        "CAST(0 AS BIGINT) tag_index, k AS n_tag_children, "
+        "CAST(1 AS BIGINT) n_tag_siblings, 'ul' AS tag_name, '' AS content FROM k "
+        "UNION ALL "
+        "SELECT doc_id, 1+2*u.i, CAST(0 AS BIGINT), CAST(1 AS BIGINT), "
+        "CAST(1 AS BIGINT), u.i, CAST(0 AS BIGINT), k, 'li' AS tag_name, '' AS content "
+        "FROM k CROSS JOIN UNNEST(range(0, k)) AS u(i) "
+        "UNION ALL "
+        "SELECT doc_id, 2+2*u.i, 1+2*u.i, CAST(2 AS BIGINT), "
+        "CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT), "
+        "CAST(0 AS BIGINT), '' AS tag_name, 'w' AS content "
+        "FROM k CROSS JOIN UNNEST(range(0, k)) AS u(i)",
     "to_html_pretty":
         # exact indented layout of the wrapped doc; text whitespace
         # runs collapse with the serializer set (incl. \v)
@@ -521,6 +558,7 @@ QUERIES = {
     "word_match_norm": q_word_match_norm,
     "selector_matches_li": q_selector_matches_li,
     "to_html_pretty": q_to_html_pretty,
+    "exploded_nodes": q_exploded_nodes,
     "transcripts_e2e": q_transcripts_e2e,
     "events_order": q_events_order,
     "events_stats": q_events_stats,

@@ -1,0 +1,89 @@
+"""Property-based invariants (SURVEY §5.2 item 4, hypothesis).
+
+These don't assert reference equality (the differential fuzzer does
+that); they pin structural invariants that must hold for EVERY input,
+including adversarial unicode — the class of bug a golden suite can't
+catch.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+
+from htmlparser_spark.htmldom import (
+    KIND_TAG,
+    parse,
+    select,
+    to_raw_html,
+    to_text,
+)
+
+# arbitrary text, biased toward HTML metacharacters and edge chars
+_html_chars = st.characters(codec="utf-8")
+_soup = st.text(
+    alphabet=st.one_of(
+        _html_chars,
+        st.sampled_from(list('<>/="\'&!-ab \t\n\v\x00?')),
+    ),
+    max_size=200,
+)
+
+# well-formed-ish fragments for round-trip testing
+_tag_names = st.sampled_from(["div", "p", "span", "b", "ul", "li", "a"])
+_texts = st.text(
+    alphabet=st.characters(codec="utf-8", exclude_characters="<&\x00"),
+    min_size=0, max_size=30)
+
+
+@st.composite
+def _fragment(draw, depth=0):
+    if depth >= 3 or draw(st.booleans()):
+        return draw(_texts)
+    tag = draw(_tag_names)
+    inner = "".join(draw(st.lists(_fragment(depth=depth + 1), max_size=3)))
+    return f"<{tag}>{inner}</{tag}>"
+
+
+@settings(max_examples=200, deadline=None)
+@given(_soup)
+def test_parse_never_throws_and_serializes(s):
+    doc = parse(s)
+    # every serializer is total
+    to_text(doc)
+    to_raw_html(doc)
+    # parent pointers are valid pre-order references
+    for nid in range(len(doc)):
+        assert -1 <= doc.parent[nid] < nid
+
+
+@settings(max_examples=150, deadline=None)
+@given(_fragment())
+def test_raw_html_roundtrip_fixpoint(frag):
+    """One canonicalization round reaches a fixpoint:
+    raw(parse(raw(parse(x)))) == raw(parse(x))."""
+    once = to_raw_html(parse(frag))
+    twice = to_raw_html(parse(once))
+    assert twice == once
+
+
+@settings(max_examples=150, deadline=None)
+@given(_texts.filter(lambda t: t.strip() != ""))
+def test_div_text_extraction_identity(t):
+    doc = parse(f"<div>{t}</div>")
+    assert to_text(doc) == t
+
+
+@settings(max_examples=150, deadline=None)
+@given(_fragment())
+def test_select_star_counts_tag_nodes(frag):
+    doc = parse(frag)
+    n_tags = sum(1 for k in doc.kind if k == KIND_TAG)
+    assert len(select(doc, "*")) == n_tags
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.integers(min_value=0, max_value=50))
+def test_void_tag_node_accounting(k):
+    doc = parse("<br>" * k)
+    assert len(doc) == k
+    assert all(doc.self_closing[i] for i in range(k))
