@@ -19,8 +19,10 @@ utility semantics exactly, including the quirks (SURVEY §2.3):
 """
 
 from .columns import (
+    attr_del,
     attr_get,
     attr_has,
+    attr_set,
     collapse_spaces,
     contains_word,
     content_hash,
@@ -31,8 +33,10 @@ from .columns import (
 )
 
 __all__ = [
+    "attr_del",
     "attr_get",
     "attr_has",
+    "attr_set",
     "collapse_spaces",
     "contains_word",
     "content_hash",

@@ -83,6 +83,20 @@ def is_rawtext_tag(col) -> Column:
     return _col(col).isin(*sorted(RAWTEXT_TAGS))
 
 
+def attr_set(attrs, key: str, value: str) -> Column:
+    """node::set_attr (html.cpp:503-506): insert-or-replace one
+    attribute. map_concat with right-bias via map_filter (Spark's
+    map_concat rejects duplicate keys under ANSI semantics)."""
+    cleaned = F.map_filter(_col(attrs), lambda k, _: k != F.lit(key))
+    addition = F.create_map(F.lit(key), F.lit(value))
+    return F.map_concat(F.coalesce(cleaned, F.create_map()), addition)
+
+
+def attr_del(attrs, key: str) -> Column:
+    """node::del_attr (html.cpp:511-513)."""
+    return F.map_filter(_col(attrs), lambda k, _: k != F.lit(key))
+
+
 def n_tokens(col) -> Column:
     """Whitespace-token count using the tokenizer space set (no \\v)."""
     c = _col(col)

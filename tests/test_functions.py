@@ -9,8 +9,10 @@ import pytest
 from pyspark.sql import functions as F
 
 from htmlparser_spark.functions import (
+    attr_del,
     attr_get,
     attr_has,
+    attr_set,
     collapse_spaces,
     contains_word,
     is_inline_tag,
@@ -87,6 +89,19 @@ def test_attr_get_missing_is_empty_string(spark):
                                   attr_has("attrs", "href").alias("h"))
            .collect()]
     assert got == ["x", "", ""]
+
+
+def test_attr_set_del(spark):
+    df = spark.createDataFrame(
+        [({"href": "x", "id": "a"},)], "attrs map<string,string>")
+    got = df.select(
+        attr_set("attrs", "href", "y").alias("set_existing"),
+        attr_set("attrs", "class", "c").alias("set_new"),
+        attr_del("attrs", "id").alias("deleted"),
+    ).first()
+    assert got.set_existing == {"href": "y", "id": "a"}
+    assert got.set_new == {"href": "x", "id": "a", "class": "c"}
+    assert got.deleted == {"href": "x"}
 
 
 @pytest.mark.parametrize("s,n", [
