@@ -73,6 +73,7 @@ RE_NONSPACE = re.compile(r"[^ \t\n\f\r]")         # skip tokenizer whitespace
 RE_RAWNAME = re.compile(r"[A-Za-z]*")             # rawtext end-tag name chars
 RE_HAS_NONSPACE = re.compile(r"[^ \t\n\f\r]")     # "not all-whitespace" check
 RE_COLLAPSE = re.compile(r"[ \f\n\r\t\v]+")       # serializer collapse runs
+RE_NEEDS_COLLAPSE = re.compile(r"[\f\n\r\t\v]|  ")  # anything sub would change
 
 
 def ascii_lower(s: str) -> str:
@@ -89,7 +90,12 @@ def collapse_spaces(s: str) -> str:
 
     Mirrors reference ``utils::replace_any_copy(s, space_chars, " ")``
     (html.cpp:1050-1062): leading and trailing runs collapse too.
+    Fast path: most text has only single plain spaces — one C-level
+    search decides whether the substitution (and its allocation) is
+    needed at all.
     """
+    if RE_NEEDS_COLLAPSE.search(s) is None:
+        return s
     return RE_COLLAPSE.sub(" ", s)
 
 

@@ -77,11 +77,13 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
     def emit_open_raw(name: str, attrs: dict, selfc: bool) -> None:
         if raw is None:
             return
+        if not attrs:
+            raw.append(f"<{name} />" if selfc else f"<{name}>")
+            return
         raw.append("<")
         raw.append(name)
-        if attrs:
-            for k in sorted(attrs):
-                raw.append(f' {k}="{attrs[k]}"')
+        for k in sorted(attrs):
+            raw.append(f' {k}="{attrs[k]}"')
         raw.append(" />" if selfc else ">")
 
     def text_block_open(name: str) -> None:
@@ -105,7 +107,17 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
 
     def close_to(name: str, rawcontent: str, raw_suppressed: bool) -> None:
         """Implicit closure: pop to the matching ancestor (or drop)."""
-        nonlocal n_errors, n_nodes
+        nonlocal n_errors, n_nodes, is_block
+        if stack and stack[-1] == name:
+            # well-nested fast path: no reverse copy, no pop loop
+            if rawcontent:
+                emit_text(rawcontent, True, raw_suppressed)
+            if raw is not None:
+                raw.append(f"</{name}>")
+            if name not in INLINE_TAGS:
+                is_block = True
+            stack.pop()
+            return
         try:
             j = len(stack) - 1 - stack[::-1].index(name)
         except ValueError:
@@ -132,7 +144,8 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
             break
         c = s[i]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
-            flush_text()
+            if pending:
+                flush_text()
             res = _scan_tag(s, i, n)
             if res is None:
                 break
@@ -172,7 +185,8 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                 break
             d = s[k]
             if ("a" <= d <= "z") or ("A" <= d <= "Z"):
-                flush_text()
+                if pending:
+                    flush_text()
                 res = _scan_tag(s, k, n)
                 if res is None:
                     break
