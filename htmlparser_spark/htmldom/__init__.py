@@ -17,6 +17,7 @@ from .constants import (
     collapse_spaces,
     contains_word,
 )
+from .build import append, make_node, walk
 from .parse import Doc, parse
 from .selector import Condition, Matcher, Selector, select
 from .serialize import (
@@ -29,6 +30,7 @@ from .serialize import (
 
 __all__ = [
     "Doc", "parse", "Selector", "Condition", "Matcher", "select",
+    "make_node", "append", "walk",
     "to_text", "to_text_stripped", "to_raw_html", "to_html",
     "DEFAULT_STRIP_TAGS", "collapse_spaces", "contains_word",
     "INLINE_TAGS", "VOID_TAGS", "RAWTEXT_TAGS",

@@ -255,6 +255,21 @@ def q_events_stats(spark, sf_dir):
                  F.date_format(F.max("ts"), fmt).alias("last_ts")))
 
 
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H-Q1-shaped pricing summary: pushdown date filter + grouped
+    aggregation + sort. Aggregates chosen to be summation-order-exact
+    (integer-valued sums, counts, min/max) so the cross-engine value
+    hash can never flip on a double ulp."""
+    li = load(spark, sf_dir, "lineitem")
+    return (li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity").cast("long").alias("sum_qty"),
+                 F.count("*").cast("long").alias("count_order"),
+                 F.min("l_extendedprice").alias("min_price"),
+                 F.max("l_extendedprice").alias("max_price"))
+            .orderBy("l_returnflag", "l_linestatus"))
+
+
 def q_orders_by_segment(spark, sf_dir):
     """Broadcast join (small dim) + aggregation."""
     orders = load(spark, sf_dir, "orders")
@@ -496,6 +511,14 @@ ORACLES = {
         "CAST(row_number() OVER (PARTITION BY doc_id % 50 "
         "ORDER BY doc_id // 50) AS BIGINT) AS turn_seq, "
         "text AS extracted_text FROM documents",
+    "lineitem_pricing":
+        "SELECT l_returnflag, l_linestatus, "
+        "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+        "count(*) AS count_order, min(l_extendedprice) AS min_price, "
+        "max(l_extendedprice) AS max_price FROM lineitem "
+        "WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus "
+        "ORDER BY l_returnflag, l_linestatus",
     "events_order":
         "SELECT event_id, user_id, CAST(row_number() OVER (PARTITION BY "
         "user_id ORDER BY ts, event_id) AS BIGINT) AS rn FROM events",
@@ -561,6 +584,7 @@ QUERIES = {
     "exploded_nodes": q_exploded_nodes,
     "transcripts_e2e": q_transcripts_e2e,
     "events_order": q_events_order,
+    "lineitem_pricing": q_lineitem_pricing,
     "events_stats": q_events_stats,
     "orders_by_segment": q_orders_by_segment,
     # training-data ops (oracle-checked)
