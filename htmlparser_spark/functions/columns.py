@@ -46,16 +46,22 @@ def contains_word(col, word: str) -> Column:
     ``word`` for space boundaries (html.cpp:1030-1038). A word that
     first appears embedded and later stands alone does NOT match."""
     c = _col(col)
-    w = F.lit(word)
     wl = len(word)
-    pos = F.locate(word, c)  # 1-based, 0 = absent
     spaces = F.lit(SPACE_TOKENIZER)
+    if wl == 0:
+        # reference semantics for word='': find('') hits position 0 →
+        # left boundary trivially ok; right boundary checks s[0], so
+        # the result is `s is empty OR s starts with a tokenizer
+        # space` — matches htmldom.constants.contains_word exactly
+        return (F.length(c) == 0) | (
+            F.instr(spaces, F.substring(c, 1, 1)) > 0)
+    pos = F.locate(word, c)  # 1-based, 0 = absent
     left_char = F.substring(c, pos - 1, 1)
     left_ok = (pos == 1) | (F.instr(spaces, left_char) > 0)
     right_char = F.substring(c, pos + wl, 1)
     right_ok = (pos + wl - 1 == F.length(c)) | (
         F.instr(spaces, right_char) > 0)
-    return (pos > 0) & left_ok & right_ok & (F.length(w) > 0)
+    return (pos > 0) & left_ok & right_ok
 
 
 def attr_get(attrs, key: str) -> Column:

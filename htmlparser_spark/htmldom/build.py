@@ -35,7 +35,11 @@ def make_node(kind: int, tag_name: str = "", content: str = "",
     d.kind.append(kind)
     d.tag.append(tag_name)
     d.content.append(content)
-    d.attrs.append(dict(attrs) if attrs else ({} if kind == KIND_TAG else None))
+    # reference utils::make_node applies attributes to TAG nodes only
+    # (html.cpp:1017-1026); attrs passed with a text/comment kind are
+    # ignored, matching the C++ signature where they can't be expressed
+    d.attrs.append(dict(attrs) if (attrs and kind == KIND_TAG)
+                   else ({} if kind == KIND_TAG else None))
     d.self_closing.append(kind == KIND_TAG and tag_name in VOID_TAGS)
     d.parent.append(-1)
     d.depth.append(0)

@@ -149,8 +149,15 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         # resume: committed buckets are a small driver-side list
         # (≤ n_buckets) → plain IN-filter, no join, no extra scan
         todo = bucketed.filter(~F.col("partition_id").isin(done))
-        if len(set(done)) >= n_buckets or todo.isEmpty():
+        if len(set(done)) >= n_buckets:
             return []
+    # empty-input guard runs UNCONDITIONALLY (not only on resume): a
+    # first run over zero rows must no-op, not write an empty dataset
+    # and then fail re-reading it for lineage (a scheduled incremental
+    # job with no new data would crash otherwise). isEmpty() touches
+    # one scan partition — cheap relative to the pipeline.
+    if todo.isEmpty():
+        return []
     mark("resume")
     out = extract_transcripts(todo, **(extract_kwargs or {}))
     if cluster_write:

@@ -71,21 +71,23 @@ def _conv_state_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
                    state: GroupState) -> Iterator[pd.DataFrame]:
     """Custom stateful operator: per-conversation running lineage —
     turns seen, max turn_idx, and an order-insensitive XOR content
-    hash (same shape as the batch checkpoint manifest, so a streaming
-    deployment yields the same integrity record). Hashing is
-    vectorized (pandas xxhash) — no per-row Python."""
+    hash. The per-row hash is the ``row_hash`` column — computed
+    JVM-side in the plan (xxhash64(conv_id, turn_idx, extracted_text),
+    see conv_running_state) with EXACTLY the inputs the batch
+    checkpoint manifest uses (operators.checkpoint.lineage_rows), so a
+    streaming deployment's per-conversation record XORs to the same
+    64-bit value as a batch run over the same rows and the two are
+    directly comparable. The Python side only XOR-reduces int64s —
+    vectorized, no per-row hashing."""
     import numpy as np
-    from pandas.util import hash_pandas_object
 
     n, mx, h = (state.get if state.exists else (0, -1, 0))
     for pdf in pdfs:
         n += len(pdf)
         if len(pdf):
             mx = max(mx, int(pdf["turn_idx"].max()))
-            row_hashes = hash_pandas_object(
-                pdf["turn_idx"].astype("string") + "\x00"
-                + pdf["extracted_text"], index=False).to_numpy()
-            h ^= int(np.bitwise_xor.reduce(row_hashes)) & ((1 << 63) - 1)
+            h ^= int(np.bitwise_xor.reduce(
+                pdf["row_hash"].to_numpy(dtype=np.int64)))
     state.update((n, mx, h))
     yield pd.DataFrame({"conv_id": [key[0]], "n_turns": [n],
                         "max_turn_idx": [mx], "content_hash": [h]})
@@ -93,8 +95,13 @@ def _conv_state_fn(key: Tuple[Any, ...], pdfs: Iterator[pd.DataFrame],
 
 def conv_running_state(extracted: DataFrame) -> DataFrame:
     """applyInPandasWithState over conv_id: emits the running
-    per-conversation record each micro-batch (update semantics)."""
-    return (extracted.groupBy("conv_id").applyInPandasWithState(
+    per-conversation record each micro-batch (update semantics).
+    content_hash is bit-compatible with the batch manifest: the
+    xxhash64 row hash is computed in the Spark plan (JVM, codegen)
+    before the stateful op."""
+    hashed = extracted.withColumn(
+        "row_hash", F.xxhash64("conv_id", "turn_idx", "extracted_text"))
+    return (hashed.groupBy("conv_id").applyInPandasWithState(
         _conv_state_fn,
         outputStructType=_CONV_OUT_SCHEMA,
         stateStructType=_CONV_STATE_SCHEMA,

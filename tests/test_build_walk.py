@@ -51,6 +51,15 @@ def test_make_node_void_tag_self_closing():
     assert to_raw_html(br) == "<br />"
 
 
+def test_make_node_ignores_attrs_on_non_tag_nodes():
+    """Reference utils::make_node applies attributes to tag nodes only
+    (html.cpp:1017-1026); text/comment kinds can't carry them."""
+    t = make_node(KIND_TEXT, content="x", attrs={"id": "nope"})
+    assert t.attrs[0] is None
+    tag = make_node(KIND_TAG, "div", attrs={"id": "yes"})
+    assert tag.attrs[0] == {"id": "yes"}
+
+
 def test_append_reassigns_indices_and_copies_deep():
     dst = make_node(KIND_TAG, "div")
     src = make_node(KIND_TAG, "p")

@@ -44,6 +44,13 @@ WORD_CASES = [
     ("a  b", "b"),
     ("nope", "zz"),
     ("prefix suffix", "fix"),
+    # empty-word semantics: find('') hits pos 0 → matches iff haystack
+    # is empty or starts with a tokenizer space (reference behavior)
+    ("", ""),                # matches
+    ("x", ""),               # does NOT match
+    (" x", ""),              # matches
+    ("\tx", ""),             # matches (\t is a tokenizer space)
+    ("\vx", ""),             # does NOT match (\v not in tokenizer set)
 ]
 
 

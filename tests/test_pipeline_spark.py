@@ -87,6 +87,24 @@ def test_checkpoint_resume_idempotent(spark, tmp_path):
     assert got == exp
 
 
+def test_checkpoint_empty_input_first_run(spark, tmp_path):
+    """A FIRST run over zero rows must no-op (return []), not write an
+    empty dataset and crash re-reading it for lineage — the scheduled-
+    incremental-job-with-no-new-data case."""
+    out_dir = str(tmp_path / "out")
+    man_dir = str(tmp_path / "manifest")
+    df = generate_spark_df(spark, n_convs=4, n_turns=20, seed=3,
+                           mega_text=False)
+    empty = df.filter(F.lit(False))
+    assert run_checkpointed(spark, empty, out_dir, man_dir, n_buckets=4,
+                            run_id="r0",
+                            extract_kwargs={"include_raw": False}) == []
+    # nothing committed: a subsequent real run processes everything
+    l1 = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
+                          run_id="r1", extract_kwargs={"include_raw": False})
+    assert sum(r.n_rows for r in l1) == 20
+
+
 def test_mega_text_roundtrip(spark):
     """A ~512KB turn flows through bounded Arrow batches intact."""
     df = generate_spark_df(spark, n_convs=3, n_turns=10, seed=42,

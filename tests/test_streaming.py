@@ -75,6 +75,27 @@ def test_stateful_conv_running_state(spark, tmp_path, input_dir):
     for r in rows:
         assert r.n == int(exp.loc[r.conv_id, "n"]), r.conv_id
         assert r.mx == int(exp.loc[r.conv_id, "mx"]), r.conv_id
+
+    # content_hash parity with the BATCH lineage hash: the streaming
+    # record must XOR to the same xxhash64 value a batch run computes
+    # over the same extracted rows (operators.checkpoint.lineage_rows
+    # semantics), making streaming output verifiable against a batch
+    # manifest.
+    final_stream = {
+        r.conv_id: r.content_hash for r in spark.sql(
+            "select conv_id, content_hash from ("
+            "  select conv_id, content_hash, row_number() over ("
+            "    partition by conv_id order by n_turns desc) rn"
+            "  from conv_state) where rn = 1").collect()}
+    batch = spark.createDataFrame(
+        [(row.conv_id, int(row.turn_idx),
+          to_text_stripped(parse(row.text)))
+         for row in pdf.itertuples(index=False)],
+        "conv_id string, turn_idx int, extracted_text string")
+    batch_hash = {r.conv_id: r.h for r in batch.groupBy("conv_id").agg(
+        F.bit_xor(F.xxhash64("conv_id", "turn_idx", "extracted_text"))
+        .alias("h")).collect()}
+    assert final_stream == batch_hash
     spark.catalog.dropTempView("conv_state")
 
 
