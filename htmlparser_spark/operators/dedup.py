@@ -31,7 +31,56 @@ __all__ = [
     "minhash_signature_udf", "minhash_candidates", "minhash_dedup_pairs",
     "simhash_udf", "simhash_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
+    "cap_buckets", "bucket_stats",
 ]
+
+
+# ------------------------------------------------------------------ #
+# LSH hot-bucket mitigation (shared by minhash / simhash / embedding) #
+# ------------------------------------------------------------------ #
+
+def cap_buckets(bucketed: DataFrame, keys: list[str],
+                max_bucket_size: int):
+    """Split an LSH bucket frame into (ok, oversize) by bucket size.
+
+    The LSH self-join is quadratic WITHIN a bucket; real corpora have
+    degenerate buckets (empty docs → zero signatures, template
+    boilerplate → identical band hashes), and one pathological key
+    stalls the whole stage at scale. Buckets above ``max_bucket_size``
+    are routed out of the quadratic join; callers degrade them to
+    linear star-pairing on an exact-equality key (identical docs —
+    the usual cause of a hot bucket — still come out connected).
+
+    The size count is a window over the bucket keys — one exchange
+    that the subsequent self-join re-uses (same partitioning)."""
+    w = Window.partitionBy(*keys)
+    sized = bucketed.withColumn("_bsz", F.count("*").over(w))
+    ok = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
+    oversize = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
+    return ok, oversize
+
+
+def bucket_stats(bucketed: DataFrame, keys: list[str]) -> DataFrame:
+    """(bucket keys..., n_members) — introspection for cap tuning and
+    for logging what a cap dropped (VERDICT: record capped buckets)."""
+    return (bucketed.groupBy(*keys)
+            .agg(F.count("*").cast("long").alias("n_members")))
+
+
+def _star_pairs(members: DataFrame, exact_key, id_col: str) -> DataFrame:
+    """Linear fallback pairing for oversize buckets: group members by
+    an exact-equality key (full signature / text hash / vector hash)
+    and emit (group-min id ↔ member) STAR pairs instead of the full
+    clique — O(n) pairs, and exactly what connected-component dedup
+    consumes. Near-dup (non-identical) members of a capped bucket are
+    the accepted recall loss; identical docs stay fully connected."""
+    grouped = members.select(F.col(id_col), exact_key.alias("_ek"))
+    w = Window.partitionBy("_ek")
+    rep = grouped.withColumn("_rep", F.min(id_col).over(w))
+    return (rep.filter(F.col(id_col) != F.col("_rep"))
+            .select(F.col("_rep").alias("id_a"),
+                    F.col(id_col).alias("id_b"))
+            .distinct())
 
 # ------------------------------------------------------------------ #
 # exact                                                              #
@@ -122,12 +171,20 @@ minhash_signature_udf = make_minhash_udf()
 def minhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_perm: int = 64,
                        bands: int = 16, shingle_k: int = 5,
-                       parallelism: int | None = None) -> DataFrame:
+                       parallelism: int | None = None,
+                       max_bucket_size: int = 4096) -> DataFrame:
     """LSH candidate pairs: banded signature buckets self-joined.
     Returns (id_a, id_b) with id_a < id_b, distinct.
 
     The CPU-bound signature stage is fanned out explicitly: a 1-file
-    parquet input would otherwise pin it to one task."""
+    parquet input would otherwise pin it to one task.
+
+    Buckets larger than ``max_bucket_size`` are routed OUT of the
+    quadratic self-join (cap_buckets) and degraded to linear star
+    pairs keyed on the full signature — identical/near-identical docs
+    (the usual hot-bucket cause: boilerplate, empty docs) still come
+    out connected, and no single degenerate band hash can stall the
+    stage at 100× scale."""
     rows_per_band = num_perm // bands
     udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
     src = df.select(F.col(id_col), F.col(text_col))
@@ -144,47 +201,83 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")) \
-                .select(id_col, "bk.band_id", "bk.band_hash")
+    banded = sig.select(id_col, "sig",
+                        F.explode(F.array(*band_cols)).alias("bk")) \
+                .select(id_col, "sig", "bk.band_id", "bk.band_hash")
     # the self-join would otherwise run the signature UDF once PER SIDE;
-    # signatures are tiny (ids + 16 hashes) — cache them
+    # signatures are tiny (ids + hashes) — cache them
     banded = banded.cache()
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
+    ok, oversize = cap_buckets(banded, ["band_id", "band_hash"],
+                               max_bucket_size)
+    a = ok.alias("a")
+    b = ok.alias("b")
+    quad = (a.join(b, (F.col("a.band_id") == F.col("b.band_id"))
                    & (F.col("a.band_hash") == F.col("b.band_hash"))
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
-                    F.col(f"b.{id_col}").alias("id_b"))
-            .distinct())
+                    F.col(f"b.{id_col}").alias("id_b")))
+    star = _star_pairs(
+        oversize.select(id_col, "sig").distinct(),
+        F.xxhash64(F.col("sig")), id_col)
+    return quad.unionAll(star).distinct()
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.8,
                         num_perm: int = 64, bands: int = 16,
                         shingle_k: int = 5,
-                        parallelism: int | None = None) -> DataFrame:
+                        parallelism: int | None = None,
+                        max_bucket_size: int = 4096,
+                        exact_counts: bool = False) -> DataFrame:
     """Candidates verified by exact shingle-set Jaccard ≥ threshold.
-    Only candidate pairs re-join text (tiny vs the corpus)."""
+
+    Verification joins the candidates against a per-doc SHINGLE-ARRAY
+    frame, pruned by a semi-join to just the docs that appear in some
+    candidate pair — shingles are computed ONCE per involved doc (not
+    once per pair), and full documents never travel through the
+    verify shuffle. With ``exact_counts`` the output carries the
+    integer (n_intersect, n_union) instead of a rounded float — the
+    cross-engine-hash-stable form the oracle checks."""
     cand = minhash_candidates(df, text_col, id_col, num_perm, bands,
-                              shingle_k, parallelism=parallelism)
-    texts = df.select(F.col(id_col), F.col(text_col))
+                              shingle_k, parallelism=parallelism,
+                              max_bucket_size=max_bucket_size)
+    ids = (cand.select(F.col("id_a").alias(id_col))
+           .unionAll(cand.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    # shingle arrays ONLY for docs in candidate pairs (candidates ≪
+    # corpus), computed once and reused by both join sides
+    sh = (df.select(F.col(id_col), F.col(text_col))
+          .join(ids, id_col, "left_semi")
+          .select(F.col(id_col),
+                  _shingle_array_expr(text_col, shingle_k).alias("sh"))
+          .cache())
     joined = (cand
-              .join(texts.withColumnRenamed(id_col, "id_a")
-                    .withColumnRenamed(text_col, "text_a"), "id_a")
-              .join(texts.withColumnRenamed(id_col, "id_b")
-                    .withColumnRenamed(text_col, "text_b"), "id_b"))
-    return (joined
-            .withColumn("jaccard",
-                        _jaccard_expr("text_a", "text_b", shingle_k))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+              .join(sh.select(F.col(id_col).alias("id_a"),
+                              F.col("sh").alias("sh_a")), "id_a")
+              .join(sh.select(F.col(id_col).alias("id_b"),
+                              F.col("sh").alias("sh_b")), "id_b"))
+    counted = joined.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        .alias("n_intersect"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("long")
+        .alias("n_union"))
+    jac = F.when(F.col("n_union") > 0,
+                 F.col("n_intersect").cast("double")
+                 / F.col("n_union").cast("double")).otherwise(F.lit(1.0))
+    out = counted.filter(jac >= threshold)
+    if exact_counts:
+        return out.select("id_a", "id_b", "n_intersect", "n_union")
+    return out.select("id_a", "id_b",
+                      F.round(jac, 6).alias("jaccard"))
 
 
 def _shingle_array_expr(text_col: str, k: int):
     """Distinct word-k-shingle array as a Catalyst expression (JVM-side
-    transform over token positions — no UDF)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"\s+")
+    transform over token positions — no UDF). The split class is
+    written out explicitly (== Java regex \\s) so the DuckDB oracle
+    can reproduce it byte-for-byte (RE2's \\s excludes \\x0b)."""
+    toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
     n = F.size(toks)
     count = F.greatest(n - F.lit(k - 1), F.lit(1))
     idx = F.sequence(F.lit(0), count - 1)
@@ -207,7 +300,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5,
                         bucket_col: str | None = None,
                         max_len_delta: int = 32,
-                        parallelism: int | None = None) -> DataFrame:
+                        parallelism: int | None = None,
+                        exact_counts: bool = False) -> DataFrame:
     """Exact n-gram Jaccard over candidate pairs.
 
     Pair space is pruned BEFORE the expensive array work: pairs must
@@ -234,8 +328,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                     F.col("sh").alias("sh_a"), band.alias("band"),
                     *([F.col("bk")] if bucket_col else []))
     if parallelism:
+        # the band key alone has tiny cardinality when doc lengths
+        # cluster — add a high-cardinality id-hash salt so the
+        # requested parallelism actually spreads (the join key stays
+        # (band[,bk]); the salt only balances the pre-join exchange)
         a = a.repartition(parallelism, "band",
-                          *(["bk"] if bucket_col else []))
+                          *(["bk"] if bucket_col else []),
+                          F.pmod(F.xxhash64("id_a"), F.lit(parallelism)))
     b = base.select(F.col(id_col).alias("id_b"), F.col("len").alias("len_b"),
                     F.col("sh").alias("sh_b"),
                     F.explode(F.array(band - 1, band, band + 1))
@@ -248,13 +347,22 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         keys.append(F.col("bk") == F.col("bk2"))
     joined = a.join(b, keys[0] if len(keys) == 1 else keys[0] & keys[1]) \
         .filter(cond)
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    jac = F.when(union > 0, inter / union).otherwise(F.lit(1.0))
-    return (joined
-            .withColumn("jaccard", jac)
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard")))
+    counted = joined.select(
+        "id_a", "id_b",
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+        .alias("n_intersect"),
+        F.size(F.array_union("sh_a", "sh_b")).cast("long")
+        .alias("n_union"))
+    jac = F.when(F.col("n_union") > 0,
+                 F.col("n_intersect").cast("double")
+                 / F.col("n_union").cast("double")).otherwise(F.lit(1.0))
+    out = counted.filter(jac >= threshold)
+    if exact_counts:
+        # integer jaccard witness (n_intersect, n_union): hash-stable
+        # across engines — no float rounding can flip the oracle
+        return out.select("id_a", "id_b", "n_intersect", "n_union")
+    return out.select("id_a", "id_b",
+                      F.round(jac, 6).alias("jaccard"))
 
 
 # ------------------------------------------------------------------ #
@@ -301,9 +409,15 @@ simhash_udf = make_simhash_udf()
 
 def simhash_candidates(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", chunks: int = 4,
-                       parallelism: int | None = None) -> DataFrame:
+                       parallelism: int | None = None,
+                       max_bucket_size: int = 4096) -> DataFrame:
     """Near-dup candidates: equal 16-bit SimHash chunk ⇒ candidate
-    (pigeonhole: hamming ≤ chunks-1 guarantees ≥1 equal chunk)."""
+    (pigeonhole: hamming ≤ chunks-1 guarantees ≥1 equal chunk).
+
+    Hot chunk buckets (all-zero simhash from empty docs, template
+    boilerplate) above ``max_bucket_size`` skip the quadratic join and
+    degrade to star pairs on FULL simhash equality (hamming 0), so a
+    degenerate 16-bit value can't stall the stage — see cap_buckets."""
     src = df.select(F.col(id_col), F.col(text_col))
     if parallelism is None:
         parallelism = df.sparkSession.sparkContext.defaultParallelism
@@ -321,7 +435,9 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     ch = sh.select(id_col, "sh",
                    F.explode(F.array(*chunk_cols)).alias("ck")) \
            .select(id_col, "sh", "ck.chunk_id", "ck.chunk_val")
-    a, b = ch.alias("a"), ch.alias("b")
+    ok, oversize = cap_buckets(ch, ["chunk_id", "chunk_val"],
+                               max_bucket_size)
+    a, b = ok.alias("a"), ok.alias("b")
     pairs = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
                     & (F.col("a.chunk_val") == F.col("b.chunk_val"))
                     & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -331,8 +447,12 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                      F.col("b.sh").alias("sh_b"))
              .distinct())
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming.cast("long")) \
+    quad = pairs.withColumn("hamming", hamming.cast("long")) \
                 .select("id_a", "id_b", "hamming")
+    star = _star_pairs(oversize.select(id_col, "sh").distinct(),
+                       F.col("sh"), id_col) \
+        .withColumn("hamming", F.lit(0).cast("long"))
+    return quad.unionAll(star).distinct()
 
 
 # ------------------------------------------------------------------ #
@@ -341,20 +461,74 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
 
 def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                         id_col: str = "vec_id", threshold: float = 0.95,
-                        n_planes: int = 16, seed: int = 97) -> DataFrame:
-    """Cosine near-duplicates via random-hyperplane LSH buckets +
-    exact cosine verification inside buckets (JVM-side arithmetic)."""
-    from .similarity import random_hyperplane_bucket_udf, cosine_expr
+                        n_planes: int = 8, n_tables: int = 4,
+                        probe_bits: int = 1, seed: int = 97,
+                        max_bucket_size: int = 4096) -> DataFrame:
+    """Cosine near-duplicates via multi-table, multi-probe random-
+    hyperplane LSH + exact cosine verification (JVM-side arithmetic).
 
-    bucket = random_hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
+    Recall design (a real 0.95-cosine near-dup pair differs on each
+    plane with p ≈ arccos(0.95)/π ≈ 0.10, so a single 8-bit bucket
+    match has only ~0.43 probability):
+    - ``n_tables`` independent plane tables: miss probability drops
+      to (1-p_table)^L;
+    - ``probe_bits=1`` probes every 1-bit-flip neighbor bucket (the
+      probe side explodes ×(n_planes+1)), catching pairs whose
+      signatures differ by one plane.
+    With the defaults, P(pair at cosine 0.95 becomes a candidate)
+    > 0.999; exact cosine verification then removes false positives,
+    so precision is exact and only recall is approximate.
+
+    Scale: candidates carry ids only (vectors re-joined after a
+    semi-join prune); buckets above ``max_bucket_size`` skip the
+    quadratic join and degrade to star pairs on exact-vector hash
+    (cap_buckets) so one dense LSH cell can't stall the stage."""
+    from .similarity import cosine_expr, multi_table_bucket_udf
+
+    buckets = multi_table_bucket_udf(n_planes=n_planes, n_tables=n_tables,
+                                     seed=seed)
     base = df.select(F.col(id_col), F.col(vec_col).alias("v"),
-                     bucket(F.col(vec_col)).alias("bk")).cache()
-    a, b = base.alias("a"), base.alias("b")
-    pairs = (a.join(b, (F.col("a.bk") == F.col("b.bk"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
+                     buckets(F.col(vec_col)).alias("bks")).cache()
+    tbl = base.select(
+        id_col, "v",
+        F.posexplode("bks").alias("table_id", "bk"))
+    if probe_bits >= 1:
+        probes = F.array(F.col("bk"), *[
+            F.col("bk").bitwiseXOR(F.lit(1 << i))
+            for i in range(n_planes)])
+    else:
+        probes = F.array(F.col("bk"))
+    probe = tbl.select(id_col, "table_id",
+                       F.explode(probes).alias("pbk"))
+    a_ok, a_over = cap_buckets(tbl.select(id_col, "v", "table_id", "bk"),
+                               ["table_id", "bk"], max_bucket_size)
+    p_ok, p_over = cap_buckets(probe, ["table_id", "pbk"],
+                               max_bucket_size)
+    cand = (a_ok.alias("a")
+            .join(p_ok.alias("b"),
+                  (F.col("a.table_id") == F.col("b.table_id"))
+                  & (F.col("a.bk") == F.col("b.pbk"))
+                  & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    # oversize-bucket members degrade to exact-vector star pairs
+    over_ids = (a_over.select(id_col)
+                .unionAll(p_over.select(id_col)).distinct())
+    star = _star_pairs(
+        base.join(over_ids, id_col, "left_semi")
+        .select(id_col, "v").distinct(),
+        F.xxhash64(F.col("v")), id_col)
+    cand = cand.unionAll(star).distinct()
+    # exact cosine verify: vectors only for involved ids
+    ids = (cand.select(F.col("id_a").alias(id_col))
+           .unionAll(cand.select(F.col("id_b").alias(id_col))).distinct())
+    vecs = base.select(id_col, "v").join(ids, id_col, "left_semi")
+    pairs = (cand
+             .join(vecs.select(F.col(id_col).alias("id_a"),
+                               F.col("v").alias("va")), "id_a")
+             .join(vecs.select(F.col(id_col).alias("id_b"),
+                               F.col("v").alias("vb")), "id_b"))
     cos = cosine_expr(F.col("va"), F.col("vb"))
     return (pairs.withColumn("cosine", cos)
             .filter(F.col("cosine") >= threshold)

@@ -24,7 +24,8 @@ from pyspark.sql.types import LongType
 from pyspark.sql.functions import pandas_udf
 
 __all__ = ["cosine_expr", "dot_expr", "brute_force_topk",
-           "random_hyperplane_bucket_udf", "lsh_topk"]
+           "random_hyperplane_bucket_udf", "multi_table_bucket_udf",
+           "lsh_topk"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -50,20 +51,49 @@ def cosine_expr(a: Column, b: Column) -> Column:
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str = "query_id") -> DataFrame:
-    """Exact cosine top-k per query: broadcast-join the query set
-    against the corpus (no shuffle of the corpus), rank per query.
-    Output: (query_id, vec_id, rank) — ints only, rank 1 = best,
-    ties broken by vec_id for determinism."""
+    """Exact cosine top-k per query, in two stages:
+
+    1. score: broadcast-join the (small) query set against the corpus
+       — cosine stays a JVM codegen expression, the corpus is never
+       shuffled;
+    2. partial top-k: a vectorized pandas stage reduces every Arrow
+       batch to ≤ k rows per query BEFORE any exchange, so the only
+       shuffled data is O(q · k · n_batches) narrow rows — a global
+       window over raw scores would instead move ALL n·q scored rows
+       to q reducer tasks, the classic single-hot-task killer at
+       10^10-row corpora;
+    3. merge: an exact window over the tiny partial set.
+
+    Exactness: the per-batch selection uses the same total order as
+    the final rank (cosine desc, id asc), so any row dropped early is
+    dominated by ≥ k surviving rows from its own batch — the merged
+    top-k is identical to the single-window answer.
+    Output: (query_id, vec_id, rank, cosine), rank 1 = best, ties
+    broken by vec_id for determinism."""
     from pyspark.sql import Window
 
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
-              .withColumn("cosine", cosine_expr(F.col("cv"), F.col("qv"))))
+              .withColumn("cosine", cosine_expr(F.col("cv"), F.col("qv")))
+              .select("query_id", id_col, "cosine"))
+
+    out_schema = scored.schema
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            yield (pdf.sort_values(["cosine", id_col],
+                                   ascending=[False, True])
+                   .groupby("query_id", sort=False).head(k))
+
+    partial = scored.mapInPandas(partial_topk, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
+    return (partial.withColumn("rank", F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "rank",
                     F.round("cosine", 6).alias("cosine")))
@@ -92,6 +122,37 @@ def random_hyperplane_bucket_udf(n_planes: int = 16, seed: int = 97,
         return pd.Series(sig)
 
     return bucket_udf
+
+
+def multi_table_bucket_udf(n_planes: int = 8, n_tables: int = 4,
+                           seed: int = 97, dim: int | None = None):
+    """Signatures for ``n_tables`` INDEPENDENT hyperplane tables in
+    one numpy matmul (d × n_tables·n_planes). Returns array<long> of
+    one bucket per table. Multiple independent tables are the standard
+    recall amplifier for hyperplane LSH: a true near-dup pair missed
+    by one table (P ≈ 1-(1-p_match)) is caught by another — recall
+    1-(1-p)^L instead of p — at linear, not quadratic, cost."""
+    from pyspark.sql.types import ArrayType
+
+    @pandas_udf(ArrayType(LongType()))
+    def buckets_udf(vecs: pd.Series) -> pd.Series:
+        arrs = [np.asarray(v, dtype=np.float64) if v is not None else None
+                for v in vecs]
+        d = dim
+        if d is None:
+            d = next((len(a) for a in arrs if a is not None), 0)
+        if d == 0:
+            return pd.Series([[0] * n_tables] * len(vecs))
+        rng = np.random.RandomState(seed)
+        planes = rng.randn(d, n_tables * n_planes)
+        M = np.stack([a if a is not None else np.zeros(d) for a in arrs])
+        bits = (M @ planes) > 0                     # (n, T*P)
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        sigs = (bits.reshape(len(vecs), n_tables, n_planes)
+                .astype(np.int64) * weights).sum(axis=2)   # (n, T)
+        return pd.Series(list(sigs))
+
+    return buckets_udf
 
 
 def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,

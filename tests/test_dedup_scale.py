@@ -1,0 +1,234 @@
+"""Scale-hardening tests for the dedup/ANN family (VERDICT round 1
+items 4-7):
+
+- hot LSH buckets are capped: a corpus of N identical docs must NOT
+  run a quadratic in-bucket join — it degrades to N-1 star pairs on an
+  exact-equality key, and completes;
+- the minhash verify stage joins precomputed shingle arrays (not raw
+  text re-shingled per pair) and its jaccard matches an independent
+  Python recompute exactly;
+- embedding near-dup LSH recovers REAL near-dups (perturbed vectors at
+  cosine ~0.96), not just exact copies — multi-table + multi-probe.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.operators.dedup import (
+    bucket_stats,
+    cap_buckets,
+    embedding_near_dups,
+    minhash_candidates,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash_candidates,
+)
+
+_SPLIT = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _py_shingles(text: str, k: int) -> set:
+    """Python replica of dedup._shingle_array_expr (Spark semantics:
+    trim strips ASCII spaces only; split keeps empty edge tokens)."""
+    toks = _SPLIT.split(text.lower().strip(" "))
+    count = max(len(toks) - k + 1, 1)
+    return {" ".join(toks[i:i + k]) for i in range(count)}
+
+
+def _py_jaccard(a: str, b: str, k: int) -> float:
+    sa, sb = _py_shingles(a, k), _py_shingles(b, k)
+    u = len(sa | sb)
+    return (len(sa & sb) / u) if u else 1.0
+
+
+def test_cap_buckets_split(spark):
+    rows = [(i, "hot") for i in range(10)] + [(100, "cold"), (101, "cold")]
+    df = spark.createDataFrame(rows, "id long, bk string")
+    ok, over = cap_buckets(df, ["bk"], max_bucket_size=5)
+    assert ok.count() == 2 and over.count() == 10
+    stats = {r.bk: r.n_members for r in bucket_stats(df, ["bk"]).collect()}
+    assert stats == {"hot": 10, "cold": 2}
+
+
+def test_minhash_hot_bucket_degrades_to_star_pairs(spark):
+    """2000 identical docs: every band bucket is oversize. The
+    quadratic join must see NONE of them; the output is the 1999-star,
+    not the ~2M-clique."""
+    n = 2000
+    same = [(i, "the same boilerplate page text repeated many words "
+                "over and over for every single crawled url")
+            for i in range(n)]
+    distinct = [(10_000 + i, f"unique document number {i} with its own "
+                             f"words entirely different content {i * 7}")
+                for i in range(5)]
+    df = spark.createDataFrame(same + distinct, "doc_id long, text string")
+    cand = minhash_candidates(df, max_bucket_size=100, parallelism=4)
+    pairs = {(r.id_a, r.id_b) for r in cand.collect()}
+    star = {(0, i) for i in range(1, n)}
+    # the hot group appears exactly as the star — no clique blowup;
+    # candidates among the 5 distinct docs (overlapping wording) are
+    # legitimate LSH output and irrelevant here
+    assert {p for p in pairs if p[0] < 10_000} == star
+    # verified pairs: identical docs have jaccard 1 ≥ any threshold
+    ver = minhash_dedup_pairs(df, threshold=0.8, max_bucket_size=100,
+                              parallelism=4)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ver.collect() if r.id_a < 10_000}
+    assert set(got) == star
+    assert all(j == 1.0 for j in got.values())
+
+
+def test_simhash_hot_bucket_degrades_to_star_pairs(spark):
+    n = 500
+    same = [(i, "identical template words for the hot bucket case")
+            for i in range(n)]
+    df = spark.createDataFrame(
+        same + [(9000, "something else entirely unrelated here")],
+        "doc_id long, text string")
+    out = simhash_candidates(df, max_bucket_size=50, parallelism=4)
+    rows = out.collect()
+    pairs = {(r.id_a, r.id_b) for r in rows}
+    assert pairs == {(0, i) for i in range(1, n)}
+    assert all(r.hamming == 0 for r in rows)
+
+
+def test_minhash_verify_matches_python_jaccard(spark):
+    """Rework regression: output pairs and jaccard values equal the
+    straight Python shingle-set computation (planted near-dups)."""
+    base = [(i, f"alpha beta gamma delta epsilon zeta eta theta common "
+                f"prefix words document {i} iota kappa lambda mu nu xi")
+            for i in range(40)]
+    planted = [(1000 + i, t + " tail") for i, t in base if i % 4 == 0]
+    df = spark.createDataFrame(base + planted, "doc_id long, text string")
+    out = minhash_dedup_pairs(df, threshold=0.5, shingle_k=5,
+                              parallelism=4)
+    texts = dict(base + planted)
+    for r in out.collect():
+        exp = _py_jaccard(texts[r.id_a], texts[r.id_b], 5)
+        assert r.jaccard == pytest.approx(round(exp, 6), abs=1e-9)
+    got_pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    for i, _t in base:
+        if i % 4 == 0:
+            assert (i, 1000 + i) in got_pairs, i
+    # exact_counts form carries the integer witness
+    cnt = minhash_dedup_pairs(df, threshold=0.5, shingle_k=5,
+                              parallelism=4, exact_counts=True)
+    for r in cnt.collect():
+        sa = _py_shingles(texts[r.id_a], 5)
+        sb = _py_shingles(texts[r.id_b], 5)
+        assert (r.n_intersect, r.n_union) == (len(sa & sb), len(sa | sb))
+
+
+def test_ngram_exact_counts_match_python(spark):
+    base = [(i, f"one two three four five six seven eight nine ten "
+                f"doc {i}") for i in range(30)]
+    planted = [(500 + i, t + " tail") for i, t in base if i % 3 == 0]
+    df = spark.createDataFrame(base + planted, "doc_id long, text string")
+    out = ngram_jaccard_pairs(df, k=3, threshold=0.5, max_len_delta=8,
+                              parallelism=4, exact_counts=True)
+    texts = dict(base + planted)
+    rows = out.collect()
+    assert rows
+    for r in rows:
+        sa = _py_shingles(texts[r.id_a], 3)
+        sb = _py_shingles(texts[r.id_b], 3)
+        assert (r.n_intersect, r.n_union) == (len(sa & sb), len(sa | sb))
+
+
+def test_embedding_near_dups_recovers_perturbed_vectors(spark):
+    """REAL near-dups (cosine ≈ 0.96, not exact copies): multi-table
+    multi-probe LSH must recover every planted pair at threshold 0.95.
+    Deterministic: fixed data seed + fixed LSH seed."""
+    rng = np.random.RandomState(7)
+    d, n = 64, 200
+    base = rng.randn(n, d)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = [(i, base[i].astype(np.float32).tolist()) for i in range(n)]
+    planted = []
+    for i in range(0, n, 10):          # 20 perturbed near-copies
+        noise = rng.randn(d)
+        noise -= noise.dot(base[i]) * base[i]          # ⊥ component
+        noise /= np.linalg.norm(noise)
+        v = base[i] + 0.28 * noise                     # cos ≈ 0.963
+        v /= np.linalg.norm(v)
+        assert 0.95 < float(v.dot(base[i])) < 0.975
+        planted.append((1_000_000 + i, v.astype(np.float32).tolist()))
+    df = spark.createDataFrame(rows + planted,
+                               "vec_id long, embedding array<float>")
+    out = embedding_near_dups(df, threshold=0.95)
+    got = {(r.id_a, r.id_b) for r in out.collect()}
+    expected = {(i, 1_000_000 + i) for i in range(0, n, 10)}
+    assert expected <= got, expected - got
+    # precision is exact by construction: nothing below threshold
+    assert all(r.cosine >= 0.95 for r in out.collect())
+    # random unit vectors in d=64 never reach cosine 0.95 naturally
+    assert got == expected
+
+
+def test_brute_force_topk_two_stage_exact(spark):
+    """The per-batch partial top-k must produce EXACTLY the
+    single-window answer (numpy ground truth), across many small
+    Arrow batches."""
+    from htmlparser_spark.operators.similarity import brute_force_topk
+
+    rng = np.random.RandomState(3)
+    n, d, k = 400, 16, 10
+    M = rng.randn(n, d)
+    corpus = spark.createDataFrame(
+        [(i, M[i].astype(np.float32).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "37")
+    try:
+        out = brute_force_topk(corpus, queries, k=k)
+        got = {(r.query_id, r.rank): r.vec_id for r in out.collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # ground truth: float32 vectors scored in float64, ties by id
+    Mf = M.astype(np.float32).astype(np.float64)
+    norms = np.linalg.norm(Mf, axis=1)
+    for qid in range(3):
+        cos = (Mf @ Mf[qid]) / (norms * norms[qid])
+        order = sorted(range(n), key=lambda i: (-cos[i], i))[:k]
+        for rank, vid in enumerate(order, start=1):
+            assert got[(qid, rank)] == vid, (qid, rank)
+
+
+def test_brute_force_topk_plan_shape(spark):
+    """The merge window's input is the pandas partial stage — the
+    full scored set is never exchanged (plan: Window above
+    MapInPandas, which sits above the broadcast join)."""
+    from htmlparser_spark.operators.similarity import brute_force_topk
+    from htmlparser_spark.plans import explain_string
+
+    corpus = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.limit(1).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = explain_string(brute_force_topk(corpus, queries, k=3))
+    assert "MapInPandas" in plan
+    assert "Window" in plan
+    # tree prints parents first: the window must sit ABOVE the
+    # partial-topk python stage
+    assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def test_embedding_hot_bucket_star_pairs(spark):
+    """Identical vectors flooding one bucket: capped, star-paired."""
+    v = [float(x) for x in range(8)]
+    dup = [(i, v) for i in range(300)]
+    other = [(5000, [1.0, -2.0, 3.0, -4.0, 5.0, -6.0, 7.0, -8.0])]
+    df = spark.createDataFrame(dup + other,
+                               "vec_id long, embedding array<float>")
+    out = embedding_near_dups(df, threshold=0.95, max_bucket_size=50)
+    pairs = {(r.id_a, r.id_b) for r in out.collect()}
+    assert pairs == {(0, i) for i in range(1, 300)}
