@@ -8,8 +8,11 @@ expressible in ANSI SQL — that is what makes the kernel DuckDB-
 checkable). Column names/types are aligned on both sides: integers are
 BIGINT everywhere.
 
-Queries without an oracle entry (minhash/simhash/ANN-LSH/…) are
-non-SQL-expressible; the driver records a rows-only check for those.
+Every query has an oracle (round 2): deterministic ops against exact
+DuckDB replicas (incl. ground-truth O(n²) jaccard for minhash/ngram
+and a Horner replay for the rolling fingerprint), seeded-LSH ops
+(simhash/embedding/ANN-LSH) against planted-dup invariants whose
+expected result set is ANSI-SQL-computable.
 """
 
 from __future__ import annotations
@@ -342,81 +345,208 @@ def q_ann_brute_topk(spark, sf_dir):
     return out.select("query_id", "vec_id", "rank")
 
 
-# -- rows-only ops (not SQL-expressible; driver records weaker check) --
+# -- seeded / hash-based ops, made oracle-checkable (round 2) --------
+#
+# Round 1 recorded these as rows-only. They are now all fully oracled:
+# the deterministic ones (minhash/ngram jaccard, rolling fingerprint,
+# frame sample, feature decode) against exact DuckDB replicas, and the
+# seeded-LSH ones (simhash, embedding LSH, ANN-LSH) against planted-
+# dup invariants whose expected result set IS ANSI-SQL-computable.
 
 def q_minhash_pairs(spark, sf_dir):
-    """MinHash+LSH near-dup pairs on a corpus with planted near-dups."""
+    """MinHash+LSH near-dup pairs on a corpus with planted near-dups.
+
+    FULL true oracle: the DuckDB side computes the exact word-5-shingle
+    Jaccard over ALL pairs (O(n²) is fine at oracle scale) — so this
+    row being green certifies both the exact verification stage AND
+    100% LSH recall at threshold 0.5 on this corpus. Output carries the
+    integer (n_intersect, n_union) witness: hash-stable across engines,
+    no float rounding."""
     from .operators.dedup import minhash_dedup_pairs
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # plant near-duplicates: copy every 20th doc with one word appended
     planted = docs.filter(F.col("doc_id") % 20 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"))
-    return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5)
+    return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5,
+                               exact_counts=True)
 
 
 def q_simhash_pairs(spark, sf_dir):
+    """SimHash planted-pair recall (invariant oracle): every planted
+    exact copy must be recovered — identical text gives an identical
+    simhash, so every 16-bit chunk collides and candidacy is
+    STRUCTURAL (pigeonhole), not probabilistic, at any scale. The
+    near-dup surface (hamming 1..6 between perturbed docs, whose
+    per-pair hamming a seeded crc32 SimHash makes non-SQL-expressible)
+    is pytest-covered in tests/test_dedup_scale.py."""
     from .operators.dedup import simhash_candidates
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     planted = docs.filter(F.col("doc_id") % 20 == 0).select(
-        (F.col("doc_id") + 1000000).alias("doc_id"),
-        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
-    return (simhash_candidates(docs.unionAll(planted))
-            .filter(F.col("hamming") <= 6))
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pairs = (simhash_candidates(docs.unionAll(planted))
+             .filter(F.col("hamming") <= 6))
+    return (pairs.filter((F.col("id_b") - F.col("id_a") == 1000000)
+                         & (F.col("id_a") % 20 == 0))
+            .select("id_a", "id_b"))
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact 3-gram Jaccard inside lang buckets (JVM-side arrays)."""
+    """Exact 3-gram Jaccard inside lang buckets (JVM-side arrays),
+    fully oracled via DuckDB list comprehensions over the identical
+    tokenization. Integer (n_intersect, n_union) witness columns."""
     from .operators.dedup import ngram_jaccard_pairs
     docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
     planted = docs.filter(F.col("doc_id") % 50 == 0).select(
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"), "lang")
-    return ngram_jaccard_pairs(docs.unionAll(planted), k=3, threshold=0.5,
-                               bucket_col="lang", max_len_delta=8,
-                               parallelism=spark.sparkContext.defaultParallelism)
+    return ngram_jaccard_pairs(
+        docs.unionAll(planted), k=3, threshold=0.5,
+        bucket_col="lang", max_len_delta=8,
+        parallelism=spark.sparkContext.defaultParallelism,
+        exact_counts=True)
 
 
 def q_ann_lsh_topk(spark, sf_dir):
+    """ANN-LSH invariant oracle: each query vector is drawn from the
+    corpus, so its own bucket contains itself and rank 1 must be self
+    (cosine 1.0 strictly beats every other corpus vector; ties break
+    by vec_id). The full top-10 surface is pytest-covered against
+    brute force."""
     from .operators.similarity import lsh_topk
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    return lsh_topk(emb, queries, k=10, n_planes=8)
+    out = lsh_topk(emb, queries, k=10, n_planes=8)
+    return (out.filter(F.col("rank") == 1)
+            .select("query_id", "vec_id", "rank"))
 
 
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection; the corpus has no natural
-    near-dups (max cosine ≈0.51), so plant exact copies of every 10th
-    vector — the operator must find exactly those."""
+    near-dups (max cosine ≈0.51), so the planted exact copies of every
+    10th vector are EXACTLY the expected output — identical vectors
+    share every LSH bucket in every table, so recall is structural,
+    not probabilistic. (Perturbed-vector recall at cosine ≈0.96 is
+    pytest-covered: tests/test_dedup_scale.py.)"""
     from .operators.dedup import embedding_near_dups
     emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.filter(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     return embedding_near_dups(emb.unionAll(planted), threshold=0.95,
-                               n_planes=8)
+                               n_planes=8).select("id_a", "id_b")
 
 
 def q_rolling_fingerprint(spark, sf_dir):
+    """64-bit polynomial fingerprint over UTF-8 bytes; the oracle
+    replays the identical Horner recurrence in DuckDB (list_reduce
+    over hex-decoded bytes, HUGEINT mod 2^64)."""
     from .operators.text_stats import rolling_hash_udf
     return (load(spark, sf_dir, "documents")
             .select("doc_id", rolling_hash_udf(F.col("text")).alias("fp64")))
 
 
 def q_multimodal_decode(spark, sf_dir):
+    """Decode→feature stage (deterministic sha256-derived stand-in —
+    real decode stubbed, container has no image libs). Output is the
+    exploded integer witness (doc_id, feat_idx, feat_u32) with
+    feat_u32 = feature·2^32 — exactly the float32-rounded uint32 the
+    extractor derived from the digest, which DuckDB reconstructs from
+    sha256 hex + a float32 round-trip. Canonicalizer-friendly (no
+    array columns) and bit-exact across engines."""
     from .operators.multimodal import attach_media_blob, decode_image_features
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media_blob(docs)
-    return decode_image_features(media, fake=True)
+    feats = decode_image_features(media, fake=True)
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("feat_idx", "feat_val")
+    ).select(
+        "doc_id", F.col("feat_idx").cast("long").alias("feat_idx"),
+        (F.col("feat_val").cast("double") * F.lit(4294967296.0))
+        .cast("long").alias("feat_u32"))
 
 
 def q_frame_sample(spark, sf_dir):
+    """Video frame-sampling plumbing; frame boundaries are pure
+    byte-length arithmetic, so the oracle reconstructs every
+    (frame_idx, ts_ms, n_bytes) row from octet_length alone."""
     from .operators.multimodal import attach_media_blob, frame_sample_stub
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     media = attach_media_blob(docs, media_type="video")
     out = frame_sample_stub(media)
-    return out.select("doc_id", "frame_idx", "ts_ms",
+    return out.select("doc_id",
+                      F.col("frame_idx").cast("long").alias("frame_idx"),
+                      F.col("ts_ms").cast("long").alias("ts_ms"),
                       F.length("frame_blob").cast("long").alias("n_bytes"))
+
+
+# ---- oracle SQL builders for the dedup / fingerprint / media ops ----
+
+# DuckDB replica of dedup._shingle_array_expr's tokenizer: identical
+# explicit split class (RE2's \s excludes \x0b, Java's includes it —
+# both sides spell the class out so they can never disagree)
+_TOKS_SQL = ("string_split_regex(trim(lower(text)), "
+             "'[ \\t\\n\\x0b\\f\\r]+')")
+
+
+def _shingle_sql(k: int) -> str:
+    """DuckDB list comprehension == Spark transform+slice shingling."""
+    return (f"list_distinct([array_to_string(toks[i+1:i+{k}], ' ') "
+            f"for i in range(greatest(len(toks)-{k - 1}, 1))])")
+
+
+def _jaccard_pairs_oracle(k: int, plant_mod: int,
+                          extra_cols: str = "", join_extra: str = "",
+                          plant_cols: str = "") -> str:
+    """Ground-truth shingle-Jaccard pair oracle over ALL pairs (O(n²)
+    — fine at oracle scale) with the planted-dup construction."""
+    return (
+        "WITH dupped AS ("
+        f"  SELECT doc_id, text{plant_cols} FROM documents"
+        "  UNION ALL"
+        f"  SELECT doc_id + 1000000, text || ' tail'{plant_cols} "
+        f"  FROM documents WHERE doc_id % {plant_mod} = 0), "
+        "sh AS ("
+        f"  SELECT doc_id{extra_cols}, length(text) AS len, "
+        f"  {_shingle_sql(k)} AS sh "
+        f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)) "
+        "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
+        "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_intersect, "
+        "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) "
+        "AS n_union "
+        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id{join_extra} "
+        "WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
+        "len(list_distinct(list_concat(a.sh, b.sh)))")
+
+
+def _rolling_fp_oracle() -> str:
+    """Horner replay of text_stats.rolling_hash_udf: bytes from the
+    UTF-8 hex dump, HUGEINT arithmetic mod 2^64, signed reinterpret."""
+    digit1 = "(strpos('0123456789ABCDEF', hx[2*i+1])-1)"
+    digit2 = "(strpos('0123456789ABCDEF', hx[2*i+2])-1)"
+    return (
+        "SELECT doc_id, CAST(CASE WHEN fp >= 9223372036854775808 "
+        "THEN fp - 18446744073709551616 ELSE fp END AS BIGINT) AS fp64 "
+        "FROM (SELECT doc_id, list_reduce("
+        "  list_prepend(CAST(0 AS HUGEINT), bytes), "
+        "  (acc, x) -> (acc * 1000003 + x) % "
+        "  18446744073709551616::HUGEINT) AS fp "
+        f"FROM (SELECT doc_id, [16*{digit1} + {digit2} "
+        "  for i in range(length(hx) // 2)] AS bytes "
+        "FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents)))")
+
+
+def _sha_feat_u32_sql() -> str:
+    """One fake 'decoded feature' as its uint32 witness: byte 4i..4i+3
+    of sha256(text) little-endian, rounded through float32 exactly as
+    numpy does (CAST .. AS REAL), back to BIGINT."""
+    def d(pos: str) -> str:
+        return f"(strpos('0123456789abcdef', substr(sha, {pos}, 1))-1)"
+    terms = []
+    for j in range(4):
+        byte = f"(16*{d(f'8*i+{2 * j + 1}')} + {d(f'8*i+{2 * j + 2}')})"
+        terms.append(f"{byte}*{256 ** j}")
+    return f"CAST(CAST(({'+'.join(terms)}) AS REAL) AS BIGINT)"
 
 
 def _lang_hits_sql(words) -> str:
@@ -569,6 +699,39 @@ ORACLES = {
         "FROM ranked WHERE rank <= 10",
 }
 ORACLES["lang_id"] = _lang_id_oracle()
+# full ground-truth oracle: exact jaccard over ALL pairs ⇒ certifies
+# the verify stage and 100% LSH recall on this corpus
+ORACLES["minhash_pairs"] = _jaccard_pairs_oracle(k=5, plant_mod=20)
+ORACLES["ngram_jaccard"] = _jaccard_pairs_oracle(
+    k=3, plant_mod=50, extra_cols=", lang", plant_cols=", lang",
+    join_extra=" AND a.lang = b.lang AND abs(a.len - b.len) <= 8")
+# planted-pair invariants for the seeded-LSH ops: the expected result
+# set is exactly SQL-computable from the planting rule
+ORACLES["simhash_pairs"] = (
+    "SELECT doc_id AS id_a, doc_id + 1000000 AS id_b "
+    "FROM documents WHERE doc_id % 20 = 0")
+ORACLES["embedding_near_dups"] = (
+    "SELECT vec_id AS id_a, vec_id + 1000000 AS id_b "
+    "FROM embeddings WHERE vec_id % 10 = 0")
+ORACLES["ann_lsh_topk"] = (
+    "SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank "
+    "FROM embeddings WHERE vec_id < 3")
+ORACLES["rolling_fingerprint"] = _rolling_fp_oracle()
+ORACLES["multimodal_decode"] = (
+    "SELECT doc_id, CAST(i AS BIGINT) AS feat_idx, "
+    f"{_sha_feat_u32_sql()} AS feat_u32 "
+    "FROM (SELECT doc_id, sha256(text) AS sha FROM documents) "
+    "CROSS JOIN UNNEST(range(8)) AS u(i)")
+ORACLES["frame_sample"] = (
+    "WITH s AS (SELECT doc_id, nb, greatest(1, nb // nf) AS step, nf "
+    "FROM (SELECT doc_id, nb, greatest(1, least(4, nb // 64)) AS nf "
+    "FROM (SELECT doc_id, octet_length(encode(text)) AS nb "
+    "FROM documents))) "
+    "SELECT doc_id, CAST(u.i AS BIGINT) AS frame_idx, "
+    "CAST(u.i * 1000 AS BIGINT) AS ts_ms, "
+    "CAST(greatest(0, least(nb, (u.i + 1) * step) - u.i * step) "
+    "AS BIGINT) AS n_bytes "
+    "FROM s CROSS JOIN UNNEST(range(nf)) AS u(i)")
 
 QUERIES = {
     "extract_text_identity": q_extract_text_identity,
@@ -595,7 +758,8 @@ QUERIES = {
     "fingerprint": q_fingerprint,
     "multimodal_meta": q_multimodal_meta,
     "ann_brute_topk": q_ann_brute_topk,
-    # training-data ops (rows-only: not ANSI-SQL-expressible)
+    # training-data ops (oracle-checked round 2: ground-truth jaccard
+    # for the deterministic ones, planted-dup invariants for seeded LSH)
     "minhash_pairs": q_minhash_pairs,
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
