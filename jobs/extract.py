@@ -59,6 +59,10 @@ def main(argv=None) -> int:
                     help="ignore existing manifest (reprocess everything)")
     ap.add_argument("--no-raw", action="store_true",
                     help="skip raw_html serialization")
+    ap.add_argument("--order-impl", default="window",
+                    choices=["window", "two_phase"],
+                    help="turn_seq strategy: 'two_phase' is the "
+                         "mega-conversation-safe distributed rank")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic turns instead of --input")
     ap.add_argument("--run-id", default=None)
@@ -97,7 +101,8 @@ def main(argv=None) -> int:
         spark, df, args.output, args.checkpoint,
         n_buckets=args.buckets, run_id=run_id,
         extract_kwargs={"include_raw": not args.no_raw,
-                        "num_partitions": args.partitions})
+                        "num_partitions": args.partitions,
+                        "order_impl": args.order_impl})
     wall = time.time() - t0
     n_rows = sum(r.n_rows for r in lineage)
     print(f"extract: run_id={run_id} buckets_done={len(lineage)} "
