@@ -40,7 +40,7 @@ __all__ = [
 # ------------------------------------------------------------------ #
 
 def cap_buckets(bucketed: DataFrame, keys: list[str],
-                max_bucket_size: int):
+                max_bucket_size: int, cache: bool = True):
     """Split an LSH bucket frame into (ok, oversize) by bucket size.
 
     The LSH self-join is quadratic WITHIN a bucket; real corpora have
@@ -52,9 +52,15 @@ def cap_buckets(bucketed: DataFrame, keys: list[str],
     the usual cause of a hot bucket — still come out connected).
 
     The size count is a window over the bucket keys — one exchange
-    that the subsequent self-join re-uses (same partitioning)."""
+    that the subsequent self-join re-uses (same partitioning). The
+    sized frame is cached by default: both returned branches (and the
+    self-join's two scans of ``ok``) read it, so the window runs once,
+    not four times. Keep ``bucketed`` narrow — keys + id only — so the
+    cache and the exchange never carry signatures or payloads."""
     w = Window.partitionBy(*keys)
     sized = bucketed.withColumn("_bsz", F.count("*").over(w))
+    if cache:
+        sized = sized.cache()
     ok = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
     oversize = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
     return ok, oversize
@@ -192,7 +198,11 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         parallelism = df.sparkSession.sparkContext.defaultParallelism
     if parallelism:
         src = src.repartition(parallelism, F.col(id_col))
-    sig = src.select(F.col(id_col), udf(F.col(text_col)).alias("sig"))
+    # signature frame cached ONCE (the UDF is the CPU-bound stage:
+    # banding, the self-join sides, and the star fallback all derive
+    # from it without re-running Python)
+    sig = src.select(F.col(id_col), udf(F.col(text_col)).alias("sig")) \
+             .cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band_id"),
@@ -201,12 +211,11 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
         )
         for b in range(bands)
     ]
-    banded = sig.select(id_col, "sig",
-                        F.explode(F.array(*band_cols)).alias("bk")) \
-                .select(id_col, "sig", "bk.band_id", "bk.band_hash")
-    # the self-join would otherwise run the signature UDF once PER SIDE;
-    # signatures are tiny (ids + hashes) — cache them
-    banded = banded.cache()
+    # banded stays NARROW — (id, band_id, band_hash), no signature
+    # payload — so the cap window's exchange and the self-join move
+    # 24 bytes per band-row, not the 64-hash array
+    banded = sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk")) \
+                .select(id_col, "bk.band_id", "bk.band_hash")
     ok, oversize = cap_buckets(banded, ["band_id", "band_hash"],
                                max_bucket_size)
     a = ok.alias("a")
@@ -216,9 +225,9 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b")))
-    star = _star_pairs(
-        oversize.select(id_col, "sig").distinct(),
-        F.xxhash64(F.col("sig")), id_col)
+    over_ids = oversize.select(id_col).distinct()
+    star = _star_pairs(sig.join(over_ids, id_col, "left_semi"),
+                       F.xxhash64(F.col("sig")), id_col)
     return quad.unionAll(star).distinct()
 
 
@@ -238,9 +247,12 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     verify shuffle. With ``exact_counts`` the output carries the
     integer (n_intersect, n_union) instead of a rounded float — the
     cross-engine-hash-stable form the oracle checks."""
+    # cached: the candidate plan (UDF + self-join) feeds three
+    # consumers below (two id projections + the verify join) — without
+    # the cache it would execute three times
     cand = minhash_candidates(df, text_col, id_col, num_perm, bands,
                               shingle_k, parallelism=parallelism,
-                              max_bucket_size=max_bucket_size)
+                              max_bucket_size=max_bucket_size).cache()
     ids = (cand.select(F.col("id_a").alias(id_col))
            .unionAll(cand.select(F.col("id_b").alias(id_col)))
            .distinct())
@@ -489,9 +501,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                                      seed=seed)
     base = df.select(F.col(id_col), F.col(vec_col).alias("v"),
                      buckets(F.col(vec_col)).alias("bks")).cache()
+    # bucket frames stay NARROW (id + keys, no vectors): the cap
+    # windows and the candidate join never move embedding payloads
     tbl = base.select(
-        id_col, "v",
-        F.posexplode("bks").alias("table_id", "bk"))
+        id_col, F.posexplode("bks").alias("table_id", "bk"))
     if probe_bits >= 1:
         probes = F.array(F.col("bk"), *[
             F.col("bk").bitwiseXOR(F.lit(1 << i))
@@ -500,11 +513,10 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
         probes = F.array(F.col("bk"))
     probe = tbl.select(id_col, "table_id",
                        F.explode(probes).alias("pbk"))
-    a_ok, a_over = cap_buckets(tbl.select(id_col, "v", "table_id", "bk"),
-                               ["table_id", "bk"], max_bucket_size)
+    a_ok, a_over = cap_buckets(tbl, ["table_id", "bk"], max_bucket_size)
     p_ok, p_over = cap_buckets(probe, ["table_id", "pbk"],
                                max_bucket_size)
-    cand = (a_ok.alias("a")
+    quad = (a_ok.alias("a")
             .join(p_ok.alias("b"),
                   (F.col("a.table_id") == F.col("b.table_id"))
                   & (F.col("a.bk") == F.col("b.pbk"))
@@ -519,7 +531,8 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
         base.join(over_ids, id_col, "left_semi")
         .select(id_col, "v").distinct(),
         F.xxhash64(F.col("v")), id_col)
-    cand = cand.unionAll(star).distinct()
+    # cached: candidates feed the two id projections + the verify join
+    cand = quad.unionAll(star).distinct().cache()
     # exact cosine verify: vectors only for involved ids
     ids = (cand.select(F.col("id_a").alias(id_col))
            .unionAll(cand.select(F.col("id_b").alias(id_col))).distinct())
