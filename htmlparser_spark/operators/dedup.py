@@ -31,8 +31,60 @@ __all__ = [
     "minhash_signature_udf", "minhash_candidates", "minhash_dedup_pairs",
     "simhash_udf", "simhash_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
-    "cap_buckets", "bucket_stats",
+    "cap_buckets", "bucket_stats", "connected_components",
 ]
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """Near-dup pair set → dedup clusters: (node, component) where
+    component = the minimum node id of the connected component. The
+    step every dedup pipeline needs between "pairs found" and "keep
+    one per group", since near-dup relations are not transitive but
+    the KEEP decision must be.
+
+    Algorithm: iterative min-label propagation WITH pointer jumping —
+    each round every node takes the min label over itself and its
+    neighbors, then labels are shortcut through their own parents
+    (label(u) ← label(label(u))), giving O(log n) rounds even on long
+    chains instead of O(diameter). Each round is two hash-partitioned
+    joins + one map-side-combined min aggregate — no collect, no
+    per-node state on the driver. localCheckpoint truncates the plan
+    each round so the lineage can't grow unboundedly.
+
+    The driver-side loop runs one small action per round (a count of
+    changed labels); rounds are log-bounded, so at 10^10 edges this is
+    ~30 bounded jobs, the standard Spark CC shape (cf. the public
+    large-star/small-star literature)."""
+    e = (pairs.select(F.col(id_a).cast("long").alias("u"),
+                      F.col(id_b).cast("long").alias("v"))
+         .filter(F.col("u") != F.col("v")))
+    sym = e.unionAll(e.select(F.col("v").alias("u"),
+                              F.col("u").alias("v"))).distinct() \
+        .localCheckpoint()
+    comp = sym.select("u").distinct() \
+        .select("u", F.col("u").alias("c")).localCheckpoint()
+    for _ in range(max_iterations):
+        # min label over the neighborhood
+        nbr = (sym.join(comp.withColumnRenamed("u", "v"), "v")
+               .groupBy("u").agg(F.min("c").alias("nc")))
+        stepped = (comp.join(nbr, "u", "left")
+                   .select("u", F.least("c", F.coalesce("nc", "c"))
+                           .alias("c")))
+        # pointer jump: c(u) <- c(c(u))
+        parent = stepped.select(F.col("u").alias("c"),
+                                F.col("c").alias("cc"))
+        jumped = (stepped.join(parent, "c", "left")
+                  .select("u", F.coalesce("cc", "c").alias("c2")))
+        changed = (jumped.join(comp, "u")
+                   .filter(F.col("c2") != F.col("c")).limit(1).count())
+        comp = jumped.select("u", F.col("c2").alias("c")) \
+            .localCheckpoint()
+        if changed == 0:
+            break
+    return comp.select(F.col("u").alias("node"),
+                       F.col("c").alias("component"))
 
 
 # ------------------------------------------------------------------ #

@@ -25,10 +25,35 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = [
     "token_count_col", "with_token_count",
+    "bpe_token_count_col", "with_bpe_token_count", "BPE_ISH_RE",
     "quality_counts", "quality_score_col",
     "lang_id_col", "with_lang_id",
     "fingerprint_md5_col", "rolling_hash_udf",
 ]
+
+# GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
+# whitespace class written out so Java regex (Spark) and RE2 (DuckDB)
+# agree byte-for-byte: contractions, space-prefixed letter runs,
+# space-prefixed digit runs, space-prefixed punctuation runs. Pieces
+# are counted by non-overlapping leftmost-first scan — whitespace
+# between pieces is simply never part of a match.
+BPE_ISH_RE = (r"'s|'t|'re|'ve|'m|'ll|'d"
+              r"| ?[A-Za-z]+| ?[0-9]+"
+              r"| ?[^A-Za-z0-9 \t\n\f\r\x0b]+")
+
+
+def bpe_token_count_col(text: Column) -> Column:
+    """BPE-ish token count (GPT-2-style pre-tokenization pieces): the
+    standard cheap proxy for LLM token cost — a whole-stage-codegen
+    regexp_count, no Python. A letter run counts 1 here where a real
+    BPE would split rare words further, so this lower-bounds true BPE
+    counts but correlates tightly at corpus scale."""
+    return F.regexp_count(text, F.lit(BPE_ISH_RE)).cast("long")
+
+
+def with_bpe_token_count(df: DataFrame, text_col: str = "text",
+                         out: str = "n_bpe_tokens") -> DataFrame:
+    return df.withColumn(out, bpe_token_count_col(F.col(text_col)))
 
 
 def token_count_col(text: Column) -> Column:

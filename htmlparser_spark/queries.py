@@ -307,6 +307,15 @@ def q_token_count(spark, sf_dir):
     ).select("doc_id", "n_tokens")
 
 
+def q_bpe_token_count(spark, sf_dir):
+    """GPT-2-style pre-tokenizer piece count (LLM token-cost proxy) —
+    pure codegen regexp_count, oracled by the identical RE2 pattern."""
+    from .operators.text_stats import with_bpe_token_count
+    return with_bpe_token_count(
+        load(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "n_bpe_tokens")
+
+
 def q_quality_counts(spark, sf_dir):
     from .operators.text_stats import quality_counts
     return quality_counts(
@@ -422,6 +431,19 @@ def q_ann_lsh_topk(spark, sf_dir):
             .select("query_id", "vec_id", "rank"))
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF ANN invariant oracle (same shape as ann_lsh_topk): the
+    query's best probe cell is its own corpus cell, so rank 1 must be
+    self. Recall@10 vs brute force is pytest-covered."""
+    from .operators.similarity import ivf_topk
+    emb = load(spark, sf_dir, "embeddings")
+    queries = (emb.filter(F.col("vec_id") < 3)
+               .select(F.col("vec_id").alias("query_id"), "embedding"))
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    return (out.filter(F.col("rank") == 1)
+            .select("query_id", "vec_id", "rank"))
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-dup detection; the corpus has no natural
     near-dups (max cosine ≈0.51), so the planted exact copies of every
@@ -435,6 +457,23 @@ def q_embedding_near_dups(spark, sf_dir):
         (F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
     return embedding_near_dups(emb.unionAll(planted), threshold=0.95,
                                n_planes=8).select("id_a", "id_b")
+
+
+def q_dup_components(spark, sf_dir):
+    """Connected components over a chained near-dup edge list (the
+    pairs→clusters step of dedup). Every tenth doc spawns the 4-node
+    chain i — i+10⁶ — 2·10⁶+i — 3·10⁶+i; the operator must merge the
+    chain TRANSITIVELY (multi-round label propagation), since no
+    direct (i, 3·10⁶+i) edge exists. Component id = min node id, so
+    the full expected mapping is one SQL expression."""
+    from .operators.dedup import connected_components
+    docs = (load(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 10 == 0).select("doc_id"))
+    hop = F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("hop")
+    edges = docs.select("doc_id", hop).select(
+        (F.col("doc_id") + F.col("hop") * 1000000).alias("id_a"),
+        (F.col("doc_id") + (F.col("hop") + 1) * 1000000).alias("id_b"))
+    return connected_components(edges)
 
 
 def q_rolling_fingerprint(spark, sf_dir):
@@ -716,6 +755,21 @@ ORACLES["embedding_near_dups"] = (
 ORACLES["ann_lsh_topk"] = (
     "SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank "
     "FROM embeddings WHERE vec_id < 3")
+ORACLES["ann_ivf_topk"] = (
+    "SELECT vec_id AS query_id, vec_id, CAST(1 AS BIGINT) AS rank "
+    "FROM embeddings WHERE vec_id < 3")
+def _bpe_oracle() -> str:
+    from .operators.text_stats import BPE_ISH_RE
+    pat = BPE_ISH_RE.replace("'", "''")
+    return (f"SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            f"'{pat}')) AS BIGINT) AS n_bpe_tokens FROM documents")
+
+
+ORACLES["bpe_token_count"] = _bpe_oracle()
+ORACLES["dup_components"] = (
+    "SELECT doc_id + 1000000 * u.k AS node, doc_id AS component "
+    "FROM documents CROSS JOIN UNNEST(range(4)) AS u(k) "
+    "WHERE doc_id % 10 = 0")
 ORACLES["rolling_fingerprint"] = _rolling_fp_oracle()
 ORACLES["multimodal_decode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS feat_idx, "
@@ -753,6 +807,7 @@ QUERIES = {
     # training-data ops (oracle-checked)
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
+    "bpe_token_count": q_bpe_token_count,
     "quality_counts": q_quality_counts,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,
@@ -764,7 +819,9 @@ QUERIES = {
     "simhash_pairs": q_simhash_pairs,
     "ngram_jaccard": q_ngram_jaccard,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
+    "dup_components": q_dup_components,
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,

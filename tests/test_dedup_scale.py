@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from htmlparser_spark.operators.dedup import (
     bucket_stats,
     cap_buckets,
+    connected_components,
     embedding_near_dups,
     minhash_candidates,
     minhash_dedup_pairs,
@@ -220,6 +221,100 @@ def test_brute_force_topk_plan_shape(spark):
     # tree prints parents first: the window must sit ABOVE the
     # partial-topk python stage
     assert plan.index("Window") < plan.index("MapInPandas")
+
+
+def _py_components(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # normalize every node's component to the MIN id of its component
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    out = {}
+    for root, members in comp.items():
+        m = min(members)
+        for x in members:
+            out[x] = m
+    return out
+
+
+def test_connected_components_random_graph(spark):
+    """CC over a random pair set equals a Python union-find, including
+    long chains (pointer jumping must shortcut them)."""
+    rng = np.random.RandomState(11)
+    edges = set()
+    # random clusters
+    for _ in range(300):
+        a, b = rng.randint(0, 400, size=2)
+        if a != b:
+            edges.add((int(a), int(b)))
+    # one 60-node chain (diameter stress)
+    edges |= {(1000 + i, 1001 + i) for i in range(60)}
+    df = spark.createDataFrame(sorted(edges), "id_a long, id_b long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    assert got == _py_components(edges)
+
+
+def test_connected_components_on_minhash_pairs(spark):
+    """End-to-end: near-dup pairs → dedup clusters. Chained planting
+    (A≈B, B≈C) must merge transitively even when (A, C) was never
+    emitted as a pair."""
+    rng = np.random.RandomState(5)
+    # per-doc random vocabulary → base docs are NOT near-dups of each
+    # other; only the planted chains are
+    base = [(i, " ".join(f"w{rng.randint(0, 100000)}" for _ in range(16)))
+            for i in range(20)]
+    chain1 = [(100 + i, t + " tail") for i, t in base]
+    chain2 = [(200 + i, t + " tail more") for i, t in base]
+    df = spark.createDataFrame(base + chain1 + chain2,
+                               "doc_id long, text string")
+    pairs = minhash_dedup_pairs(df, threshold=0.5, shingle_k=5,
+                                parallelism=4)
+    comp = {r.node: r.component
+            for r in connected_components(pairs).collect()}
+    for i in range(20):
+        assert comp.get(100 + i) == i, (i, comp.get(100 + i))
+        assert comp.get(200 + i) == i, (i, comp.get(200 + i))
+
+
+def test_ivf_topk_self_and_recall(spark):
+    """IVF: rank-1 is always self for corpus-drawn queries
+    (structural: the query's best probe cell IS its own cell), and
+    recall@10 vs brute force is high at n_probe=4/16 cells."""
+    from htmlparser_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.RandomState(19)
+    n, d, k = 500, 32, 10
+    M = rng.randn(n, d)
+    corpus = spark.createDataFrame(
+        [(i, M[i].astype(np.float32).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    ivf = ivf_topk(corpus, queries, k=k, n_centroids=16, n_probe=4)
+    rows = ivf.collect()
+    self_rank1 = {r.query_id: r.vec_id for r in rows if r.rank == 1}
+    assert self_rank1 == {q: q for q in range(8)}
+    brute = brute_force_topk(corpus, queries, k=k)
+    bset = {(r.query_id, r.vec_id) for r in brute.collect()}
+    iset = {(r.query_id, r.vec_id) for r in rows}
+    recall = len(bset & iset) / len(bset)
+    # deterministic with the fixed seeds; comfortably above the bound
+    assert recall >= 0.5, recall
 
 
 def test_embedding_hot_bucket_star_pairs(spark):
