@@ -337,6 +337,23 @@ def q_fingerprint(spark, sf_dir):
             .select("doc_id", fingerprint_md5_col(F.col("text")).alias("fp")))
 
 
+def q_corpus_curation(spark, sf_dir):
+    """The composed curation pass (quality gates → exact dedup
+    keep-one) with duplicates planted so keep-one has real work; all
+    gates are integer arithmetic, so the whole pipeline is exactly
+    SQL-reproducible."""
+    from .operators.curate import curate_corpus
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    dupped = docs.unionAll(
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text",
+                "lang"))
+    out = curate_corpus(dupped, lang="en", min_tokens=5,
+                        min_alpha_pct=30)
+    return out.select("doc_id",
+                      F.length("text").cast("long").alias("n_chars"))
+
+
 def q_multimodal_meta(spark, sf_dir):
     from .operators.multimodal import attach_media_blob, media_metadata
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
@@ -766,6 +783,22 @@ def _bpe_oracle() -> str:
 
 
 ORACLES["bpe_token_count"] = _bpe_oracle()
+ORACLES["corpus_curation"] = (
+    "WITH dupped AS ("
+    "  SELECT doc_id, text, lang FROM documents"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000, text, lang FROM documents "
+    "  WHERE doc_id % 7 = 0), "
+    "gated AS ("
+    "  SELECT doc_id, text FROM dupped WHERE lang = 'en' "
+    "  AND (CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "  len(string_split_regex(trim(text), '\\s+')) END) >= 5 "
+    "  AND (length(text) - length(regexp_replace(text, '[A-Za-z]', "
+    "  '', 'g'))) * 100 >= length(text) * 30) "
+    "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM ("
+    "  SELECT doc_id, text, row_number() OVER ("
+    "    PARTITION BY text ORDER BY doc_id) AS rn FROM gated) "
+    "WHERE rn = 1")
 ORACLES["dup_components"] = (
     "SELECT doc_id + 1000000 * u.k AS node, doc_id AS component "
     "FROM documents CROSS JOIN UNNEST(range(4)) AS u(k) "
@@ -808,6 +841,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "token_count": q_token_count,
     "bpe_token_count": q_bpe_token_count,
+    "corpus_curation": q_corpus_curation,
     "quality_counts": q_quality_counts,
     "lang_id": q_lang_id,
     "fingerprint": q_fingerprint,

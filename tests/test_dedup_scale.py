@@ -317,6 +317,33 @@ def test_ivf_topk_self_and_recall(spark):
     assert recall >= 0.5, recall
 
 
+def test_curate_corpus_near_dedup_keep_one(spark):
+    """Full curation with near-dedup: quality gates drop junk, exact
+    dedup keeps min id, near-dup components collapse to one survivor."""
+    from htmlparser_spark.operators.curate import curate_corpus
+
+    rng = np.random.RandomState(23)
+
+    def word():
+        return "".join(chr(97 + rng.randint(0, 26)) for _ in range(6))
+
+    base = [(i, " ".join(word() for _ in range(16)), "en")
+            for i in range(20)]
+    near = [(100 + i, t + " tail", lg) for i, t, lg in base]
+    exact = [(300 + i, t, lg) for i, t, lg in base]
+    junk = [(900, "!!! 123 ???", "en"),       # fails alpha gate
+            (901, "one two", "en"),           # fails min_tokens
+            (902, base[0][1], "de")]          # fails lang gate
+    df = spark.createDataFrame(base + near + exact + junk,
+                               "doc_id long, text string, lang string")
+    out = curate_corpus(df, lang="en", min_tokens=5, min_alpha_pct=30,
+                        near_dedup=True, minhash_threshold=0.5)
+    got = sorted(r.doc_id for r in out.collect())
+    # exact copies (300+i) die in exact keep-one; near copies (100+i)
+    # die in the components pass; junk dies at the gates
+    assert got == list(range(20))
+
+
 def test_embedding_hot_bucket_star_pairs(spark):
     """Identical vectors flooding one bucket: capped, star-paired."""
     v = [float(x) for x in range(8)]
