@@ -60,6 +60,41 @@ def test_pipeline_has_no_row_python_udf(spark, docs):
     assert "MapInPandas" in explain_string(df, "extended")
 
 
+def test_dedup_pipeline_plan_hygiene(spark, docs):
+    """The minhash pipeline: parquet scan pruned to (doc_id, text),
+    no row-at-a-time Python UDF anywhere (pandas/Arrow only)."""
+    from htmlparser_spark.operators.dedup import minhash_dedup_pairs
+
+    out = minhash_dedup_pairs(docs.select("doc_id", "text"),
+                              threshold=0.5)
+    assert_read_schema_only(out, ["doc_id", "text"])
+    assert_no_python_row_udf(out)
+
+
+def test_curation_gates_reach_scan(spark, docs):
+    """Curation's language gate pushes to the parquet scan; the scan
+    reads only the needed columns."""
+    from htmlparser_spark.operators.curate import curate_corpus
+
+    out = curate_corpus(docs.select("doc_id", "text", "lang"),
+                        lang="en", min_tokens=5)
+    assert_pushed_filter(out, "lang")
+    assert_read_schema_only(out, ["doc_id", "text", "lang"])
+    assert_no_python_row_udf(out)
+
+
+def test_ivf_broadcasts_query_side(spark):
+    """IVF candidate join broadcasts the (tiny) probe side — the
+    corpus is never shuffled for candidate generation."""
+    from htmlparser_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    plan = explain_string(ivf_topk(emb, queries, k=5))
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
 def test_relational_ops_stay_in_codegen(spark):
     """Post-kernel relational work (filter/agg) compiles to
     WholeStageCodegen spans. (Plan built with AQE off: an unexecuted
