@@ -25,10 +25,42 @@ import random
 from typing import List, Tuple
 
 __all__ = ["generate_rows", "generate_pandas", "generate_spark_df",
-           "generate_distributed", "TRANSCRIPTS_SCHEMA_DDL"]
+           "generate_distributed", "TRANSCRIPTS_SCHEMA_DDL",
+           "read_transcripts"]
 
 TRANSCRIPTS_SCHEMA_DDL = ("conv_id string, turn_idx int, role string, "
                           "text string, tool string, ts timestamp")
+
+
+def read_transcripts(spark, path: str, fmt: str = "parquet"):
+    """Schema-enforced transcripts reader for every supported source.
+
+    - parquet/iceberg: native schema; iceberg needs the runtime jar on
+      the cluster (sandbox has none — path is test-gated).
+    - json/csv: the explicit transcripts schema is IMPOSED (never
+      inferred — schema inference is a full extra pass over 100 TB and
+      can drift run-to-run); csv reads headered files.
+
+    Returns columns in the canonical order of TRANSCRIPTS_SCHEMA_DDL
+    regardless of the file layout."""
+    if fmt in ("parquet", "iceberg"):
+        reader = spark.read.format(fmt)
+    elif fmt == "json":
+        reader = spark.read.schema(TRANSCRIPTS_SCHEMA_DDL).format("json")
+    elif fmt == "csv":
+        # nullValue pinned to the classic \N sentinel so an EMPTY
+        # field round-trips as '' (Spark's default maps empty to
+        # null, silently changing tool='' rows)
+        reader = (spark.read.schema(TRANSCRIPTS_SCHEMA_DDL)
+                  .option("header", "true")
+                  .option("multiLine", "true")
+                  .option("nullValue", "\\N")
+                  .option("escape", '"').format("csv"))
+    else:
+        raise ValueError(f"unsupported transcripts format: {fmt!r}")
+    df = reader.load(path)
+    cols = [c.split(" ")[0] for c in TRANSCRIPTS_SCHEMA_DDL.split(", ")]
+    return df.select(*cols)
 
 _ROLES = ("user", "assistant", "tool")
 _TOOLS = ("", "search", "python", "browser")

@@ -105,6 +105,33 @@ def test_checkpoint_empty_input_first_run(spark, tmp_path):
     assert sum(r.n_rows for r in l1) == 20
 
 
+def test_read_transcripts_json_csv_parquet(spark, tmp_path):
+    """Every batch source format yields the same rows with the imposed
+    schema (no inference pass) and canonical column order."""
+    from htmlparser_spark.sources.transcripts import read_transcripts
+
+    df = generate_spark_df(spark, n_convs=5, n_turns=40, seed=9,
+                          mega_text=False)
+    p_parq, p_json, p_csv = (str(tmp_path / n) for n in
+                             ("t.parquet", "t.json", "t.csv"))
+    df.write.parquet(p_parq)
+    df.write.json(p_json)
+    df.write.option("header", "true").option("escape", '"').csv(p_csv)
+
+    def key_rows(d):
+        return sorted((r.conv_id, r.turn_idx, r.role, r.text, r.tool)
+                      for r in d.collect())
+
+    exp = key_rows(df)
+    for fmt, path in (("parquet", p_parq), ("json", p_json),
+                      ("csv", p_csv)):
+        back = read_transcripts(spark, path, fmt)
+        assert back.columns == ["conv_id", "turn_idx", "role", "text",
+                                "tool", "ts"], fmt
+        assert back.schema["turn_idx"].dataType.typeName() == "integer"
+        assert key_rows(back) == exp, fmt
+
+
 def test_two_phase_ordering_equals_window(spark):
     """order_turns_scalable must reproduce the plain window's turn_seq
     exactly (unique turn_idx per conv), across many range buckets."""
