@@ -113,6 +113,10 @@ def main() -> int:
         ("ngram_jaccard", Q.q_ngram_jaccard),
         ("ann_brute_topk", Q.q_ann_brute_topk),
         ("ann_lsh_topk", Q.q_ann_lsh_topk),
+        ("ann_ivf_topk", Q.q_ann_ivf_topk),
+        ("dup_components", Q.q_dup_components),
+        ("corpus_curation", Q.q_corpus_curation),
+        ("bpe_token_count", Q.q_bpe_token_count),
         ("token_quality_lang",
          lambda s, d: Q.q_quality_counts(s, d).join(
              Q.q_lang_id(s, d), "doc_id")),
