@@ -114,7 +114,10 @@ def _scan_value(s: str, i: int, n: int, attrs: dict, k: str) -> Tuple[int, int]:
         j = s.find(c, i + 1)
         if j < 0:
             return 0, n
-        attrs[k] = attrs.get(k, "") + s[i + 1:j].translate(NUL_TABLE)
+        v = s[i + 1:j]
+        if "\x00" in v:
+            v = v.translate(NUL_TABLE)
+        attrs[k] = attrs.get(k, "") + v
         # after_attribute_value_quoted (html.cpp:871-883)
         j += 1
         if j >= n:
@@ -138,7 +141,10 @@ def _scan_value(s: str, i: int, n: int, attrs: dict, k: str) -> Tuple[int, int]:
     m2 = RE_UNQUOTED_END.search(s, i)
     if m2 is None:
         return 0, n
-    attrs[k] = attrs.get(k, "") + s[i:m2.start()].translate(NUL_TABLE)
+    v = s[i:m2.start()]
+    if "\x00" in v:
+        v = v.translate(NUL_TABLE)
+    attrs[k] = attrs.get(k, "") + v
     j = m2.start()
     if s[j] == ">":
         return 2, j + 1
@@ -155,7 +161,9 @@ def _scan_tag(s: str, i: int, n: int):
     m = RE_NAME_END.search(s, i)
     if m is None:
         return None
-    name = s[i:m.start()].translate(LOWER_NUL_TABLE)
+    name = s[i:m.start()]
+    if not (name.islower() and "\x00" not in name):
+        name = name.translate(LOWER_NUL_TABLE)
     i = m.start()
     c = s[i]
     attrs: dict = {}
@@ -215,7 +223,10 @@ def _scan_attrs(s: str, i: int, n: int, attrs: dict):
         m2 = RE_ATTRNAME_END.search(s, i)
         if m2 is None:
             return False, n, False
-        k += s[i:m2.start()].translate(LOWER_NUL_TABLE)
+        an = s[i:m2.start()]
+        if not (an.islower() and "\x00" not in an):
+            an = an.translate(LOWER_NUL_TABLE)
+        k += an
         i = m2.start()
         c = s[i]
         if c == "=":
@@ -281,9 +292,11 @@ def _scan_comment(s: str, i: int, n: int):
             continue
         j = s.find("-", i)
         if j < 0:
-            parts.append(s[i:].translate(tr))
+            seg = s[i:]
+            parts.append(seg.translate(tr) if "\x00" in seg else seg)
             return "".join(parts), n, False
-        parts.append(s[i:j].translate(tr))
+        seg = s[i:j]
+        parts.append(seg.translate(tr) if "\x00" in seg else seg)
         # comment_end_dash at j+1
         if j + 1 >= n:
             return "".join(parts), n, False  # trailing '-' dropped at EOF
@@ -308,8 +321,10 @@ def _scan_doctype(s: str, i: int, n: int):
         return "", i + 1, True
     j = s.find(">", i)
     if j < 0:
-        return s[i:].translate(NUL_TABLE), n, False
-    return s[i:j].translate(NUL_TABLE), j + 1, True
+        seg = s[i:]
+        return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), n, False
+    seg = s[i:j]
+    return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), j + 1, True
 
 
 def _scan_bogus(s: str, content_from: int, scan_from: int, n: int):
@@ -320,8 +335,10 @@ def _scan_bogus(s: str, content_from: int, scan_from: int, n: int):
     """
     j = s.find(">", scan_from)
     if j < 0:
-        return s[content_from:].translate(NUL_TABLE), n, False
-    return s[content_from:j].translate(NUL_TABLE), j + 1, True
+        seg = s[content_from:]
+        return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), n, False
+    seg = s[content_from:j]
+    return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), j + 1, True
 
 
 def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
@@ -337,10 +354,12 @@ def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
     while i < n:
         j = s.find("<", i)
         if j < 0:
-            parts.append(s[i:].translate(tr))
+            seg = s[i:]
+            parts.append(seg.translate(tr) if "\x00" in seg else seg)
             return n, False
         if j > i:
-            parts.append(s[i:j].translate(tr))
+            seg = s[i:j]
+            parts.append(seg.translate(tr) if "\x00" in seg else seg)
         if j + 1 >= n:
             return n, False  # lone '<' at EOF: lost
         if s[j + 1] != "/":
