@@ -27,8 +27,10 @@ from typing import List, Optional, Tuple
 
 from .constants import (
     INLINE_TAGS,
+    LOWER_NUL_TABLE,
     RAWTEXT_TAGS,
     RE_HAS_NONSPACE,
+    RE_NAME_END,
     VOID_TAGS,
     collapse_spaces,
 )
@@ -187,10 +189,21 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
             if ("a" <= d <= "z") or ("A" <= d <= "Z"):
                 if pending:
                     flush_text()
-                res = _scan_tag(s, k, n)
-                if res is None:
-                    break
-                name, _at, _sc, i = res
+                # fast path for the dominant '</name>' shape: skip the
+                # attr machinery (and its dict) entirely. Semantics
+                # identical to _scan_tag when the name terminator is
+                # '>' (same RE_NAME_END, same guarded lowercasing).
+                m = RE_NAME_END.search(s, k)
+                if m is not None and s[m.start()] == ">":
+                    name = s[k:m.start()]
+                    if not (name.islower() and "\x00" not in name):
+                        name = name.translate(LOWER_NUL_TABLE)
+                    i = m.start() + 1
+                else:
+                    res = _scan_tag(s, k, n)
+                    if res is None:
+                        break
+                    name, _at, _sc, i = res
                 close_to(name, "", False)
             elif d == ">":
                 i = k + 1
