@@ -84,25 +84,35 @@ def main() -> int:
     extract_transcripts(tr.limit(CPUS * 4), include_raw=False,
                         order=False).write.format("noop") \
         .mode("overwrite").save()
-    t0 = time.time()
-    # input already spread over CPUS*2 partitions above — the parse
-    # kernel is row-independent, so no salt shuffle needed here
-    out = extract_transcripts(tr, strip=True, include_raw=True, order=True)
-    agg = out.agg(F.count("*"), F.sum(F.length("extracted_text")),
-                  F.sum("n_nodes"), F.sum("n_errors")).collect()[0]
-    t_extract = time.time() - t0
+    # The two headline numbers are best-of-2: this VM has multi-minute
+    # degraded windows (±30%), and a single sample recorded during one
+    # misstates the engine by that much (same policy as the scaling
+    # harness's interleaved best-of reps; see BASELINE.md).
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    t_extract = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        # input already spread over CPUS*2 partitions above — the parse
+        # kernel is row-independent, so no salt shuffle needed here
+        out = extract_transcripts(tr, strip=True, include_raw=True,
+                                  order=True)
+        agg = out.agg(F.count("*"), F.sum(F.length("extracted_text")),
+                      F.sum("n_nodes"), F.sum("n_errors")).collect()[0]
+        t_extract = min(t_extract, time.time() - t0)
+        assert agg[0] == n_turns
     results["extract_pipeline"] = round(t_extract, 3)
-    assert agg[0] == n_turns
 
     # kernel-only: parse + to_text, no raw/ordering/shuffle — the
     # apples-to-apples unit the reference's single-thread anchor
     # measures (BASELINE.md)
-    t0 = time.time()
     from htmlparser_spark.kernel import extract_text
-    extract_text(tr, strip=False, include_raw=False) \
-        .select("conv_id", F.length("extracted_text")) \
-        .write.format("noop").mode("overwrite").save()
-    t_kernel = time.time() - t0
+    t_kernel = float("inf")
+    for _ in range(reps):
+        t0 = time.time()
+        extract_text(tr, strip=False, include_raw=False) \
+            .select("conv_id", F.length("extracted_text")) \
+            .write.format("noop").mode("overwrite").save()
+        t_kernel = min(t_kernel, time.time() - t0)
     results["extract_kernel_only"] = round(t_kernel, 3)
     tr.unpersist()
 
