@@ -135,9 +135,17 @@ def main() -> int:
         ("raw_html_roundtrip", Q.q_raw_html_roundtrip),
     ]
     for name, fn in aux:
-        t0 = time.time()
-        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-        results[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(reps):
+            # identical plans would reuse the previous rep's internal
+            # .cache()s (dedup signature/candidate frames) — clear so
+            # every sample measures a COLD run, and best-of only
+            # rejects degraded-VM noise, never cache warmth
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        results[name] = round(best, 3)
 
     total = round(sum(results.values()), 3)
     line = {
