@@ -35,6 +35,10 @@ def get_spark(app: str = "htmlparser_spark", cores: int | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime skew-split for the dedup/selector self-joins: one
+        # hot LSH band or selector key gets split across tasks even
+        # below the explicit cap_buckets threshold
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch",
                 str(arrow_max_records))
