@@ -56,7 +56,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     The driver-side loop runs one small action per round (a count of
     changed labels); rounds are log-bounded, so at 10^10 edges this is
     ~30 bounded jobs, the standard Spark CC shape (cf. the public
-    large-star/small-star literature)."""
+    large-star/small-star literature).
+
+    localCheckpoint trades fault-tolerance for speed (blocks live on
+    executors; an executor loss fails the job, which then reruns from
+    the pairs input). On a long-running production cluster prefer
+    reliable checkpointing: set a checkpoint dir and swap
+    localCheckpoint() for checkpoint() — the algorithm is unchanged."""
     e = (pairs.select(F.col(id_a).cast("long").alias("u"),
                       F.col(id_b).cast("long").alias("v"))
          .filter(F.col("u") != F.col("v")))
