@@ -19,6 +19,7 @@ semantic drift between the two planes. What changes in streaming:
 
 from .pipeline import (
     conv_running_state,
+    dedup_stream,
     extract_stream,
     read_transcripts_stream,
     turn_rates,
@@ -27,6 +28,7 @@ from .pipeline import (
 
 __all__ = [
     "conv_running_state",
+    "dedup_stream",
     "extract_stream",
     "read_transcripts_stream",
     "turn_rates",

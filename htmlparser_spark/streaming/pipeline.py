@@ -22,8 +22,21 @@ from ..sources.transcripts import TRANSCRIPTS_SCHEMA_DDL
 
 __all__ = [
     "read_transcripts_stream", "extract_stream", "conv_running_state",
-    "turn_rates", "write_extracted_stream",
+    "turn_rates", "write_extracted_stream", "dedup_stream",
 ]
+
+
+def dedup_stream(sdf: DataFrame, watermark: str = "10 minutes",
+                 key_cols=("conv_id", "turn_idx", "text")) -> DataFrame:
+    """Streaming exact dedup: drop duplicate deliveries (source
+    retries, at-least-once upstreams) by 64-bit content hash within
+    the event-time watermark. State is bounded by the watermark
+    horizon — the streaming analogue of exact_dedup's hash-key design:
+    the dedup state stores 8-byte hashes, never documents."""
+    hashed = sdf.withColumn("_h", F.xxhash64(*[F.col(c)
+                                               for c in key_cols]))
+    return (hashed.withWatermark("ts", watermark)
+            .dropDuplicatesWithinWatermark(["_h"]).drop("_h"))
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,

@@ -19,6 +19,7 @@ from htmlparser_spark.htmldom import parse, to_text_stripped
 from htmlparser_spark.sources.transcripts import generate_pandas
 from htmlparser_spark.streaming import (
     conv_running_state,
+    dedup_stream,
     extract_stream,
     read_transcripts_stream,
     turn_rates,
@@ -97,6 +98,29 @@ def test_stateful_conv_running_state(spark, tmp_path, input_dir):
         .alias("h")).collect()}
     assert final_stream == batch_hash
     spark.catalog.dropTempView("conv_state")
+
+
+def test_dedup_stream_drops_duplicate_deliveries(spark, tmp_path):
+    """Duplicated rows (at-least-once redelivery) across micro-batch
+    files are dropped by content hash within the watermark."""
+    pdf = generate_pandas(n_convs=4, n_turns=40, seed=17,
+                          mega_text=False)
+    pdf["turn_idx"] = pdf["turn_idx"].astype("int32")
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "in"
+    d.mkdir()
+    pdf.to_parquet(d / "part-0.parquet", index=False)
+    pdf.iloc[:20].to_parquet(d / "part-1.parquet", index=False)  # dups
+    sdf = read_transcripts_stream(spark, str(d))
+    out = dedup_stream(sdf, watermark="1 hour")
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(tmp_path / "out"))
+    assert got.count() == 40
+    assert got.select("conv_id", "turn_idx").distinct().count() == 40
 
 
 def test_watermarked_turn_rates_plans(spark, input_dir):
