@@ -76,17 +76,21 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         nbr = (sym.join(comp.withColumnRenamed("u", "v"), "v")
                .groupBy("u").agg(F.min("c").alias("nc")))
         stepped = (comp.join(nbr, "u", "left")
-                   .select("u", F.least("c", F.coalesce("nc", "c"))
+                   .select("u", F.col("c").alias("c_old"),
+                           F.least("c", F.coalesce("nc", "c"))
                            .alias("c")))
-        # pointer jump: c(u) <- c(c(u))
+        # pointer jump: c(u) <- c(c(u)); the old label rides along so
+        # convergence is read off the checkpointed frame directly —
+        # no extra join per round
         parent = stepped.select(F.col("u").alias("c"),
                                 F.col("c").alias("cc"))
         jumped = (stepped.join(parent, "c", "left")
-                  .select("u", F.coalesce("cc", "c").alias("c2")))
-        changed = (jumped.join(comp, "u")
-                   .filter(F.col("c2") != F.col("c")).limit(1).count())
-        comp = jumped.select("u", F.col("c2").alias("c")) \
-            .localCheckpoint()
+                  .select("u", "c_old",
+                          F.coalesce("cc", "c").alias("c2"))
+                  .localCheckpoint())
+        changed = jumped.filter(F.col("c2") != F.col("c_old")) \
+            .limit(1).count()
+        comp = jumped.select("u", F.col("c2").alias("c"))
         if changed == 0:
             break
     return comp.select(F.col("u").alias("node"),
