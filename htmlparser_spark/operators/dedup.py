@@ -11,6 +11,17 @@ Scale design notes (every operator targets ~10^10 docs):
   buckets — the standard LSH trick that avoids the O(n²) pair space.
 - Candidate pairs carry doc ids only; exact verification re-joins text
   for the (tiny) candidate set.
+
+Cache lifetime policy (explicit, per round-2 advice): the builders
+cache intermediate frames (signatures, candidates, shingle arrays)
+because the returned LAZY plan reads each of them from 2-3 consumers;
+unpersisting inside the builder would evict them before the caller's
+action runs. The caches are narrow by design (ids + hashes, never
+documents) and live in Spark's unified storage pool, which evicts
+LRU blocks under memory pressure — so repeated calls degrade to
+recompute, never to OOM. Long-lived sessions that want deterministic
+reclamation should either run ``spark.catalog.clearCache()`` between
+calls (what bench.py does) or pass ``cache=False`` where offered.
 """
 
 from __future__ import annotations
@@ -71,6 +82,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .localCheckpoint()
     comp = sym.select("u").distinct() \
         .select("u", F.col("u").alias("c")).localCheckpoint()
+    converged = False
     for _ in range(max_iterations):
         # min label over the neighborhood
         nbr = (sym.join(comp.withColumnRenamed("u", "v"), "v")
@@ -92,7 +104,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .limit(1).count()
         comp = jumped.select("u", F.col("c2").alias("c"))
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # With pointer jumping, rounds are O(log n): 25 covers any
+        # real graph. Exhausting them means labels may be WRONG (a
+        # partial merge would silently feed keep-one dedup), so fail
+        # loudly instead of returning a possibly-split component map.
+        raise RuntimeError(
+            f"connected_components did not converge within "
+            f"{max_iterations} iterations; raise max_iterations")
     return comp.select(F.col("u").alias("node"),
                        F.col("c").alias("component"))
 
@@ -113,18 +134,26 @@ def cap_buckets(bucketed: DataFrame, keys: list[str],
     linear star-pairing on an exact-equality key (identical docs —
     the usual cause of a hot bucket — still come out connected).
 
-    The size count is a window over the bucket keys — one exchange
-    that the subsequent self-join re-uses (same partitioning). The
-    sized frame is cached by default: both returned branches (and the
-    self-join's two scans of ``ok``) read it, so the window runs once,
-    not four times. Keep ``bucketed`` narrow — keys + id only — so the
-    cache and the exchange never carry signatures or payloads."""
-    w = Window.partitionBy(*keys)
-    sized = bucketed.withColumn("_bsz", F.count("*").over(w))
+    Sizing is a ``groupBy(keys).count()`` (map-side partial aggregate,
+    so even a 10⁹-member bucket contributes one partial count per
+    input partition — NO task ever holds a whole bucket, unlike a
+    ``count() over (partition by keys)`` window, which would buffer
+    the entire hot bucket in the one reducer the cap exists to
+    protect). The oversize key set — tiny by construction, it only
+    holds keys with > max_bucket_size members — is broadcast to an
+    anti/semi join pair, so the split adds no extra shuffle of
+    ``bucketed`` at all. The input is cached by default because three
+    plans read it (the count plus both branches); keep it narrow —
+    keys + id only — so neither the cache nor the joins carry
+    signatures or payloads."""
     if cache:
-        sized = sized.cache()
-    ok = sized.filter(F.col("_bsz") <= max_bucket_size).drop("_bsz")
-    oversize = sized.filter(F.col("_bsz") > max_bucket_size).drop("_bsz")
+        bucketed = bucketed.cache()
+    hot = (bucketed.groupBy(*keys)
+           .agg(F.count("*").alias("_bsz"))
+           .filter(F.col("_bsz") > max_bucket_size)
+           .select(*keys))
+    ok = bucketed.join(F.broadcast(hot), keys, "left_anti")
+    oversize = bucketed.join(F.broadcast(hot), keys, "left_semi")
     return ok, oversize
 
 
@@ -386,11 +415,21 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     always pre-bucket via LSH (minhash_candidates) instead."""
     # shingle arrays are computed ONCE per doc (cheap, embarrassingly
     # parallel) and only set-intersected per pair — never rebuilt in
-    # the join.
-    base = df.select(
+    # the join. Balancing happens HERE, by id hash, BEFORE the array
+    # compute: the join then does its own keyed exchange (or keeps
+    # side a's partitioning under a broadcast join). A salted
+    # repartition of the join input itself (round 2) could not satisfy
+    # the join's required distribution, so a sort-merge plan at scale
+    # would re-shuffle the shingle arrays a second time.
+    src = df.select(
+        F.col(id_col), F.col(text_col),
+        *([F.col(bucket_col).alias("bk")] if bucket_col else []))
+    if parallelism:
+        src = src.repartition(parallelism, F.col(id_col))
+    base = src.select(
         F.col(id_col), F.length(F.col(text_col)).alias("len"),
         _shingle_array_expr(text_col, k).alias("sh"),
-        *([F.col(bucket_col).alias("bk")] if bucket_col else [])).cache()
+        *(["bk"] if bucket_col else [])).cache()
     # Length banding makes the length constraint an EQUI-join key:
     # |len_a - len_b| <= D implies |band_a - band_b| <= 1 for
     # band = floor(len / D), so exploding one side into its three
@@ -401,14 +440,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     a = base.select(F.col(id_col).alias("id_a"), F.col("len").alias("len_a"),
                     F.col("sh").alias("sh_a"), band.alias("band"),
                     *([F.col("bk")] if bucket_col else []))
-    if parallelism:
-        # the band key alone has tiny cardinality when doc lengths
-        # cluster — add a high-cardinality id-hash salt so the
-        # requested parallelism actually spreads (the join key stays
-        # (band[,bk]); the salt only balances the pre-join exchange)
-        a = a.repartition(parallelism, "band",
-                          *(["bk"] if bucket_col else []),
-                          F.pmod(F.xxhash64("id_a"), F.lit(parallelism)))
     b = base.select(F.col(id_col).alias("id_b"), F.col("len").alias("len_b"),
                     F.col("sh").alias("sh_b"),
                     F.explode(F.array(band - 1, band, band + 1))
@@ -512,17 +543,18 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     ok, oversize = cap_buckets(ch, ["chunk_id", "chunk_val"],
                                max_bucket_size)
     a, b = ok.alias("a"), ok.alias("b")
-    pairs = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
-                    & (F.col("a.chunk_val") == F.col("b.chunk_val"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.sh").alias("sh_a"),
-                     F.col("b.sh").alias("sh_b"))
-             .distinct())
-    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    quad = pairs.withColumn("hamming", hamming.cast("long")) \
-                .select("id_a", "id_b", "hamming")
+    # hamming is computed INSIDE the join projection, so the distinct
+    # that collapses multi-chunk collisions exchanges only
+    # (id_a, id_b, hamming) — 24 B/row — never the signature pair
+    # (round-2 regression: carrying sh_a/sh_b through distinct)
+    hamming = F.bit_count(F.col("a.sh").bitwiseXOR(F.col("b.sh")))
+    quad = (a.join(b, (F.col("a.chunk_id") == F.col("b.chunk_id"))
+                   & (F.col("a.chunk_val") == F.col("b.chunk_val"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"),
+                    hamming.cast("long").alias("hamming"))
+            .distinct())
     star = _star_pairs(oversize.select(id_col, "sh").distinct(),
                        F.col("sh"), id_col) \
         .withColumn("hamming", F.lit(0).cast("long"))

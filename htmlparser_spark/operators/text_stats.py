@@ -107,34 +107,67 @@ def quality_score_col(text: Column) -> Column:
                            + wlen_ok * 0.2)), 6)
 
 
-# Tiny per-language stopword marker sets (public common words).
+# Per-language stopword marker sets — the top-20 web languages, five
+# public common words/particles each. Dict order is the tie-break
+# order (earlier wins). Languages in _UNPADDED_LANGS use scripts
+# without word spacing (or with agglutinated particles), so their
+# markers are counted as raw substrings instead of space-delimited
+# words.
 _LANG_MARKERS = {
     "en": ("the", "and", "of", "to", "is"),
     "de": ("der", "die", "und", "ist", "nicht"),
     "fr": ("le", "la", "et", "les", "des"),
     "es": ("el", "la", "que", "los", "una"),
+    "pt": ("não", "uma", "para", "com", "por"),
+    "it": ("che", "il", "per", "di", "non"),
+    "nl": ("de", "het", "een", "van", "niet"),
+    "pl": ("nie", "się", "jest", "na", "to"),
+    "ru": ("и", "не", "на", "что", "это"),
+    "tr": ("bir", "ve", "bu", "için", "çok"),
+    "cs": ("je", "se", "na", "že", "ale"),
+    "sv": ("och", "att", "det", "som", "inte"),
+    "ar": ("في", "من", "على", "أن", "هذا"),
+    "hi": ("है", "और", "के", "में", "का"),
+    "id": ("yang", "dan", "di", "untuk", "dengan"),
+    "vi": ("và", "của", "là", "không", "người"),
+    "fa": ("که", "در", "از", "به", "را"),
+    "ja": ("の", "は", "を", "に", "が"),
+    "zh": ("的", "是", "了", "在", "和"),
+    "ko": ("의", "는", "을", "가", "에"),
 }
+_UNPADDED_LANGS = frozenset({"ja", "zh", "ko"})
 
 
-def _marker_hits(text: Column, word: str) -> Column:
-    """Occurrences of ' word ' in the space-padded lowercased text —
-    replace-based counting, identical semantics on Spark and DuckDB."""
-    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-    needle = f" {word} "
-    return ((F.length(padded)
-             - F.length(F.replace(padded, F.lit(needle), F.lit(" "))))
-            / F.lit(len(needle) - 1)).cast("long")
+def _marker_hits(text: Column, word: str, padded: bool = True) -> Column:
+    """Occurrences of the marker in the lowercased text — replace-based
+    counting, identical semantics on Spark and DuckDB. Padded form
+    counts ' word ' in space-padded text (space-delimited scripts);
+    unpadded counts raw substring occurrences (zh/ja/ko)."""
+    if padded:
+        base = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+        needle = f" {word} "
+        replacement, shrink = " ", len(needle) - 1
+    else:
+        base = F.lower(text)
+        needle, replacement, shrink = word, "", len(word)
+    return ((F.length(base)
+             - F.length(F.replace(base, F.lit(needle), F.lit(replacement))))
+            / F.lit(shrink)).cast("long")
+
+
+def _lang_score(text: Column, lang: str) -> Column:
+    words = _LANG_MARKERS[lang]
+    padded = lang not in _UNPADDED_LANGS
+    return sum((_marker_hits(text, w, padded) for w in words[1:]),
+               _marker_hits(text, words[0], padded))
 
 
 def lang_id_col(text: Column, min_hits: int = 2) -> Column:
-    """Stopword-marker language guess. Returns 'en'/'de'/'fr'/'es' with
-    the most marker hits (ties broken by that order), or 'other' when
-    the best language has fewer than ``min_hits`` hits."""
-    scores = [
-        (lang, sum((_marker_hits(text, w) for w in words[1:]),
-                   _marker_hits(text, words[0])))
-        for lang, words in _LANG_MARKERS.items()
-    ]
+    """Stopword-marker language guess across the top-20 web languages.
+    Returns the language code with the most marker hits (ties broken
+    by _LANG_MARKERS declaration order), or 'other' when the best
+    language has fewer than ``min_hits`` hits."""
+    scores = [(lang, _lang_score(text, lang)) for lang in _LANG_MARKERS]
     best_score = F.greatest(*[s for _, s in scores])
     result = F.lit("other")
     # build reversed so earlier languages win ties

@@ -387,7 +387,14 @@ def q_minhash_pairs(spark, sf_dir):
     row being green certifies both the exact verification stage AND
     100% LSH recall at threshold 0.5 on this corpus. Output carries the
     integer (n_intersect, n_union) witness: hash-stable across engines,
-    no float rounding."""
+    no float rounding.
+
+    Banding is deliberately 32 bands × 2 rows here (not the default
+    16×4): at the threshold itself (j = 0.5) a pair misses every band
+    with probability (1 − 0.5²)³² ≈ 10⁻⁴, vs ~36 % under 16×4 — so
+    the 100%-recall claim is structural, not an accident of this
+    corpus lacking borderline natural pairs, and regenerating the
+    test data cannot make the row flaky."""
     from .operators.dedup import minhash_dedup_pairs
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     # plant near-duplicates: copy every 20th doc with one word appended
@@ -395,7 +402,7 @@ def q_minhash_pairs(spark, sf_dir):
         (F.col("doc_id") + 1000000).alias("doc_id"),
         F.concat(F.col("text"), F.lit(" tail")).alias("text"))
     return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5,
-                               exact_counts=True)
+                               bands=32, exact_counts=True)
 
 
 def q_simhash_pairs(spark, sf_dir):
@@ -605,23 +612,29 @@ def _sha_feat_u32_sql() -> str:
     return f"CAST(CAST(({'+'.join(terms)}) AS REAL) AS BIGINT)"
 
 
-def _lang_hits_sql(words) -> str:
+def _lang_hits_sql(words, padded: bool = True) -> str:
     terms = []
     for w in words:
-        needle = f" {w} "
+        if padded:
+            needle, repl, shrink = f" {w} ", " ", len(w) + 1
+            base = "(' ' || lower(text) || ' ')"
+        else:
+            needle, repl, shrink = w, "", len(w)
+            base = "lower(text)"
         terms.append(
-            f"(length(' ' || lower(text) || ' ') - "
-            f"length(replace(' ' || lower(text) || ' ', '{needle}', ' '))) "
-            f"// {len(needle) - 1}")
+            f"(length({base}) - "
+            f"length(replace({base}, '{needle}', '{repl}'))) "
+            f"// {shrink}")
     return "(" + " + ".join(terms) + ")"
 
 
 def _lang_id_oracle() -> str:
-    from .operators.text_stats import _LANG_MARKERS
-    hits = {lang: _lang_hits_sql(ws) for lang, ws in _LANG_MARKERS.items()}
+    from .operators.text_stats import _LANG_MARKERS, _UNPADDED_LANGS
+    hits = {lang: _lang_hits_sql(ws, padded=lang not in _UNPADDED_LANGS)
+            for lang, ws in _LANG_MARKERS.items()}
     best = "greatest(" + ", ".join(hits.values()) + ")"
     case = "CASE "
-    for lang in ("en", "de", "fr", "es"):
+    for lang in _LANG_MARKERS:          # declaration order = tie-break
         case += (f"WHEN {best} >= 2 AND {hits[lang]} = {best} "
                  f"THEN '{lang}' ")
     case += "ELSE 'other' END"

@@ -29,14 +29,21 @@ __all__ = [
 def dedup_stream(sdf: DataFrame, watermark: str = "10 minutes",
                  key_cols=("conv_id", "turn_idx", "text")) -> DataFrame:
     """Streaming exact dedup: drop duplicate deliveries (source
-    retries, at-least-once upstreams) by 64-bit content hash within
-    the event-time watermark. State is bounded by the watermark
-    horizon — the streaming analogue of exact_dedup's hash-key design:
-    the dedup state stores 8-byte hashes, never documents."""
-    hashed = sdf.withColumn("_h", F.xxhash64(*[F.col(c)
-                                               for c in key_cols]))
+    retries, at-least-once upstreams) by content hash within the
+    event-time watermark. State is bounded by the watermark horizon —
+    the streaming analogue of exact_dedup's hash-key design: the dedup
+    state stores a 12-byte (hash, length) key, never documents. The
+    total length of the key columns is the same cheap second
+    discriminator the batch exact path uses, so two distinct rows
+    colliding in the 64-bit hash are only merged if they ALSO share
+    total key length (P ≈ 2⁻⁶⁴ · P(len equal) per in-horizon pair)."""
+    cols = [F.col(c) for c in key_cols]
+    hashed = (sdf.withColumn("_h", F.xxhash64(*cols))
+              .withColumn("_hl", sum((F.length(c.cast("string"))
+                                      for c in cols[1:]),
+                                     F.length(cols[0].cast("string")))))
     return (hashed.withWatermark("ts", watermark)
-            .dropDuplicatesWithinWatermark(["_h"]).drop("_h"))
+            .dropDuplicatesWithinWatermark(["_h", "_hl"]).drop("_h", "_hl"))
 
 
 def read_transcripts_stream(spark: SparkSession, path: str,
