@@ -170,11 +170,18 @@ def _star_pairs(members: DataFrame, exact_key, id_col: str) -> DataFrame:
     and emit (group-min id ↔ member) STAR pairs instead of the full
     clique — O(n) pairs, and exactly what connected-component dedup
     consumes. Near-dup (non-identical) members of a capped bucket are
-    the accepted recall loss; identical docs stay fully connected."""
+    the accepted recall loss; identical docs stay fully connected.
+
+    Shaped like cap_buckets, not like a window: the group-min is a
+    map-side-combined aggregate and the representative joins back by
+    key — a sort-merge join STREAMS a degenerate group past its single
+    1-row build side, where a `min() over (partition by key)` window
+    would buffer the whole group in one task (and AQE skew-join can
+    split the probe side if one key dominates)."""
     grouped = members.select(F.col(id_col), exact_key.alias("_ek"))
-    w = Window.partitionBy("_ek")
-    rep = grouped.withColumn("_rep", F.min(id_col).over(w))
-    return (rep.filter(F.col(id_col) != F.col("_rep"))
+    rep = grouped.groupBy("_ek").agg(F.min(id_col).alias("_rep"))
+    return (grouped.join(rep, "_ek")
+            .filter(F.col(id_col) != F.col("_rep"))
             .select(F.col("_rep").alias("id_a"),
                     F.col(id_col).alias("id_b"))
             .distinct())

@@ -500,6 +500,39 @@ def q_dup_components(spark, sf_dir):
     return connected_components(edges)
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental dedup against a persisted index — the production
+    shape (dedup the new crawl against history without reprocessing
+    it). Even doc_ids are "history" (indexed once into a temp dir);
+    the new batch is the odd docs plus planted cross-half duplicates:
+    exact copies of every 10th even doc and upper-cased copies of
+    every 14th (same lowercased shingle set ⇒ 'normalized' tier).
+
+    The probabilistic 'near' tier (seeded MinHash agreement) is
+    disabled here (threshold=None) so the expected output — dup tier +
+    min matching historical id per new doc — is EXACTLY computable in
+    ANSI SQL from text/shingle-set equality; the near tier is pinned
+    by pytest on planted perturbed docs instead
+    (tests/test_incremental.py)."""
+    import tempfile
+
+    from .operators.incremental import build_dedup_index, \
+        dedup_against_index
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 2 == 0)
+    new = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
+        old.filter(F.col("doc_id") % 10 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    ).unionAll(
+        old.filter(F.col("doc_id") % 14 == 0).select(
+            (F.col("doc_id") + 2000000).alias("doc_id"),
+            F.upper(F.col("text")).alias("text")))
+    idx = tempfile.mkdtemp(prefix="hps_dedup_idx_")
+    build_dedup_index(old, idx)
+    return dedup_against_index(new, idx, threshold=None)
+
+
 def q_rolling_fingerprint(spark, sf_dir):
     """64-bit polynomial fingerprint over UTF-8 bytes; the oracle
     replays the identical Horner recurrence in DuckDB (list_reduce
@@ -816,6 +849,40 @@ ORACLES["dup_components"] = (
     "SELECT doc_id + 1000000 * u.k AS node, doc_id AS component "
     "FROM documents CROSS JOIN UNNEST(range(4)) AS u(k) "
     "WHERE doc_id % 10 = 0")
+def _dedup_incremental_oracle() -> str:
+    """Tiered replica of dedup_against_index(threshold=None): 'exact'
+    = raw text equality against the even-id history, 'normalized' =
+    equality of the sorted distinct word-5-shingle sets (identical
+    tokenization to the minhash/ngram oracles), priority exact >
+    normalized, matched_old = min matching historical id."""
+    sh5 = _shingle_sql(5)
+    return (
+        "WITH old_t AS (SELECT doc_id, text FROM documents "
+        "WHERE doc_id % 2 = 0), "
+        "new_t AS ("
+        "  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1 "
+        "  UNION ALL SELECT doc_id + 1000000, text FROM documents "
+        "  WHERE doc_id % 2 = 0 AND doc_id % 10 = 0 "
+        "  UNION ALL SELECT doc_id + 2000000, upper(text) FROM documents "
+        "  WHERE doc_id % 2 = 0 AND doc_id % 14 = 0), "
+        f"old_sh AS (SELECT doc_id, list_sort({sh5}) AS sh "
+        f"FROM (SELECT *, {_TOKS_SQL} AS toks FROM old_t)), "
+        f"new_sh AS (SELECT doc_id, list_sort({sh5}) AS sh "
+        f"FROM (SELECT *, {_TOKS_SQL} AS toks FROM new_t)), "
+        "ex AS (SELECT n.doc_id, min(o.doc_id) AS m FROM new_t n "
+        "JOIN old_t o ON n.text = o.text GROUP BY n.doc_id), "
+        "nm AS (SELECT n.doc_id, min(o.doc_id) AS m FROM new_sh n "
+        "JOIN old_sh o ON n.sh = o.sh GROUP BY n.doc_id) "
+        "SELECT n.doc_id, "
+        "CASE WHEN ex.m IS NOT NULL THEN 'exact' "
+        "WHEN nm.m IS NOT NULL THEN 'normalized' ELSE 'none' END "
+        "AS dup_kind, "
+        "coalesce(ex.m, nm.m) AS matched_old "
+        "FROM new_t n LEFT JOIN ex ON n.doc_id = ex.doc_id "
+        "LEFT JOIN nm ON n.doc_id = nm.doc_id")
+
+
+ORACLES["dedup_incremental"] = _dedup_incremental_oracle()
 ORACLES["rolling_fingerprint"] = _rolling_fp_oracle()
 ORACLES["multimodal_decode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS feat_idx, "
@@ -869,6 +936,7 @@ QUERIES = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "dup_components": q_dup_components,
+    "dedup_incremental": q_dedup_incremental,
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,

@@ -57,6 +57,26 @@ def test_cap_buckets_split(spark):
     assert stats == {"hot": 10, "cold": 2}
 
 
+def test_cap_buckets_no_window_in_plan(spark):
+    """The cap must protect against hot buckets WITHOUT itself
+    funneling a hot bucket into one task: sizing is groupBy (map-side
+    partial) + broadcast anti/semi join — no `count() over (partition
+    by bucket keys)` window, which would buffer the whole degenerate
+    bucket in a single reducer. Asserted on the physical plan of the
+    full candidate pipeline with a planted degenerate bucket."""
+    same = [(i, "the same boilerplate page text repeated many words "
+                "over and over for every single crawled url")
+            for i in range(2000)]
+    df = spark.createDataFrame(same, "doc_id long, text string")
+    cand = minhash_candidates(df, max_bucket_size=100, parallelism=4)
+    plan = cand._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastExchange" in plan      # the tiny oversize key set
+    sh = simhash_candidates(df, max_bucket_size=100, parallelism=4)
+    plan_sh = sh._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan_sh
+
+
 def test_minhash_hot_bucket_degrades_to_star_pairs(spark):
     """2000 identical docs: every band bucket is oversize. The
     quadratic join must see NONE of them; the output is the 1999-star,
