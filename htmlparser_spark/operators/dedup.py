@@ -43,7 +43,25 @@ __all__ = [
     "simhash_udf", "simhash_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
     "cap_buckets", "bucket_stats", "connected_components",
+    "band_struct_cols",
 ]
+
+
+def band_struct_cols(sig_col: str, num_perm: int, bands: int):
+    """(band_id, band_hash) struct per LSH band, as JVM expressions
+    over a signature array column: band_hash = xxhash64 of the band's
+    signature components. Shared by the batch candidate join, the
+    incremental index builder/prober, and the streaming band-state op,
+    so their buckets are bit-identical."""
+    rows_per_band = num_perm // bands
+    return [
+        F.struct(
+            F.lit(b).alias("band_id"),
+            F.xxhash64(*[F.col(sig_col)[b * rows_per_band + r]
+                         for r in range(rows_per_band)])
+            .alias("band_hash"))
+        for b in range(bands)
+    ]
 
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
@@ -289,7 +307,6 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     (the usual hot-bucket cause: boilerplate, empty docs) still come
     out connected, and no single degenerate band hash can stall the
     stage at 100× scale."""
-    rows_per_band = num_perm // bands
     udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
     src = df.select(F.col(id_col), F.col(text_col))
     if parallelism is None:
@@ -301,14 +318,7 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # from it without re-running Python)
     sig = src.select(F.col(id_col), udf(F.col(text_col)).alias("sig")) \
              .cache()
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("band_hash"),
-        )
-        for b in range(bands)
-    ]
+    band_cols = band_struct_cols("sig", num_perm, bands)
     # banded stays NARROW — (id, band_id, band_hash), no signature
     # payload — so the cap window's exchange and the self-join move
     # 24 bytes per band-row, not the 64-hash array

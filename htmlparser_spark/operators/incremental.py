@@ -45,7 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import _shingle_array_expr, make_minhash_udf
+from .dedup import _shingle_array_expr, band_struct_cols, make_minhash_udf
 
 __all__ = ["build_dedup_index", "dedup_against_index"]
 
@@ -73,7 +73,6 @@ def build_dedup_index(df: DataFrame, path: str, *,
     (16 partitions) so a probe that needs one band prunes the rest;
     rows are repartitioned to one file per band to keep the file count
     O(bands), not O(tasks × bands)."""
-    rows_per_band = num_perm // bands
     udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
     src = df.select(F.col(id_col), F.col(text_col))
     if parallelism:
@@ -93,13 +92,7 @@ def build_dedup_index(df: DataFrame, path: str, *,
     sig = src.select(F.col(id_col),
                      udf(F.col(text_col)).alias("sig")).cache()
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_id"),
-            F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                         for r in range(rows_per_band)]).alias("band_hash"))
-        for b in range(bands)
-    ]
+    band_cols = band_struct_cols("sig", num_perm, bands)
     (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
         .select(id_col, "bk.band_id", "bk.band_hash")
         .repartition(bands, "band_id")
@@ -133,7 +126,6 @@ def dedup_against_index(df: DataFrame, path: str, *,
     spark: SparkSession = df.sparkSession
     with open(os.path.join(path, _MANIFEST)) as f:
         m = json.load(f)
-    rows_per_band = m["num_perm"] // m["bands"]
 
     src = df.select(F.col(id_col), F.col(text_col))
     if parallelism:
@@ -160,14 +152,7 @@ def dedup_against_index(df: DataFrame, path: str, *,
                                shingle_k=m["shingle_k"])
         sig_new = keyed.select(F.col(id_col),
                                udf(F.col(text_col)).alias("sig")).cache()
-        band_cols = [
-            F.struct(
-                F.lit(b).alias("band_id"),
-                F.xxhash64(*[F.col("sig")[b * rows_per_band + r]
-                             for r in range(rows_per_band)])
-                .alias("band_hash"))
-            for b in range(m["bands"])
-        ]
+        band_cols = band_struct_cols("sig", m["num_perm"], m["bands"])
         banded = (sig_new
                   .select(id_col,
                           F.explode(F.array(*band_cols)).alias("bk"))

@@ -25,7 +25,8 @@ from pyspark.sql.functions import pandas_udf
 
 __all__ = ["cosine_expr", "dot_expr", "brute_force_topk",
            "random_hyperplane_bucket_udf", "multi_table_bucket_udf",
-           "lsh_topk", "train_ivf_centroids", "ivf_topk"]
+           "lsh_topk", "train_ivf_centroids", "ivf_topk",
+           "IvfIndex", "ivf_build", "ivf_query"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -178,38 +179,72 @@ def _ivf_assign_udf(centroids: np.ndarray, n_probe: int):
     return assign_udf
 
 
-def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             query_id_col: str = "query_id", n_centroids: int = 16,
-             n_probe: int = 4, centroids: np.ndarray | None = None,
-             seed: int = 41) -> DataFrame:
-    """IVF approximate top-k: corpus vectors live in their single
-    nearest-centroid cell; each query probes its ``n_probe`` nearest
-    cells and exact-reranks only those candidates. The other standard
-    scale path next to hyperplane LSH (lsh_topk): recall is tuned by
-    n_probe/n_centroids, cost per query drops from O(n) to
-    O(n·n_probe/n_centroids).
+class IvfIndex:
+    """A built IVF index: the (tiny) centroid array plus the corpus
+    assigned to cells — either persisted in memory or written to
+    parquet at ``path``. Build once with :func:`ivf_build`, query any
+    number of times with :func:`ivf_query`: repeat queries touch the
+    assigned table only (scan / cached read), never the assignment
+    UDF — the round-2 shape retrained centroids and re-assigned the
+    whole corpus on EVERY call."""
 
-    Candidate generation is an equi-join on cell id (corpus side never
-    explodes — only the tiny query side fans out ×n_probe); the
-    centroid array rides inside the Arrow UDF closure (broadcast by
-    task serialization, small by construction)."""
-    from pyspark.sql import Window
+    def __init__(self, centroids: np.ndarray, assigned: DataFrame,
+                 id_col: str, path: str | None = None):
+        self.centroids = centroids
+        self.assigned = assigned
+        self.id_col = id_col
+        self.path = path
 
+
+def ivf_build(corpus: DataFrame, n_centroids: int = 16,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              seed: int = 41, sample_size: int = 2048,
+              path: str | None = None,
+              centroids: np.ndarray | None = None) -> IvfIndex:
+    """Build the reusable IVF index: driver k-means on a bounded
+    sample (train_ivf_centroids), then ONE distributed assignment
+    pass over the corpus. With ``path`` the assigned table is written
+    to parquet and read back (survives the session, scan-only probes,
+    partitioned by cell for partition pruning); otherwise it is
+    persisted in executor memory."""
     if centroids is None:
         centroids = train_ivf_centroids(
-            corpus, n_centroids=n_centroids, vec_col=vec_col,
-            id_col=id_col, seed=seed)
+            corpus, n_centroids=n_centroids, sample_size=sample_size,
+            vec_col=vec_col, id_col=id_col, seed=seed)
     corpus_cell = _ivf_assign_udf(centroids, 1)
-    query_cells = _ivf_assign_udf(centroids, n_probe)
-    c = corpus.select(
+    assigned = corpus.select(
         F.col(id_col), F.col(vec_col).alias("cv"),
         F.element_at(corpus_cell(F.col(vec_col)), 1).alias("cell"))
+    if path is not None:
+        (assigned.repartition(len(centroids), "cell")
+         .write.mode("overwrite").partitionBy("cell").parquet(path))
+        spark = corpus.sparkSession
+        assigned = (spark.read.parquet(path)
+                    .select(id_col, "cv",
+                            F.col("cell").cast("long").alias("cell")))
+    else:
+        assigned = assigned.persist()
+    return IvfIndex(centroids, assigned, id_col, path)
+
+
+def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 10,
+              vec_col: str = "embedding",
+              query_id_col: str = "query_id",
+              n_probe: int = 4) -> DataFrame:
+    """Probe a built index: each query fans out to its ``n_probe``
+    nearest cells (tiny query side explodes, corpus side never does),
+    candidates come from a cell equi-join against the assigned table,
+    exact cosine re-ranks them. The corpus-side plan is a scan — no
+    assignment UDF runs over it (plan-asserted in tests)."""
+    from pyspark.sql import Window
+
+    id_col = index.id_col
+    query_cells = _ivf_assign_udf(index.centroids, n_probe)
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
         F.explode(query_cells(F.col(vec_col))).alias("cell"))
-    cand = c.join(F.broadcast(q), "cell")
+    cand = index.assigned.join(F.broadcast(q), "cell")
     scored = cand.withColumn("cosine",
                              cosine_expr(F.col("cv"), F.col("qv")))
     w = Window.partitionBy("query_id").orderBy(
@@ -218,6 +253,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .filter(F.col("rank") <= k)
             .select("query_id", id_col, "rank",
                     F.round("cosine", 6).alias("cosine")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             query_id_col: str = "query_id", n_centroids: int = 16,
+             n_probe: int = 4, centroids: np.ndarray | None = None,
+             seed: int = 41) -> DataFrame:
+    """IVF approximate top-k, one-shot convenience: corpus vectors
+    live in their single nearest-centroid cell; each query probes its
+    ``n_probe`` nearest cells and exact-reranks only those candidates.
+    Recall is tuned by n_probe/n_centroids, cost per query drops from
+    O(n) to O(n·n_probe/n_centroids). For repeated querying build the
+    index once with ivf_build and probe with ivf_query."""
+    index = ivf_build(corpus, n_centroids=n_centroids, vec_col=vec_col,
+                      id_col=id_col, seed=seed, centroids=centroids)
+    return ivf_query(index, queries, k=k, vec_col=vec_col,
+                     query_id_col=query_id_col, n_probe=n_probe)
 
 
 def multi_table_bucket_udf(n_planes: int = 8, n_tables: int = 4,

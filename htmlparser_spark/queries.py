@@ -458,12 +458,17 @@ def q_ann_lsh_topk(spark, sf_dir):
 def q_ann_ivf_topk(spark, sf_dir):
     """IVF ANN invariant oracle (same shape as ann_lsh_topk): the
     query's best probe cell is its own corpus cell, so rank 1 must be
-    self. Recall@10 vs brute force is pytest-covered."""
-    from .operators.similarity import ivf_topk
+    self. Runs through the two-step build/query API — the index is
+    built once and probed, the production shape (repeat probes never
+    re-run the corpus assignment UDF; plan-asserted in
+    tests/test_dedup_scale.py). Recall@10 vs brute force is
+    pytest-covered."""
+    from .operators.similarity import ivf_build, ivf_query
     emb = load(spark, sf_dir, "embeddings")
     queries = (emb.filter(F.col("vec_id") < 3)
                .select(F.col("vec_id").alias("query_id"), "embedding"))
-    out = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4)
+    index = ivf_build(emb, n_centroids=16)
+    out = ivf_query(index, queries, k=10, n_probe=4)
     return (out.filter(F.col("rank") == 1)
             .select("query_id", "vec_id", "rank"))
 

@@ -21,6 +21,7 @@ from .pipeline import (
     conv_running_state,
     dedup_stream,
     extract_stream,
+    near_dup_detect_stream,
     read_transcripts_stream,
     turn_rates,
     write_extracted_stream,
@@ -30,6 +31,7 @@ __all__ = [
     "conv_running_state",
     "dedup_stream",
     "extract_stream",
+    "near_dup_detect_stream",
     "read_transcripts_stream",
     "turn_rates",
     "write_extracted_stream",

@@ -10,6 +10,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     IntegerType,
     LongType,
     StringType,
@@ -23,7 +24,123 @@ from ..sources.transcripts import TRANSCRIPTS_SCHEMA_DDL
 __all__ = [
     "read_transcripts_stream", "extract_stream", "conv_running_state",
     "turn_rates", "write_extracted_stream", "dedup_stream",
+    "near_dup_detect_stream",
 ]
+
+
+_NEAR_STATE_SCHEMA = StructType([
+    StructField("ids", ArrayType(LongType())),
+    StructField("sigs", ArrayType(LongType())),   # flattened k×num_perm
+])
+
+_NEAR_OUT_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("matched_old", LongType()),
+])
+
+
+def _make_band_state_fn(num_perm: int, threshold: float,
+                        ttl_ms: int):
+    """Per-(band_id, band_hash) stateful matcher: compare each arriving
+    doc's full MinHash signature against every signature previously
+    seen in this band bucket (and earlier rows of the same batch, in
+    (ts, doc_id) order — the same total order the batch keep-one
+    uses), emit (doc_id, matched_old) when agreement ≥ threshold,
+    then register the doc. State = the bucket's (id, signature) list —
+    8·(num_perm+1) bytes per member, never documents — expired by
+    event time one TTL past the bucket's newest member. Buckets are
+    small by LSH construction (hot template buckets belong to the
+    batch cap path), so the per-row list scan is bounded."""
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        if state.exists:
+            st_ids, st_flat = state.get
+            ids = list(st_ids)
+            sig_list = [np.asarray(st_flat[i * num_perm:(i + 1) * num_perm],
+                                   dtype=np.int64)
+                        for i in range(len(ids))]
+        else:
+            ids, sig_list = [], []
+        out_ids, out_match = [], []
+        max_ts_ms = None
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts", "doc_id"])
+            for row_id, row_ts, row_sig in zip(
+                    pdf["doc_id"].to_numpy(), pdf["ts"], pdf["sig"]):
+                s = np.asarray(row_sig, dtype=np.int64)
+                if ids:
+                    matches = [ids[j] for j, sl in enumerate(sig_list)
+                               if (sl == s).mean() >= threshold]
+                    if matches:
+                        out_ids.append(int(row_id))
+                        out_match.append(int(min(matches)))
+                ids.append(int(row_id))
+                sig_list.append(s)
+                ts_ms = int(pd.Timestamp(row_ts).value // 10**6)
+                max_ts_ms = (ts_ms if max_ts_ms is None
+                             else max(max_ts_ms, ts_ms))
+        flat = ([int(v) for sl in sig_list for v in sl]
+                if sig_list else [])
+        state.update((ids, flat))
+        if max_ts_ms is not None:
+            # one TTL past the newest member, but never at-or-behind
+            # the current watermark (Spark rejects past timeouts)
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(max_ts_ms + ttl_ms, wm + 1))
+        if out_ids:
+            yield pd.DataFrame({"doc_id": out_ids,
+                                "matched_old": out_match})
+
+    return fn
+
+
+def near_dup_detect_stream(sdf: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", ts_col: str = "ts",
+                           threshold: float = 0.8, num_perm: int = 64,
+                           bands: int = 16, shingle_k: int = 5,
+                           watermark: str = "10 minutes",
+                           state_ttl_ms: int = 600_000) -> DataFrame:
+    """Streaming MinHash near-dup detection — the streaming face of
+    the batch minhash dedup family. Emits one (doc_id, matched_old)
+    row per detected near-duplicate: the arriving doc whose signature
+    agrees ≥ ``threshold`` with an earlier doc sharing an LSH band
+    within the watermark horizon. Docs never emitted are novel — the
+    stream analogue of the batch keep-set (pytest pins byte-equality
+    on the same rows, tests/test_streaming.py).
+
+    Scale shape: the signature UDF is the identical Arrow-batch
+    function the batch path uses; banding is the shared JVM
+    band_struct_cols, so stream buckets are bit-identical to batch
+    buckets. State is per (band_id, band_hash) bucket and holds
+    (ids, signatures) only — 8·(num_perm+1) bytes per member, never
+    text — and expires by event time one horizon after the bucket's
+    newest member. A doc appearing in several shared buckets may be
+    reported by each; downstream consumers drop by distinct doc_id
+    (pairs output is idempotent under that distinct)."""
+    from ..operators.dedup import band_struct_cols, make_minhash_udf
+
+    udf = make_minhash_udf(num_perm=num_perm, shingle_k=shingle_k)
+    sig = sdf.select(F.col(id_col).alias("doc_id"),
+                     F.col(ts_col).alias("ts"),
+                     udf(F.col(text_col)).alias("sig"))
+    banded = (sig.select("doc_id", "ts", "sig",
+                         F.explode(F.array(
+                             *band_struct_cols("sig", num_perm, bands)))
+                         .alias("bk"))
+              .select("doc_id", "ts", "sig", "bk.band_id", "bk.band_hash"))
+    return (banded.withWatermark("ts", watermark)
+            .groupBy("band_id", "band_hash")
+            .applyInPandasWithState(
+                _make_band_state_fn(num_perm, threshold, state_ttl_ms),
+                outputStructType=_NEAR_OUT_SCHEMA,
+                stateStructType=_NEAR_STATE_SCHEMA,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.EventTimeTimeout))
 
 
 def dedup_stream(sdf: DataFrame, watermark: str = "10 minutes",

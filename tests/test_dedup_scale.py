@@ -337,6 +337,37 @@ def test_ivf_topk_self_and_recall(spark):
     assert recall >= 0.5, recall
 
 
+def test_ivf_index_reusable_no_corpus_udf_on_probe(spark, tmp_path):
+    """The two-step API: build once, probe many — a second query run
+    must not re-run the assignment UDF over the corpus. With a
+    parquet-backed index this is structural (the corpus side of the
+    probe plan is a parquet scan of precomputed (id, cv, cell)); the
+    only Python stage left is the tiny query side's probe-cell UDF."""
+    from htmlparser_spark.operators.similarity import ivf_build, ivf_query
+
+    rng = np.random.RandomState(31)
+    n, d = 200, 16
+    M = rng.randn(n, d)
+    corpus = spark.createDataFrame(
+        [(i, M[i].astype(np.float32).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    index = ivf_build(corpus, n_centroids=8,
+                      path=str(tmp_path / "ivf_idx"))
+    for _ in range(2):                      # second run = repeat probe
+        out = ivf_query(index, queries, k=5, n_probe=3)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # exactly one Python stage: the query-side probe-cell UDF
+        assert plan.count("ArrowEvalPython") == 1
+        # corpus side = parquet scan of the precomputed assignment
+        assert any("FileScan parquet" in ln and "cell" in ln
+                   for ln in plan.splitlines())
+        rows = out.collect()
+        assert {r.query_id: r.vec_id for r in rows if r.rank == 1} \
+            == {q: q for q in range(4)}
+
+
 def test_curate_corpus_near_dedup_keep_one(spark):
     """Full curation with near-dedup: quality gates drop junk, exact
     dedup keeps min id, near-dup components collapse to one survivor."""

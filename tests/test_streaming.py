@@ -137,3 +137,57 @@ def test_watermarked_turn_rates_plans(spark, input_dir):
     assert spark.table("rates").columns == ["window", "role",
                                             "n_turns", "n_bytes"]
     spark.catalog.dropTempView("rates")
+
+
+def test_stream_near_dup_matches_batch_keepset(spark, tmp_path):
+    """Streaming MinHash band-state dedup vs the batch dedup family:
+    a stream with planted near-dups (exact copies + one-word-appended
+    copies) must drop exactly the docs the batch minhash_dedup_pairs
+    keep-one would drop on the same rows — the drop sets (and hence
+    the keep sets) are byte-equal. Stream arrival order == id order
+    (ts increases with doc_id), matching the batch min-id keep rule;
+    two input files + maxFilesPerTrigger=1 force the near-dup pairs
+    to be detected ACROSS micro-batches, through the band state."""
+    import pandas as pd
+
+    from htmlparser_spark.operators.dedup import minhash_dedup_pairs
+    from htmlparser_spark.streaming import near_dup_detect_stream
+
+    base = [(i, f"unique document number {i} carrying words alpha{i} "
+                f"beta{i} gamma{i} delta{i} epsilon{i} zeta{i} eta{i}")
+            for i in range(30)]
+    copies = [(100 + i, base[i][1]) for i in range(0, 30, 3)]
+    tails = [(200 + i, base[i][1] + " tail") for i in range(0, 30, 5)]
+    rows = base + copies + tails
+    ts0 = pd.Timestamp("2026-01-01")
+    pdf = pd.DataFrame({
+        "doc_id": [r[0] for r in rows],
+        "text": [r[1] for r in rows],
+        "ts": [(ts0 + pd.Timedelta(seconds=float(r[0])))
+               for r in rows]})
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "in"
+    d.mkdir()
+    pdf.iloc[:30].to_parquet(d / "part-0.parquet", index=False)
+    pdf.iloc[30:].to_parquet(d / "part-1.parquet", index=False)
+
+    sdf = (spark.readStream
+           .schema("doc_id long, text string, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = near_dup_detect_stream(sdf, threshold=0.5, watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("neardup")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    stream_dropped = {r.doc_id for r in spark.sql(
+        "select distinct doc_id from neardup").collect()}
+    spark.catalog.dropTempView("neardup")
+
+    batch = spark.createDataFrame(pdf[["doc_id", "text"]])
+    pairs = minhash_dedup_pairs(batch, threshold=0.5, parallelism=4)
+    batch_dropped = {r.id_b for r in pairs.collect()}
+    assert stream_dropped == batch_dropped
+    all_ids = set(pdf["doc_id"])
+    assert (all_ids - stream_dropped) == (all_ids - batch_dropped)
+    # every planted dup was caught, every base doc kept
+    assert {r[0] for r in copies + tails} <= stream_dropped
+    assert stream_dropped.isdisjoint({r[0] for r in base})
