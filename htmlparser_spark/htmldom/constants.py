@@ -75,6 +75,31 @@ RE_HAS_NONSPACE = re.compile(r"[^ \t\n\f\r]")     # "not all-whitespace" check
 RE_COLLAPSE = re.compile(r"[ \f\n\r\t\v]+")       # serializer collapse runs
 RE_NEEDS_COLLAPSE = re.compile(r"[\f\n\r\t\v]|  ")  # anything sub would change
 
+# One-shot matcher for the dominant well-formed ATTRIBUTE TAIL shape
+# (everything between the tag name and '>'):
+#   ( SP+ attr ( ="dq" | ='sq' | =unquoted )? )*  SP*  /?  >
+# matched in a single precompiled regex instead of ~4 scanner steps
+# per attribute. Tried only when the name terminator is whitespace —
+# bare `<p>` / `</div>` tags keep their one-search path untouched.
+# Anything the regex cannot express falls back to the exact state
+# machinery (_scan_attrs), keeping every verified quirk byte-identical:
+# - \x00 excluded from every class -> NUL translation stays slow-path;
+# - unquoted values may not START with a quote (a quote there means a
+#   QUOTED value in the state machine, incl. its EOF-drop semantics);
+# - attr items require real tokenizer whitespace between them, so
+#   '/'-separated attrs, '= v' spacing, and '/ >' spacing fall back;
+# - character classes mirror RE_ATTRNAME_END / RE_UNQUOTED_END exactly
+#   (note: '/' is legal inside unquoted values).
+RE_FAST_ATTRS_TAIL = re.compile(
+    r"((?:[ \t\n\f\r]+[^ \t\n\f\r=/>\x00]+"
+    r"(?:=\"[^\"\x00]*\"|='[^'\x00]*'"
+    r"|=[^ \t\n\f\r>\x00'\"][^ \t\n\f\r>\x00]*)?)*)"
+    r"[ \t\n\f\r]*(/?)>")
+RE_FAST_ATTR = re.compile(
+    r"[ \t\n\f\r]+([^ \t\n\f\r=/>\x00]+)"
+    r"(?:=\"([^\"\x00]*)\"|='([^'\x00]*)'"
+    r"|=([^ \t\n\f\r>\x00'\"][^ \t\n\f\r>\x00]*))?")
+
 
 def ascii_lower(s: str) -> str:
     """ASCII-only lowercase (C-locale tolower semantics)."""

@@ -43,6 +43,8 @@ from .constants import (
     NUL_TABLE,
     RAWTEXT_TAGS,
     RE_ATTRNAME_END,
+    RE_FAST_ATTR,
+    RE_FAST_ATTRS_TAIL,
     RE_NAME_END,
     RE_NONSPACE,
     RE_RAWNAME,
@@ -157,6 +159,15 @@ def _scan_tag(s: str, i: int, n: int):
     Returns ``(name, attrs, self_closing, next_i)`` or None on EOF
     (tag dropped). Covers reference state tag_name (html.cpp:704-719)
     plus the attribute states via _scan_attrs.
+
+    Fast path: when the name terminator is whitespace (attributes may
+    follow), RE_FAST_ATTRS_TAIL consumes the whole well-formed
+    attribute tail in one regex step; its classes are constructed so
+    that every input it accepts gets the IDENTICAL result from the
+    state machinery below (see constants.py), and anything
+    quirk-adjacent (NULs, '= v' spacing, '/'-separated attrs,
+    unterminated quotes) fails the match and takes the exact slow
+    path. Bare tags keep the original single-search path.
     """
     m = RE_NAME_END.search(s, i)
     if m is None:
@@ -177,6 +188,26 @@ def _scan_tag(s: str, i: int, n: int):
             return name, attrs, True, i + 1
         emitted, i, sc = _scan_attrs(s, i, n, attrs)
     else:
+        fm = RE_FAST_ATTRS_TAIL.match(s, i)
+        if fm is not None:
+            astr = fm.group(1)
+            if astr:
+                for am in RE_FAST_ATTR.finditer(astr):
+                    k = am.group(1)
+                    if not k.islower():
+                        k = k.translate(LOWER_NUL_TABLE)
+                    v = am.group(2)
+                    if v is None:
+                        v = am.group(3)
+                        if v is None:
+                            v = am.group(4)
+                    if v is None:
+                        attrs.setdefault(k, "")
+                    elif k in attrs:
+                        attrs[k] += v
+                    else:
+                        attrs[k] = v
+            return name, attrs, fm.group(2) == "/", fm.end()
         emitted, i, sc = _scan_attrs(s, i + 1, n, attrs)
     if not emitted:
         return None
@@ -331,14 +362,18 @@ def _scan_bogus(s: str, content_from: int, scan_from: int, n: int):
     """Bogus comment: everything to '>' with NUL->'_' (html.cpp:894-903).
 
     ``content_from < scan_from`` for the ``<!x`` entry, where the first
-    char is consumed unconditionally (even '>') before the scan starts.
+    char is consumed unconditionally (even '>') before the scan starts —
+    and consumed RAW: markup_dec_open appends it without the NUL check
+    (html.cpp:922), so only chars consumed IN the bogus_comment state
+    get NUL->'_'. Observable in ``<!\\x00``: content is a raw NUL.
     """
+    raw_head = s[content_from:scan_from]
     j = s.find(">", scan_from)
-    if j < 0:
-        seg = s[content_from:]
-        return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), n, False
-    seg = s[content_from:j]
-    return (seg.translate(NUL_TABLE) if "\x00" in seg else seg), j + 1, True
+    end = n if j < 0 else j
+    seg = s[scan_from:end]
+    if "\x00" in seg:
+        seg = seg.translate(NUL_TABLE)
+    return raw_head + seg, (n if j < 0 else j + 1), j >= 0
 
 
 def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):

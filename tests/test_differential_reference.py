@@ -99,7 +99,10 @@ def gen_doc(rng: random.Random) -> str:
             parts.append(rng.choice(
                 ["<!DOCTYPE html>", "<!doctype x y>", "<!DOCTYPE>",
                  "<!DOCTYPE html PUBLIC \"x\">", "<!DOC>", "<!x y>", "<?php ?>",
-                 "<? >", "</ x>", "</>"]))
+                 "<? >", "</ x>", "</>",
+                 # first bogus char consumed RAW by markup_dec_open
+                 # (html.cpp:922) vs NUL->'_' inside bogus_comment
+                 "<!\x00", "<!\x00y>", "<!y\x00z>", "</\x00x>"]))
         elif r < 0.93:
             parts.append(rng.choice(
                 ["<script>var a=1;</script>", "<script>if(a</b>){}</script>",
