@@ -122,12 +122,21 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
                      manifest_path: str, n_buckets: int = 64,
                      run_id: str = "run-0", key_col: str = "conv_id",
                      extract_kwargs: Optional[dict] = None,
-                     cluster_write: bool = True) -> list:
+                     cluster_write: bool = True,
+                     max_buckets: Optional[int] = None) -> list:
     """Full checkpointed pipeline: bucket → resume-filter → extract →
     write(partitionBy bucket, dynamic overwrite) → lineage append.
     Returns the lineage rows of THIS run as a driver-side list of Rows
     (partition_id, n_rows, content_hash, run_id); empty if nothing to
-    do. The list is bounded by n_buckets, so driver-side is safe."""
+    do. The list is bounded by n_buckets, so driver-side is safe.
+
+    ``max_buckets`` commits at most that many (lowest-id) uncommitted
+    buckets this run — the commit boundary a mid-job failure leaves
+    behind (the manifest append IS the per-run commit, so "died after
+    k buckets were committed" is exactly "a run restricted to k
+    buckets completed, then the process died"). The scaling bench's
+    kill-resume mode uses it to assert a resumed run processes ONLY
+    the missing buckets and converges to a byte-identical manifest."""
     import time
 
     from .extract import extract_transcripts
@@ -151,6 +160,10 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         todo = bucketed.filter(~F.col("partition_id").isin(done))
         if len(set(done)) >= n_buckets:
             return []
+    if max_buckets is not None:
+        undone = [b for b in range(n_buckets)
+                  if not done or b not in set(done)][:max_buckets]
+        todo = todo.filter(F.col("partition_id").isin(undone))
     # empty-input guard runs UNCONDITIONALLY (not only on resume): a
     # first run over zero rows must no-op, not write an empty dataset
     # and then fail re-reading it for lineage (a scheduled incremental
@@ -166,9 +179,15 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         # the dynamic-overwrite commit stays O(n_buckets) as the
         # cluster grows. sortWithinPartitions makes each bucket file
         # (conv_id, turn_idx)-sorted — deterministic layout, ordered
-        # consumer reads, better parquet encoding.
-        out = out.repartition(n_buckets, "partition_id") \
-            .sortWithinPartitions("partition_id", "conv_id", "turn_idx")
+        # consumer reads, better parquet encoding. The sort is
+        # skippable (HTMLPARSER_SORT_BUCKETS=0): the write stage is
+        # memory-bandwidth-bound at high local parallelism, and the
+        # sorted layout is a consumer nicety, not a correctness
+        # requirement (lineage hashes are order-insensitive).
+        out = out.repartition(n_buckets, "partition_id")
+        if os.environ.get("HTMLPARSER_SORT_BUCKETS", "1") != "0":
+            out = out.sortWithinPartitions(
+                "partition_id", "conv_id", "turn_idx")
     out.write.mode("overwrite").partitionBy("partition_id") \
         .parquet(output_path)
     mark("extract+write")

@@ -27,11 +27,35 @@ from pyspark.sql import functions as F
 from ..kernel import extract_text
 
 __all__ = ["extract_transcripts", "salted_repartition",
-           "order_turns_scalable"]
+           "order_turns_scalable", "bucket_offsets"]
+
+
+def bucket_offsets(df: DataFrame,
+                   bucket_width: int = 1 << 20) -> DataFrame:
+    """(conv_id, _bk, _off): rank offset of each (conversation,
+    turn-bucket) = turns in that conversation's earlier buckets.
+
+    Built from a NARROW (conv_id, turn_idx) projection: the count is a
+    map-side-combined aggregate and the cumulative window runs over
+    the tiny per-conv bucket-count rows (≤ max_turn_idx/bucket_width
+    per conversation), so this subtree costs a pruned column scan —
+    crucially it does NOT contain the parse kernel, so feeding it the
+    PRE-kernel input keeps the expensive Python stage out of the
+    offsets branch entirely (see extract_transcripts)."""
+    bucket = F.floor(F.col("turn_idx") / F.lit(bucket_width))
+    counts = (df.select("conv_id", bucket.alias("_bk"))
+              .groupBy("conv_id", "_bk")
+              .agg(F.count("*").alias("_cnt")))
+    w_off = (Window.partitionBy("conv_id").orderBy("_bk")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    return (counts.withColumn(
+        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+        .select("conv_id", "_bk", "_off"))
 
 
 def order_turns_scalable(df: DataFrame, bucket_width: int = 1 << 20,
-                         out_col: str = "turn_seq") -> DataFrame:
+                         out_col: str = "turn_seq",
+                         offsets: DataFrame | None = None) -> DataFrame:
     """Mega-conversation-safe turn_seq: a two-phase distributed rank.
 
     The plain ``Window.partitionBy(conv_id).orderBy(turn_idx)`` puts an
@@ -41,11 +65,19 @@ def order_turns_scalable(df: DataFrame, bucket_width: int = 1 << 20,
     1. local rank within (conv_id, bucket) where bucket =
        floor(turn_idx / bucket_width) — each task holds at most one
        bucket's turns, so no conversation ever serializes;
-    2. per-bucket offsets: one COUNT row per (conv_id, bucket) (tiny —
-       ≤ max_turn_idx/bucket_width rows per conv), cumulative-summed by
-       a window whose partitions are those tiny per-conv row sets,
-       then joined back on (conv_id, bucket) — co-partitioned with
-       phase 1's exchange, so the join reuses the shuffle.
+    2. per-bucket offsets (bucket_offsets) joined back on
+       (conv_id, bucket). The offsets side is tiny, so AQE broadcasts
+       the join at any realistic conv count; at extreme conv
+       cardinality it degrades to a sort-merge join that reuses phase
+       1's (conv_id, _bk) partitioning on the big side.
+
+    Pass ``offsets`` computed from a CHEAP upstream frame whenever
+    ``df`` itself is expensive (e.g. the post-kernel extraction):
+    Catalyst plans the offsets branch as a separate subtree, so
+    deriving it from ``df`` would re-execute df's whole plan —
+    measured as a 2× pipeline cost when df contains the parse kernel
+    (the round-2 two_phase regression). extract_transcripts therefore
+    feeds it the pre-kernel input projection.
 
     turn_seq equals the plain window's output whenever turn_idx is
     unique per conversation (the table's contract); with duplicate
@@ -55,15 +87,10 @@ def order_turns_scalable(df: DataFrame, bucket_width: int = 1 << 20,
     w_local = Window.partitionBy("conv_id", "_bk").orderBy("turn_idx")
     local = (df.withColumn("_bk", bucket)
              .withColumn("_lr", F.row_number().over(w_local)))
-    counts = (local.groupBy("conv_id", "_bk")
-              .agg(F.max("_lr").alias("_cnt")))
-    w_off = (Window.partitionBy("conv_id").orderBy("_bk")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = counts.withColumn(
-        "_off", F.coalesce(F.sum("_cnt").over(w_off), F.lit(0)))
+    if offsets is None:
+        offsets = bucket_offsets(df, bucket_width)
     return (local
-            .join(offsets.select("conv_id", "_bk", "_off"),
-                  ["conv_id", "_bk"])
+            .join(offsets, ["conv_id", "_bk"])
             .withColumn(out_col,
                         (F.col("_off") + F.col("_lr")).cast("int"))
             .drop("_bk", "_lr", "_off"))
@@ -120,11 +147,19 @@ def extract_transcripts(df: DataFrame, *, strip: bool = True,
     out = df
     if repartition:
         out = salted_repartition(out, num_partitions)
+    # two_phase offsets come from the PRE-kernel input: the branch is
+    # a pruned (conv_id, turn_idx) scan + tiny aggregate, so the parse
+    # kernel stays out of it (deriving offsets from the extracted
+    # frame would re-run the kernel — Catalyst plans the branch as a
+    # separate subtree and ReuseExchange does not fire across
+    # mapInPandas stages; measured 2× pipeline cost).
+    offsets = bucket_offsets(df) if (order and order_impl == "two_phase") \
+        else None
     out = extract_text(out, text_col="text", strip=strip,
                        include_raw=include_raw, drop_text=not keep_text)
     if order:
         if order_impl == "two_phase":
-            out = order_turns_scalable(out)
+            out = order_turns_scalable(out, offsets=offsets)
         else:
             w = Window.partitionBy("conv_id").orderBy("turn_idx")
             out = out.withColumn("turn_seq", F.row_number().over(w))

@@ -65,6 +65,14 @@ def main(argv=None) -> int:
                          "mega-conversation-safe distributed rank")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic turns instead of --input")
+    ap.add_argument("--kill-after-bucket", type=int, default=None,
+                    metavar="K",
+                    help="failure-injection mode: commit only the first"
+                         " K uncommitted buckets, then die hard"
+                         " (os._exit, no spark.stop) — simulates a job"
+                         " killed right after the manifest commit; a"
+                         " plain re-run must resume the remaining"
+                         " buckets")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
     if not args.input and not args.synthetic:
@@ -76,6 +84,15 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("htmlparser-extract").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # 32 MB parquet rowgroups (vs the 128 MB default) unless the
+    # submitter set their own: with many concurrent writer tasks the
+    # rowgroup buffer is the write stage's live-memory driver, and the
+    # measured 16-writer allocation/GC storm at 128 MB cost ~20% of
+    # pipeline wall (BENCH/BASELINE.md). 32 MB keeps scan parallelism
+    # fine-grained at 100-TB scale too.
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    if hconf.get("parquet.block.size") is None:
+        hconf.setInt("parquet.block.size", 33554432)
     run_id = args.run_id or f"run-{int(time.time())}"
     if args.no_resume:
         import shutil
@@ -100,6 +117,7 @@ def main(argv=None) -> int:
     lineage = run_checkpointed(
         spark, df, args.output, args.checkpoint,
         n_buckets=args.buckets, run_id=run_id,
+        max_buckets=args.kill_after_bucket,
         extract_kwargs={"include_raw": not args.no_raw,
                         "num_partitions": args.partitions,
                         "order_impl": args.order_impl})
@@ -108,6 +126,12 @@ def main(argv=None) -> int:
     print(f"extract: run_id={run_id} buckets_done={len(lineage)} "
           f"rows={n_rows} wall={wall:.1f}s "
           f"turns_per_sec={(n_rows / wall) if wall > 0 else 0:.0f}")
+    if args.kill_after_bucket is not None:
+        # die HARD right after the commit: no spark.stop(), no JVM
+        # shutdown hooks — the next plain run must pick up from the
+        # manifest alone
+        sys.stdout.flush()
+        os._exit(137)
     spark.stop()
     return 0
 

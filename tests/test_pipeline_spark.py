@@ -186,3 +186,33 @@ def test_mega_text_roundtrip(spark):
     big = out.orderBy(F.length("extracted_text").desc()).first()
     assert big.n_nodes >= 32000  # 16k li + 16k text nodes + ul
     assert big.extracted_text.startswith("item text\nitem text")
+
+
+def test_kill_after_bucket_resume_matches_uninterrupted(spark, tmp_path):
+    """The failure-injection contract behind jobs/extract.py
+    --kill-after-bucket: a run restricted to the first K uncommitted
+    buckets (the state a hard kill right after the manifest commit
+    leaves behind), then a plain re-run, must together produce a
+    manifest byte-equal to an uninterrupted run's on
+    (partition_id, n_rows, content_hash)."""
+    df = generate_spark_df(spark, n_convs=20, n_turns=120, seed=13,
+                           mega_text=False)
+
+    ref_out, ref_man = str(tmp_path / "ro"), str(tmp_path / "rm")
+    ref = run_checkpointed(spark, df, ref_out, ref_man, n_buckets=4,
+                           run_id="ref",
+                           extract_kwargs={"include_raw": False})
+    ref_set = {(r.partition_id, r.n_rows, r.content_hash) for r in ref}
+
+    out, man = str(tmp_path / "ko"), str(tmp_path / "km")
+    killed = run_checkpointed(spark, df, out, man, n_buckets=4,
+                              run_id="k1", max_buckets=2,
+                              extract_kwargs={"include_raw": False})
+    assert {r.partition_id for r in killed} == {0, 1}
+    resumed = run_checkpointed(spark, df, out, man, n_buckets=4,
+                               run_id="k2",
+                               extract_kwargs={"include_raw": False})
+    assert {r.partition_id for r in resumed} == {2, 3}
+    got = {(r.partition_id, r.n_rows, r.content_hash)
+           for r in killed + resumed}
+    assert got == ref_set
