@@ -116,15 +116,31 @@ def main() -> int:
     results["extract_kernel_only"] = round(t_kernel, 3)
     tr.unpersist()
 
+    def bench_minhash(s, d):
+        # same planted corpus as the oracle query, but at the operator
+        # DEFAULT banding (16×4): the oracle query deliberately runs
+        # 32×2 for structural recall at the threshold (queries.py),
+        # which doubles band rows — the bench measures the production
+        # configuration, comparable with rounds 1-2
+        from htmlparser_spark.operators.dedup import minhash_dedup_pairs
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+        planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+        return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5,
+                                   exact_counts=True)
+
     aux = [
         ("dedup_exact", Q.q_dedup_exact),
-        ("minhash_pairs", Q.q_minhash_pairs),
+        ("minhash_pairs", bench_minhash),
         ("simhash_pairs", Q.q_simhash_pairs),
         ("ngram_jaccard", Q.q_ngram_jaccard),
         ("ann_brute_topk", Q.q_ann_brute_topk),
         ("ann_lsh_topk", Q.q_ann_lsh_topk),
         ("ann_ivf_topk", Q.q_ann_ivf_topk),
         ("dup_components", Q.q_dup_components),
+        ("dedup_incremental", Q.q_dedup_incremental),
         ("corpus_curation", Q.q_corpus_curation),
         ("bpe_token_count", Q.q_bpe_token_count),
         ("token_quality_lang",

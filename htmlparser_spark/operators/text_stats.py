@@ -138,43 +138,63 @@ _LANG_MARKERS = {
 _UNPADDED_LANGS = frozenset({"ja", "zh", "ko"})
 
 
-def _marker_hits(text: Column, word: str, padded: bool = True) -> Column:
-    """Occurrences of the marker in the lowercased text — replace-based
-    counting, identical semantics on Spark and DuckDB. Padded form
-    counts ' word ' in space-padded text (space-delimited scripts);
-    unpadded counts raw substring occurrences (zh/ja/ko)."""
-    if padded:
-        base = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
-        needle = f" {word} "
-        replacement, shrink = " ", len(needle) - 1
-    else:
-        base = F.lower(text)
-        needle, replacement, shrink = word, "", len(word)
+# explicit split class (== the shingle tokenizer's) so Java regex and
+# DuckDB RE2 byte-agree
+_LANG_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def _unpadded_hits(text: Column, word: str) -> Column:
+    """Raw substring occurrence count (zh/ja/ko markers) — replace-
+    based, identical semantics on Spark and DuckDB."""
+    base = F.lower(text)
     return ((F.length(base)
-             - F.length(F.replace(base, F.lit(needle), F.lit(replacement))))
-            / F.lit(shrink)).cast("long")
+             - F.length(F.replace(base, F.lit(word), F.lit(""))))
+            / F.lit(len(word))).cast("long")
 
 
-def _lang_score(text: Column, lang: str) -> Column:
+def _lang_score(toks: Column, text: Column, lang: str) -> Column:
+    """Marker hits for one language: the number of DISTINCT marker
+    words present (array_intersect over the ONE shared token array)
+    for space-delimited scripts, substring occurrence count for
+    zh/ja/ko. Distinct-marker counting is both the fast formulation
+    (array_intersect is a native codegen expression — a lambda
+    filter measured ~9× slower) and the more robust heuristic: one
+    repeated stopword cannot fake a language, min_hits=2 demands two
+    DIFFERENT markers."""
     words = _LANG_MARKERS[lang]
-    padded = lang not in _UNPADDED_LANGS
-    return sum((_marker_hits(text, w, padded) for w in words[1:]),
-               _marker_hits(text, words[0], padded))
+    if lang in _UNPADDED_LANGS:
+        return sum((_unpadded_hits(text, w) for w in words[1:]),
+                   _unpadded_hits(text, words[0]))
+    marker_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.array_intersect(toks, marker_arr)).cast("long")
 
 
 def lang_id_col(text: Column, min_hits: int = 2) -> Column:
     """Stopword-marker language guess across the top-20 web languages.
     Returns the language code with the most marker hits (ties broken
     by _LANG_MARKERS declaration order), or 'other' when the best
-    language has fewer than ``min_hits`` hits."""
-    scores = [(lang, _lang_score(text, lang)) for lang in _LANG_MARKERS]
-    best_score = F.greatest(*[s for _, s in scores])
-    result = F.lit("other")
-    # build reversed so earlier languages win ties
-    for lang, s in reversed(scores):
-        result = F.when((s == best_score) & (best_score >= min_hits),
-                        F.lit(lang)).otherwise(result)
-    return result
+    language has fewer than ``min_hits`` hits.
+
+    Plan shape: the text is lowercased and whitespace-tokenized ONCE;
+    each space-delimited language then scores with a single array
+    filter pass — 17 array passes + 15 scalar replaces total, instead
+    of the 85 padded full-string replaces of the naive formulation
+    (which was ~6× slower at 20 languages). The winner is picked by
+    materializing the 20 scores into ONE array and taking
+    array_position(scores, array_max(scores)) — first index wins, i.e.
+    declaration-order tie-break — rather than a nested CASE chain,
+    which re-inlined every score expression into every branch and
+    cost ~9 s of Janino codegen compilation alone. All codegen, no
+    Python."""
+    toks = F.split(F.lower(text), _LANG_SPLIT_RE)
+    langs = list(_LANG_MARKERS)
+    score_arr = F.array(*[_lang_score(toks, text, lang)
+                          for lang in langs])
+    best = F.array_max(score_arr)
+    idx = F.array_position(score_arr, best).cast("int")
+    lang_arr = F.array(*[F.lit(lang) for lang in langs])
+    return F.when(best >= F.lit(min_hits),
+                  F.element_at(lang_arr, idx)).otherwise(F.lit("other"))
 
 
 def with_lang_id(df: DataFrame, text_col: str = "text",

@@ -651,18 +651,23 @@ def _sha_feat_u32_sql() -> str:
 
 
 def _lang_hits_sql(words, padded: bool = True) -> str:
+    """DuckDB replica of text_stats._lang_score: token-equality count
+    over the shared whitespace tokenization for space-delimited
+    scripts, substring replace-count for zh/ja/ko."""
+    if padded:
+        # distinct markers present — list_distinct before the filter
+        # replicates Spark array_intersect's set semantics exactly
+        toks = ("string_split_regex(lower(text), "
+                "'[ \\t\\n\\x0b\\f\\r]+')")
+        in_list = ", ".join(f"'{w}'" for w in words)
+        return (f"CAST(len(list_filter(list_distinct({toks}), "
+                f"x -> x IN ({in_list}))) AS BIGINT)")
     terms = []
     for w in words:
-        if padded:
-            needle, repl, shrink = f" {w} ", " ", len(w) + 1
-            base = "(' ' || lower(text) || ' ')"
-        else:
-            needle, repl, shrink = w, "", len(w)
-            base = "lower(text)"
         terms.append(
-            f"(length({base}) - "
-            f"length(replace({base}, '{needle}', '{repl}'))) "
-            f"// {shrink}")
+            f"(length(lower(text)) - "
+            f"length(replace(lower(text), '{w}', ''))) "
+            f"// {len(w)}")
     return "(" + " + ".join(terms) + ")"
 
 
