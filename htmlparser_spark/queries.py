@@ -581,6 +581,23 @@ def q_frame_sample(spark, sf_dir):
                       F.length("frame_blob").cast("long").alias("n_bytes"))
 
 
+def q_image_decode_real(spark, sf_dir):
+    """REAL image decode: synthesize an actual binary-PPM file per doc
+    (header + raw RGB, pixel byte i = (id*7+31*i)%256), then parse the
+    format for real — header tokenizer, stride math, channel split —
+    and emit integer witnesses (width, height, per-channel sums). The
+    oracle replays the generation arithmetic; the Spark side never
+    sees the formula, only the bytes, so a green row certifies the
+    decoder reads the actual byte layout."""
+    from .operators.multimodal import decode_image_pixels, synth_ppm_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synth_ppm_blob(docs)
+    return decode_image_pixels(media).select(
+        "doc_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b")
+
+
 # ---- oracle SQL builders for the dedup / fingerprint / media ops ----
 
 # DuckDB replica of dedup._shingle_array_expr's tokenizer: identical
@@ -899,6 +916,17 @@ ORACLES["multimodal_decode"] = (
     f"{_sha_feat_u32_sql()} AS feat_u32 "
     "FROM (SELECT doc_id, sha256(text) AS sha FROM documents) "
     "CROSS JOIN UNNEST(range(8)) AS u(i)")
+# replay of synth_ppm_blob's pixel arithmetic: channel c sum =
+# Σ_{i≡c (mod 3)} (id*7 + 31i) mod 256 over the w*h*3 pixel bytes
+ORACLES["image_decode_real"] = (
+    "SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) "
+    "AS height, "
+    + ", ".join(
+        f"CAST(list_sum([(doc_id*7 + 31*i) % 256 "
+        f"for i in range(w*h*3) if i % 3 = {c}]) AS BIGINT) AS sum_{ch}"
+        for c, ch in enumerate("rgb"))
+    + " FROM (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h "
+    "FROM documents)")
 ORACLES["frame_sample"] = (
     "WITH s AS (SELECT doc_id, nb, greatest(1, nb // nf) AS step, nf "
     "FROM (SELECT doc_id, nb, greatest(1, least(4, nb // 64)) AS nf "
@@ -950,4 +978,6 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "frame_sample": q_frame_sample,
+    # round 3: real format decode + curation additions
+    "image_decode_real": q_image_decode_real,
 }
