@@ -1,0 +1,111 @@
+"""Deterministic sampling, domain-budget selection, and sequence
+packing — the selection layer of a training-data pipeline.
+
+Everything keys off ONE portable hash: the first 8 hex digits of
+md5(key || salt) read as a uint32. md5-of-UTF-8 is identical in every
+engine (Spark, DuckDB, Python hashlib), so a sample drawn here is
+reproducible bit-for-bit by any other system — unlike xxhash64, whose
+seed/variant differs across libraries. The hash also serves as the
+global shuffle order, which makes every operator below independent of
+input partitioning and cluster size: the same corpus sampled on 8 or
+8000 executors selects the same documents.
+
+Scale notes (100 TB):
+- ``sample_by_hash`` is a pure filter — no shuffle at all, evaluated
+  in the scan stage.
+- ``pack_sequences`` / ``take_token_budget`` use ONE window each,
+  partitioned by pack-bucket / domain respectively — thousands of
+  independent partitions, no global ordering bottleneck. Rows carry
+  (id, hash, token count) only; documents themselves never shuffle —
+  join the assignment back by id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text_stats import token_count_col
+
+__all__ = ["hash_u32_col", "sample_by_hash", "pack_sequences",
+           "take_token_budget"]
+
+
+def hash_u32_col(key: Column, salt: str = "") -> Column:
+    """uint32 from the first 8 hex digits of md5(key || salt) —
+    portable across engines (see module docstring)."""
+    h = F.md5(F.encode(F.concat(key.cast("string"), F.lit(salt)), "UTF-8"))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+
+
+def sample_by_hash(df: DataFrame, key_col: str = "doc_id",
+                   rate_pct: int = 10, salt: str = "") -> DataFrame:
+    """Keep ~rate_pct% of rows, deterministically: hash % 100 <
+    rate_pct. A filter, not a sampler state machine — no shuffle,
+    evaluated at scan, and re-running (any cluster size, any
+    partitioning) selects the exact same rows. Vary ``salt`` for
+    independent draws."""
+    return df.filter(hash_u32_col(F.col(key_col), salt) % 100
+                     < F.lit(int(rate_pct)))
+
+
+def pack_sequences(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", budget: int = 2048,
+                   n_buckets: int = 64, salt: str = "",
+                   token_col: str | None = None) -> DataFrame:
+    """Assign each document to a training shard of ~``budget`` tokens.
+
+    Offset-based packing: documents are ordered by (hash, id) inside
+    ``n_buckets`` hash buckets; within a bucket, a document whose
+    token prefix-sum starts in shard k belongs to shard k (a document
+    may overflow its shard by at most its own length — the standard
+    streaming-pack tradeoff, vs bin-packing which is not stable under
+    growth). Output: (id, n_tokens, bucket, shard, pos) — tiny rows;
+    join back by id to materialize shards.
+
+    One window, partitioned by bucket: at 100 TB that is n_buckets
+    independent sorts of (hash, id, count) triples, no global order.
+    Raise n_buckets with corpus size to bound per-partition rows.
+    """
+    tok = (F.col(token_col) if token_col
+           else token_count_col(F.col(text_col))).cast("long")
+    h = hash_u32_col(F.col(id_col), salt)
+    base = df.select(F.col(id_col), tok.alias("n_tokens"), h.alias("_h"),
+                     (h % n_buckets).alias("bucket"))
+    w = Window.partitionBy("bucket").orderBy("_h", id_col)
+    cum = F.sum("n_tokens").over(w)
+    shard = F.floor((cum - F.col("n_tokens")) / budget).cast("long")
+    out = base.select(id_col, "n_tokens", "bucket",
+                      shard.alias("shard"), cum.alias("_cum"))
+    w2 = Window.partitionBy("bucket", "shard").orderBy("_cum")
+    return out.select(id_col, "n_tokens",
+                      F.col("bucket").cast("long").alias("bucket"),
+                      "shard",
+                      F.row_number().over(w2).cast("long").alias("pos"))
+
+
+def take_token_budget(df: DataFrame, domain_col: str, budget: int,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      salt: str = "",
+                      token_col: str | None = None) -> DataFrame:
+    """Domain-mix selection: per domain, keep documents in hash order
+    until the domain's token budget is spent (a document is kept iff
+    its INCLUSIVE prefix sum fits). The hash order makes the kept set
+    a uniform random-looking but deterministic subset per domain.
+
+    One window partitioned by domain — independent per-domain sorts,
+    no cross-domain shuffle. Skewed domains: rows are (id, hash,
+    count) only; a 10⁹-document domain sorts 24-byte rows, and the
+    budget cut usually prunes far earlier via the filter pushed below
+    the join-back.
+    """
+    tok = (F.col(token_col) if token_col
+           else token_count_col(F.col(text_col))).cast("long")
+    h = hash_u32_col(F.col(id_col), salt)
+    base = df.select(F.col(id_col), F.col(domain_col), tok.alias("n_tokens"),
+                     h.alias("_h"))
+    w = Window.partitionBy(domain_col).orderBy("_h", id_col)
+    cum = F.sum("n_tokens").over(w)
+    return (base.withColumn("cum_tokens", cum)
+            .filter(F.col("cum_tokens") <= budget)
+            .drop("_h"))

@@ -29,6 +29,7 @@ __all__ = [
     "quality_counts", "quality_score_col",
     "lang_id_col", "with_lang_id",
     "fingerprint_md5_col", "rolling_hash_udf",
+    "repetition_stats", "redact_pii", "PII_PATTERNS",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -229,3 +230,89 @@ def rolling_hash_udf(texts: pd.Series) -> pd.Series:
             np.cumprod(pw, out=pw)          # pw[i] = BASE^i mod 2^64
             out[i] = np.uint64((b * pw[::-1]).sum())
     return pd.Series(out.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Repetition statistics (Gopher-style quality rules, Rae et al. 2021,
+# arXiv:2112.11446 §A1.1) — integer witnesses so the thresholds
+# ("drop if >30% of lines are duplicates") are float-free and an
+# external SQL engine reproduces them bit-for-bit.
+# ---------------------------------------------------------------------------
+
+def _arr_char_sum(arr: Column) -> Column:
+    z = F.lit(0).cast("long")
+    return F.aggregate(arr, z, lambda a, x: a + F.length(x))
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition witnesses, 100% whole-stage codegen
+    (array higher-order functions — no shuffle, no Python):
+
+    - n_lines / n_dup_lines: '\\n'-split lines; dup = excess
+      occurrences beyond the first (Gopher "duplicate line fraction"
+      numerator/denominator);
+    - dup_line_chars: characters inside those excess occurrences
+      (Gopher "duplicate line character fraction");
+    - n_bigrams / top_bigram_count: word-bigram total and the count of
+      the most frequent bigram (Gopher "top n-gram fraction"). The
+      max-run scan over the SORTED bigram array is O(n log n) per doc
+      — at 100 TB this matters vs the O(n²) count-each-distinct
+      formulation, which is left to test oracles only.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, "\n")
+    dlines = F.array_distinct(lines)
+    toks = F.split(F.trim(t), "[ \t\n\x0b\f\r]+")
+    n_toks = F.size(toks)
+    bigrams = F.array_sort(F.zip_with(
+        F.slice(toks, 1, F.greatest(n_toks - 1, F.lit(0))),
+        F.slice(toks, 2, F.greatest(n_toks - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b)))
+    z = F.lit(0).cast("long")
+    # longest equal-run in the sorted array == max bigram multiplicity
+    acc0 = F.struct(F.lit("\x00").alias("prev"), z.alias("run"),
+                    z.alias("best"))
+    run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(
+        F.lit(1).cast("long"))
+    top = F.aggregate(
+        bigrams, acc0,
+        lambda acc, x: F.struct(x.alias("prev"), run(acc, x).alias("run"),
+                                F.greatest(acc.best, run(acc, x))
+                                .alias("best")),
+        lambda acc: acc.best)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("long").alias("n_lines"),
+        (F.size(lines) - F.size(dlines)).cast("long").alias("n_dup_lines"),
+        (_arr_char_sum(lines) - _arr_char_sum(dlines)).alias("dup_line_chars"),
+        F.greatest(n_toks - 1, F.lit(0)).cast("long").alias("n_bigrams"),
+        top.alias("top_bigram_count"))
+
+
+# ---------------------------------------------------------------------------
+# PII redaction — regex classes written backreference-free so Java
+# regex (Spark) and RE2 (DuckDB oracle / Go|Rust scrubbers) agree on
+# every match. Applied in a fixed order (email → phone → ipv4) so the
+# classes cannot partially consume each other's matches.
+# ---------------------------------------------------------------------------
+
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("phone", r"\+\d{1,2}[- ]\d{3}[- ]\d{3}[- ]\d{4}", "<PHONE>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+)
+
+
+def redact_pii(df: DataFrame, text_col: str = "text",
+               out_col: str = "text_redacted") -> DataFrame:
+    """Redact emails / phone numbers / IPv4 literals, keeping per-class
+    match counts. Pure codegen (regexp_count + chained regexp_replace)
+    — the 100-TB cost is one scan, no shuffle, no Python."""
+    red = F.col(text_col)
+    counts = []
+    for name, pat, token in PII_PATTERNS:
+        counts.append(F.regexp_count(red, F.lit(pat)).cast("long")
+                      .alias(f"n_{name}"))
+        red = F.regexp_replace(red, pat, token)
+    return df.select("*", *counts).withColumn(out_col, red)

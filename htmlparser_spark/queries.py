@@ -598,6 +598,66 @@ def q_image_decode_real(spark, sf_dir):
         "sum_r", "sum_g", "sum_b")
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition witnesses over a corpus with planted
+    repeated lines (each doc becomes 4 lines: text, text again, a
+    40-char prefix twice), so dup-line counts are non-trivially
+    exercised; the oracle replays the same construction and counts
+    with O(n²) list ops (fine at oracle scale — the Spark side is the
+    O(n log n) sorted-run scan)."""
+    from .operators.text_stats import repetition_stats
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat_ws("\n", "text", "text",
+                    F.substring("text", 1, 40),
+                    F.substring("text", 1, 40)).alias("text"))
+    return repetition_stats(planted)
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub over planted emails/phones/IPs appended to each doc.
+    Redaction + per-class counts are chained regex codegen; the oracle
+    replays them with RE2 — the patterns are written backreference-
+    free precisely so both engines agree on every match."""
+    from .operators.text_stats import redact_pii
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"),
+                 F.lit("@ex-"), (F.col("doc_id") % 7).cast("string"),
+                 F.lit(".org call +1 555-123-"),
+                 F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                 F.lit(" at 192.168."),
+                 (F.col("doc_id") % 256).cast("string"),
+                 F.lit(".1 end")).alias("text"))
+    return redact_pii(planted).select(
+        "doc_id", "n_email", "n_phone", "n_ipv4", "text_redacted")
+
+
+def q_sample_pack(spark, sf_dir):
+    """Deterministic hash sampling + sequence packing: keep ~40% of
+    documents by portable md5-hash, pack survivors into ~512-token
+    shards inside 8 hash buckets. Everything integer/hash-exact, so
+    the oracle reproduces the full (bucket, shard, pos) assignment."""
+    from .operators.sample import pack_sequences, sample_by_hash
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    kept = sample_by_hash(docs, rate_pct=40)
+    return pack_sequences(kept, budget=512, n_buckets=8)
+
+
+def q_domain_budget_sample(spark, sf_dir):
+    """Domain-mix selection: 7 synthetic domains (doc_id % 7), keep
+    each domain's hash-ordered prefix up to a 2000-token budget (binding: each domain holds ~4200 tokens at oracle scale, so roughly half the rows are cut)."""
+    from .operators.sample import take_token_budget
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", (F.col("doc_id") % 7).alias("domain"))
+    return take_token_budget(docs, "domain", budget=2000) \
+        .select("doc_id", F.col("domain").cast("long").alias("domain"),
+                "n_tokens", "cum_tokens")
+
+
 # ---- oracle SQL builders for the dedup / fingerprint / media ops ----
 
 # DuckDB replica of dedup._shingle_array_expr's tokenizer: identical
@@ -916,6 +976,97 @@ ORACLES["multimodal_decode"] = (
     f"{_sha_feat_u32_sql()} AS feat_u32 "
     "FROM (SELECT doc_id, sha256(text) AS sha FROM documents) "
     "CROSS JOIN UNNEST(range(8)) AS u(i)")
+# portable-hash replica: uint32 from the first 8 hex digits of
+# md5(doc_id) — hex-digit arithmetic, same technique as the sha256
+# feature witness above
+_MD5_U32_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', "
+    f"substr(md5(CAST(doc_id AS VARCHAR)), {j + 1}, 1)) - 1)*{16 ** (7 - j)}"
+    for j in range(8)) + ")"
+
+# token_count_col replica; the split class is Java's \s spelled out,
+# which is also RE2's \s — both engines agree byte-for-byte
+_NTOK_SQL = ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+             "len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) "
+             "END")
+
+_REP_PLANT_SQL = ("text || chr(10) || text || chr(10) || "
+                  "substr(text, 1, 40) || chr(10) || substr(text, 1, 40)")
+
+ORACLES["repetition_stats"] = (
+    "WITH p AS (SELECT doc_id, " + _REP_PLANT_SQL + " AS text "
+    "FROM documents), "
+    "b AS (SELECT doc_id, string_split(text, chr(10)) AS lines, "
+    "string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks "
+    "FROM p), "
+    "c AS (SELECT doc_id, lines, list_distinct(lines) AS dl, "
+    "CASE WHEN len(toks) < 2 THEN [] "
+    "ELSE [toks[i+1] || ' ' || toks[i+2] for i in range(len(toks)-1)] "
+    "END AS bg FROM b) "
+    "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+    "CAST(len(lines) - len(dl) AS BIGINT) AS n_dup_lines, "
+    "CAST(COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) "
+    " - COALESCE(list_sum(list_transform(dl, x -> length(x))), 0) "
+    "AS BIGINT) AS dup_line_chars, "
+    "CAST(greatest(len(bg), 0) AS BIGINT) AS n_bigrams, "
+    "CAST(COALESCE(list_max(list_transform(list_distinct(bg), "
+    "d -> len(list_filter(bg, x -> x = d)))), 0) AS BIGINT) "
+    "AS top_bigram_count FROM c")
+
+_PII_PLANT_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@ex-' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '.org call +1 555-123-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 192.168.' || "
+    "CAST(doc_id % 256 AS VARCHAR) || '.1 end'")
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\+\\d{1,2}[- ]\\d{3}[- ]\\d{3}[- ]\\d{4}"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+# counts replay redact_pii's PROGRESSIVE scan: each class is counted
+# on the text with the previous classes already replaced
+ORACLES["pii_redaction"] = (
+    "WITH p AS (SELECT doc_id, " + _PII_PLANT_SQL + " AS t0 "
+    "FROM documents), "
+    f"r1 AS (SELECT doc_id, t0, regexp_replace(t0, '{_PII_EMAIL}', "
+    "'<EMAIL>', 'g') AS t1 FROM p), "
+    f"r2 AS (SELECT *, regexp_replace(t1, '{_PII_PHONE}', "
+    "'<PHONE>', 'g') AS t2 FROM r1) "
+    "SELECT doc_id, "
+    f"CAST(len(regexp_extract_all(t0, '{_PII_EMAIL}')) AS BIGINT) "
+    "AS n_email, "
+    f"CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) "
+    "AS n_phone, "
+    f"CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) "
+    "AS n_ipv4, "
+    f"regexp_replace(t2, '{_PII_IPV4}', '<IP>', 'g') AS text_redacted "
+    "FROM r2")
+
+ORACLES["sample_pack"] = (
+    "WITH t AS (SELECT doc_id, " + _NTOK_SQL + " AS n_tokens, "
+    + _MD5_U32_SQL + " AS h FROM documents), "
+    "k AS (SELECT doc_id, n_tokens, h, h % 8 AS bucket FROM t "
+    "WHERE h % 100 < 40), "
+    "c AS (SELECT doc_id, n_tokens, bucket, "
+    "sum(n_tokens) OVER (PARTITION BY bucket ORDER BY h, doc_id) AS cum "
+    "FROM k) "
+    "SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(bucket AS BIGINT) AS bucket, "
+    "CAST(floor((cum - n_tokens) / 512) AS BIGINT) AS shard, "
+    "CAST(row_number() OVER (PARTITION BY bucket, "
+    "floor((cum - n_tokens) / 512) ORDER BY cum) AS BIGINT) AS pos "
+    "FROM c")
+
+ORACLES["domain_budget_sample"] = (
+    "WITH t AS (SELECT doc_id, doc_id % 7 AS domain, "
+    + _NTOK_SQL + " AS n_tokens, " + _MD5_U32_SQL + " AS h "
+    "FROM documents), "
+    "c AS (SELECT doc_id, domain, n_tokens, "
+    "sum(n_tokens) OVER (PARTITION BY domain ORDER BY h, doc_id) AS cum "
+    "FROM t) "
+    "SELECT doc_id, CAST(domain AS BIGINT) AS domain, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(cum AS BIGINT) AS cum_tokens FROM c WHERE cum <= 2000")
+
 # replay of synth_ppm_blob's pixel arithmetic: channel c sum =
 # Σ_{i≡c (mod 3)} (id*7 + 31i) mod 256 over the w*h*3 pixel bytes
 ORACLES["image_decode_real"] = (
@@ -980,4 +1131,8 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     # round 3: real format decode + curation additions
     "image_decode_real": q_image_decode_real,
+    "repetition_stats": q_repetition_stats,
+    "pii_redaction": q_pii_redaction,
+    "sample_pack": q_sample_pack,
+    "domain_budget_sample": q_domain_budget_sample,
 }

@@ -1,0 +1,126 @@
+"""Sampling / packing / repetition / PII operators: semantics,
+determinism under re-partitioning, and plan hygiene (all four are
+pure-codegen paths — no Python anywhere)."""
+
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from htmlparser_spark.operators.sample import (
+    hash_u32_col, pack_sequences, sample_by_hash, take_token_budget)
+from htmlparser_spark.operators.text_stats import redact_pii, repetition_stats
+
+from test_plans import assert_no_python_row_udf  # noqa: E402
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("doc_id", "text")
+
+
+def py_u32(key, salt=""):
+    return int(hashlib.md5(f"{key}{salt}".encode()).hexdigest()[:8], 16)
+
+
+def test_hash_u32_matches_hashlib(spark):
+    rows = spark.range(50).select(
+        "id", hash_u32_col(F.col("id"), "s").alias("h")).collect()
+    for r in rows:
+        assert r.h == py_u32(r.id, "s")
+
+
+def test_sample_deterministic_across_partitioning(spark, docs):
+    a = {r.doc_id for r in sample_by_hash(docs, rate_pct=30).collect()}
+    b = {r.doc_id for r in
+         sample_by_hash(docs.repartition(17), rate_pct=30).collect()}
+    assert a == b and 0 < len(a) < 500
+    # independent draw under a different salt
+    c = {r.doc_id for r in
+         sample_by_hash(docs, rate_pct=30, salt="x").collect()}
+    assert c != a
+
+
+def test_pack_sequences_invariants(spark, docs):
+    out = pack_sequences(docs, budget=256, n_buckets=4).collect()
+    assert len(out) == 500
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r.bucket, r.shard), []).append(r)
+    for (_, shard), rows in by_key.items():
+        rows.sort(key=lambda r: r.pos)
+        assert [r.pos for r in rows] == list(range(1, len(rows) + 1))
+        # offset-based packing: every doc's shard is its prefix-sum
+        # offset // budget, so all but the last doc START inside the
+        # shard's budget window
+        pre = 0
+        for r in rows:
+            assert pre < 256 * (shard + 1)
+            pre += r.n_tokens
+    # full assignment is partitioning-independent
+    again = pack_sequences(docs.repartition(13), budget=256,
+                           n_buckets=4).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_take_token_budget_prefix_property(spark, docs):
+    dom = docs.withColumn("domain", F.col("doc_id") % 3)
+    kept = take_token_budget(dom, "domain", budget=1500).collect()
+    assert 0 < len(kept) < 500
+    for r in kept:
+        assert r.cum_tokens <= 1500
+    # kept set per domain is exactly the hash-ordered prefix: every
+    # non-kept doc's hash sorts after every kept doc's, per domain
+    kept_ids = {r.doc_id for r in kept}
+    all_rows = dom.select("doc_id", "domain").collect()
+    max_kept = {}
+    for r in kept:
+        h = (py_u32(r.doc_id), r.doc_id)
+        k = max_kept.get(r.domain)
+        max_kept[r.domain] = max(k, h) if k else h
+    for r in all_rows:
+        if r.doc_id not in kept_ids and r.domain in max_kept:
+            assert (py_u32(r.doc_id), r.doc_id) > max_kept[r.domain]
+
+
+def test_repetition_stats_hand_cases(spark):
+    rows = [
+        (1, "a b\na b\nc d"),          # dup line 'a b' ×2
+        (2, "x y x y x y"),            # bigram 'x y' ×3, 'y x' ×2
+        (3, "unique line"),
+        (4, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert (got[1].n_lines, got[1].n_dup_lines, got[1].dup_line_chars) \
+        == (3, 1, 3)
+    assert (got[2].n_bigrams, got[2].top_bigram_count) == (5, 3)
+    assert (got[3].n_dup_lines, got[3].top_bigram_count) == (0, 1)
+    assert (got[4].n_lines, got[4].n_bigrams, got[4].top_bigram_count) \
+        == (1, 0, 0)
+
+
+def test_redact_pii_hand_cases(spark):
+    rows = [(1, "mail a.b+c@d-e.org or +1 555-123-4567 ip 10.0.0.1 done"),
+            (2, "clean text, no pii at all")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert (got[1].n_email, got[1].n_phone, got[1].n_ipv4) == (1, 1, 1)
+    assert got[1].text_redacted == "mail <EMAIL> or <PHONE> ip <IP> done"
+    assert (got[2].n_email, got[2].n_phone, got[2].n_ipv4) == (0, 0, 0)
+    assert got[2].text_redacted == rows[1][1]
+
+
+def test_sampling_ops_stay_in_codegen(spark, docs):
+    """No Python UDF in any of the new paths: sampling, packing,
+    budget-take, repetition, redaction are all Catalyst expressions."""
+    for df in (sample_by_hash(docs),
+               pack_sequences(docs, budget=256),
+               take_token_budget(docs.withColumn("d", F.lit(1)), "d", 100),
+               repetition_stats(docs),
+               redact_pii(docs)):
+        assert_no_python_row_udf(df)
