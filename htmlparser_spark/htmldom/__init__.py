@@ -18,6 +18,7 @@ from .constants import (
     contains_word,
 )
 from .build import append, make_node, walk
+from .callbacks import CallbackParser, CloseNode
 from .parse import Doc, parse
 from .selector import Condition, Matcher, Selector, select
 from .serialize import (

@@ -437,8 +437,30 @@ def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
     return n, False
 
 
-def parse(s: str) -> Doc:
-    """Parse one HTML document into a flat pre-order ``Doc``."""
+def parse(s: str, events: Optional[list] = None) -> Doc:
+    """Parse one HTML document into a flat pre-order ``Doc``.
+
+    ``events``, if given, is appended with the parse-time callback
+    firing sequence in the reference's exact handle order
+    (html.cpp:575-627 → operator() at :539):
+
+    - ``("node", nid, live_cnt)`` — a node was handled (open tag at
+      open time, non-empty text, comment, doctype). ``live_cnt`` is
+      the parent's tag-child count AT THIS MOMENT (for open tags it is
+      ``tag_index+1``), because callback-time pseudo-selectors like
+      ``:last`` see the mid-parse count, not the final one;
+    - ``("err", nid)`` — tag_not_closed fired for an implicitly closed
+      node (html.cpp:600-604), innermost first;
+    - ``("close", name, attrs, pid, live_cnt)`` — a MATCHED close tag
+      was handled; the node is transient (never in the tree), carrying
+      its parsed name/attrs and its parent at allocation time
+      (html.cpp:592-614). Fires after the err events, like the
+      reference. Unmatched closes fire nothing.
+
+    The close-handler's leftover-content text node (html.cpp:605-611)
+    is inserted WITHOUT a callback in the reference and produces no
+    event here either.
+    """
     doc = Doc()
     kind = doc.kind
     tag = doc.tag
@@ -458,7 +480,8 @@ def parse(s: str) -> Doc:
     n = len(s)
     i = 0
 
-    def add_node(k: int, tg: str, cont: str, at: Optional[dict], sc: bool) -> int:
+    def add_node(k: int, tg: str, cont: str, at: Optional[dict], sc: bool,
+                 fire: bool = True) -> int:
         nid = len(kind)
         pid = stack[-1]
         kind.append(k)
@@ -484,6 +507,8 @@ def parse(s: str) -> Doc:
             root_children.append(nid)
         else:
             children[pid].append(nid)
+        if events is not None and fire:
+            events.append(("node", nid, tidx[nid] + 1 if k == KIND_TAG else 0))
         return nid
 
     def flush_text() -> None:
@@ -501,7 +526,8 @@ def parse(s: str) -> Doc:
             else:
                 stack.append(nid)
 
-    def emit_close(name: str, rawcontent: str) -> None:
+    def emit_close(name: str, rawcontent: str,
+                   at: Optional[dict] = None) -> None:
         # implicit closure: find topmost open ancestor with this name
         # (html.cpp:592-614); root never matches; no match -> dropped.
         found = -1
@@ -515,8 +541,15 @@ def parse(s: str) -> Doc:
             nid = stack[k2]
             path = " ".join(tag[stack[x]] for x in range(1, k2 + 1))
             errors.append((nid, tag[nid], path))
+            if events is not None:
+                events.append(("err", nid))
         if rawcontent:
-            add_node(KIND_TEXT, "", rawcontent, None, False)
+            # inserted without a callback in the reference (:605-611)
+            add_node(KIND_TEXT, "", rawcontent, None, False, fire=False)
+        if events is not None:
+            pid = stack[-1]
+            live = ntc[pid] if pid >= 0 else doc.root_tag_count
+            events.append(("close", name, at, pid, live))
         del stack[found:]
 
     while i < n:
@@ -560,7 +593,7 @@ def parse(s: str) -> Doc:
                     i = n
                     break
                 name, _at, _sc, i = res
-                emit_close(name, "")
+                emit_close(name, "", _at)
             elif d == ">":
                 i = k + 1  # '</>' dropped; pending text keeps accumulating
             else:

@@ -27,7 +27,7 @@ from ..htmldom import Selector, parse, select
 from ..htmldom.constants import SPACE_TOKENIZER
 
 __all__ = ["selector_count", "selector_matches", "selector_to_column",
-           "filter_nodes"]
+           "filter_nodes", "callback_events"]
 
 
 def selector_count(df: DataFrame, selector: str, text_col: str = "text",
@@ -192,3 +192,96 @@ def selector_to_column(selector: str) -> Column:
 def filter_nodes(nodes_df: DataFrame, selector: str) -> DataFrame:
     """Filter an exploded nodes DataFrame by a single-matcher selector."""
     return nodes_df.filter(selector_to_column(selector))
+
+
+def callback_events(df: DataFrame, selectors, text_col: str = "text",
+                    key_cols=("doc_id",),
+                    with_err: bool = True) -> DataFrame:
+    """Parse-time callback firings as rows (reference EP3 surface,
+    html.cpp:539-573 via htmldom.CallbackParser).
+
+    ``selectors``: list of selector strings or None (None =
+    unconditional node callback). Output: one row per firing, in exact
+    handle order — (keys..., event_seq, cb_idx, kind, tag_name) with
+    kind ∈ open|text|comment|doctype|close|err. ``event_seq`` is the
+    document's absolute event index, ``cb_idx`` the registration index
+    (err callback = len(selectors)), so ORDER BY (event_seq, cb_idx)
+    replays the reference's dispatch exactly.
+
+    Scale: the same mapInPandas shape as the other kernel operators —
+    per-document work, no shuffle, Arrow-batched; output rows are tiny
+    (two ints + two short strings) regardless of document size.
+    """
+    from ..htmldom import CallbackParser
+    from ..htmldom.callbacks import CloseNode
+    from ..htmldom.constants import (
+        KIND_COMMENT, KIND_DOCTYPE, KIND_TAG, KIND_TEXT)
+
+    key_cols = list(key_cols)
+    kind_name = {KIND_TAG: "open", KIND_TEXT: "text",
+                 KIND_COMMENT: "comment", KIND_DOCTYPE: "doctype"}
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("event_seq", LongType(), False),
+            StructField("cb_idx", LongType(), False),
+            StructField("kind", StringType(), False),
+            StructField("tag_name", StringType(), False),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            keys = {k: [] for k in key_cols}
+            seqs: List[int] = []
+            cbs: List[int] = []
+            kinds: List[str] = []
+            tags: List[str] = []
+
+            for row in pdf[key_cols + [text_col]].itertuples(index=False):
+                html = row[-1]
+                if html is None:
+                    continue
+                # fresh parser per doc: the counter closure and rows
+                # are per-document
+                p = CallbackParser()
+                seq = {"i": -1}
+                fired: List[tuple] = []
+
+                def mk(idx):
+                    def cb(d, n):
+                        if isinstance(d, CloseNode):
+                            fired.append((seq["i"], idx, "close", d.tag[0]))
+                        else:
+                            fired.append((seq["i"], idx,
+                                          kind_name[d.kind[n]], d.tag[n]))
+                    return cb
+
+                # an unconditional tracker callback advances the event
+                # counter exactly once per node/close event; err events
+                # advance it inside the err callback
+                def tracker(d, n):
+                    seq["i"] += 1
+                p.set_callback(tracker)
+                for idx, sel in enumerate(selectors):
+                    if sel is None:
+                        p.set_callback(mk(idx))
+                    else:
+                        p.set_callback(sel, mk(idx))
+                if with_err:
+                    err_idx = len(selectors)
+
+                    def ecb(e, d, n):
+                        seq["i"] += 1
+                        fired.append((seq["i"], err_idx, "err", d.tag[n]))
+                    p.set_err_callback(ecb)
+                p.parse(html)
+                for (s_, c_, k_, t_) in fired:
+                    for k, v in zip(key_cols, row[:-1]):
+                        keys[k].append(v)
+                    seqs.append(s_)
+                    cbs.append(c_)
+                    kinds.append(k_)
+                    tags.append(t_)
+            yield pd.DataFrame({**keys, "event_seq": seqs, "cb_idx": cbs,
+                                "kind": kinds, "tag_name": tags})
+
+    return df.select(*key_cols, text_col).mapInPandas(fn, schema)

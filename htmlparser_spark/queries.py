@@ -598,6 +598,25 @@ def q_image_decode_real(spark, sf_dir):
         "sum_r", "sum_g", "sum_b")
 
 
+def q_callback_events(spark, sf_dir):
+    """Parse-time callback dispatch (EP3, html.cpp:539-573): three
+    callbacks — selector 'li', unconditional, error — over list markup
+    with an unclosed <p>. Every firing becomes a row in exact handle
+    order; the oracle reconstructs the full (event_seq, cb_idx, kind,
+    tag) sequence arithmetically, certifying open-at-open-time
+    ordering, close-node dispatch, first-matcher gating, and the
+    err-before-close quirk."""
+    from .operators.select import callback_events
+    df = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("<ul>"),
+            F.repeat(F.lit("<li>w</li>"), (F.col("doc_id") % 5 + 1).cast("int")),
+            F.lit("</ul><div><p>unclosed</div>"),
+        ).alias("text"))
+    return callback_events(df, ["li", None])
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition witnesses over a corpus with planted
     repeated lines (each doc becomes 4 lines: text, text again, a
@@ -976,6 +995,31 @@ ORACLES["multimodal_decode"] = (
     f"{_sha_feat_u32_sql()} AS feat_u32 "
     "FROM (SELECT doc_id, sha256(text) AS sha FROM documents) "
     "CROSS JOIN UNNEST(range(8)) AS u(i)")
+# full callback-dispatch replay: for k = doc_id%5+1 list items the
+# handle order is open ul; (open li, text, close li)×k; close ul;
+# open div; open p; text; err p; close div — cb0='li' fires on li
+# opens AND closes (close nodes dispatch through the same callbacks),
+# cb1=unconditional fires on every node/close event, cb2=err
+ORACLES["callback_events"] = (
+    "WITH d AS (SELECT doc_id, doc_id % 5 + 1 AS k FROM documents), "
+    "per AS (SELECT doc_id, i FROM d CROSS JOIN UNNEST(range(k)) AS u(i)), "
+    "rows AS ("
+    " SELECT doc_id, 0 AS event_seq, 1 AS cb_idx, 'open' AS kind, "
+    "   'ul' AS tag_name FROM d"
+    " UNION ALL SELECT doc_id, 1+3*i, 0, 'open', 'li' FROM per"
+    " UNION ALL SELECT doc_id, 1+3*i, 1, 'open', 'li' FROM per"
+    " UNION ALL SELECT doc_id, 2+3*i, 1, 'text', '' FROM per"
+    " UNION ALL SELECT doc_id, 3+3*i, 0, 'close', 'li' FROM per"
+    " UNION ALL SELECT doc_id, 3+3*i, 1, 'close', 'li' FROM per"
+    " UNION ALL SELECT doc_id, 3*k+1, 1, 'close', 'ul' FROM d"
+    " UNION ALL SELECT doc_id, 3*k+2, 1, 'open', 'div' FROM d"
+    " UNION ALL SELECT doc_id, 3*k+3, 1, 'open', 'p' FROM d"
+    " UNION ALL SELECT doc_id, 3*k+4, 1, 'text', '' FROM d"
+    " UNION ALL SELECT doc_id, 3*k+5, 2, 'err', 'p' FROM d"
+    " UNION ALL SELECT doc_id, 3*k+6, 1, 'close', 'div' FROM d) "
+    "SELECT doc_id, CAST(event_seq AS BIGINT) AS event_seq, "
+    "CAST(cb_idx AS BIGINT) AS cb_idx, kind, tag_name FROM rows")
+
 # portable-hash replica: uint32 from the first 8 hex digits of
 # md5(doc_id) — hex-digit arithmetic, same technique as the sha256
 # feature witness above
@@ -1131,6 +1175,7 @@ QUERIES = {
     "frame_sample": q_frame_sample,
     # round 3: real format decode + curation additions
     "image_decode_real": q_image_decode_real,
+    "callback_events": q_callback_events,
     "repetition_stats": q_repetition_stats,
     "pii_redaction": q_pii_redaction,
     "sample_pack": q_sample_pack,
