@@ -147,20 +147,40 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
         c = s[i]
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
             if pending:
-                flush_text()
+                # inline flush_text/emit_text (hot path: data-state
+                # text is never rawtext and never suppressed)
+                t = "".join(pending)
+                pending.clear()
+                if t:
+                    n_nodes += 1
+                    if is_block:
+                        if txt:
+                            txt.append("\n")
+                        is_block = False
+                    txt.append(t)
+                    if raw is not None and RE_HAS_NONSPACE.search(t):
+                        raw.append(collapse_spaces(t))
             res = _scan_tag(s, i, n)
             if res is None:
                 break
             name, at, sc, i = res
             n_nodes += 1
             effective_sc = sc or name in VOID_TAGS
-            emit_open_raw(name, at, effective_sc)
+            if raw is not None:
+                if at:
+                    emit_open_raw(name, at, effective_sc)
+                else:
+                    raw.append(f"<{name} />" if effective_sc else f"<{name}>")
             stripped = (strip_tags is not None and name in strip_tags)
             if not stripped:
-                text_block_open(name)
+                # inline text_block_open
+                if name == "br":
+                    txt.append("\n")
+                if name not in INLINE_TAGS:
+                    is_block = True
             if effective_sc:
-                if not stripped:
-                    text_block_close(name)
+                if not stripped and name not in INLINE_TAGS:
+                    is_block = True
                 continue
             if name in RAWTEXT_TAGS:
                 parts: List[str] = []
@@ -204,7 +224,15 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                     if res is None:
                         break
                     name, _at, _sc, i = res
-                close_to(name, "", False)
+                if stack and stack[-1] == name:
+                    # inline close_to's well-nested fast path
+                    if raw is not None:
+                        raw.append(f"</{name}>")
+                    if name not in INLINE_TAGS:
+                        is_block = True
+                    stack.pop()
+                else:
+                    close_to(name, "", False)
             elif d == ">":
                 i = k + 1
             else:
