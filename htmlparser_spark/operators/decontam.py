@@ -1,0 +1,99 @@
+"""Benchmark decontamination: flag/remove training documents that
+overlap an evaluation set by word-k-shingles.
+
+The standard training-data hygiene pass (the GPT-3 appendix-C /
+PaLM-style n-gram filter, public method): build the set of distinct
+word n-grams occurring in the benchmark, and call a training document
+contaminated when at least ``min_overlap`` of its distinct n-grams
+appear in that set.
+
+Scale shape (100 TB corpus, benchmark ≪ corpus):
+
+- The benchmark gram set is ``distinct`` n-grams of the EVAL suite —
+  10⁵..10⁷ rows in practice — and is broadcast (explicitly, below its
+  configured threshold), so the corpus side never shuffles for the
+  probe: explode is a flatMap, the hash-join probes a broadcast table,
+  and only matching (doc_id, gram) rows — a tiny fraction — reach the
+  per-doc count aggregate, which map-side combines.
+- Above the threshold the join degrades to a shuffle hash join keyed
+  on the gram string; pass ``hash_grams=True`` to key it on
+  ``xxhash64(gram)`` instead (8-byte shuffle rows; collisions can only
+  ADD spurious hits at P ≈ 2⁻⁶⁴ per gram pair — conservative in the
+  removal direction, noted here because the oracle joins on the exact
+  string and therefore runs with the default ``hash_grams=False``).
+- The contaminated-id frame is small (hits only); the keep-side
+  anti-join broadcasts it back against the corpus.
+
+Tokenization is byte-identical to the dedup family
+(``_shingle_array_expr``): Java-regex whitespace split of
+lower(trim(text)), distinct k-shingles — so the DuckDB oracle
+reproduces it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .dedup import _shingle_array_expr
+
+__all__ = ["benchmark_grams", "contamination_hits", "decontaminate"]
+
+# benchmark gram sets above this row count stop being broadcast and
+# fall back to a shuffle join (the 8 GB Spark broadcast hard cap is
+# the real bound; this default keeps driver memory comfortable)
+DEFAULT_BROADCAST_LIMIT = 50_000_000
+
+
+def benchmark_grams(benchmark: DataFrame, text_col: str = "text",
+                    k: int = 5) -> DataFrame:
+    """Distinct word-k-shingles of the eval suite: one column ``gram``.
+
+    Persist this once per benchmark release (it is the reusable
+    index; re-deriving it per corpus batch wastes an eval-suite scan)."""
+    return (benchmark
+            .select(F.explode(_shingle_array_expr(text_col, k))
+                    .alias("gram"))
+            .distinct())
+
+
+def contamination_hits(corpus: DataFrame, bench_grams: DataFrame,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       k: int = 5, broadcast_bench: bool = True,
+                       hash_grams: bool = False) -> DataFrame:
+    """(id, n_hits): distinct corpus-doc k-shingles found in the
+    benchmark gram set. Docs with zero hits are absent.
+
+    ``_shingle_array_expr`` is already per-doc distinct, so the count
+    is #distinct shared grams — the contamination score n-gram
+    decontamination thresholds on."""
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(_shingle_array_expr(text_col, k)).alias("gram"))
+    bg = bench_grams
+    if hash_grams:
+        cg = cg.select(id_col, F.xxhash64("gram").alias("gram"))
+        bg = bg.select(F.xxhash64("gram").alias("gram")).distinct()
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    return (cg.join(bg, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").cast("long").alias("n_hits")))
+
+
+def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text",
+                  k: int = 5, min_overlap: int = 1,
+                  broadcast_bench: bool = True) -> DataFrame:
+    """Corpus rows whose benchmark overlap is < ``min_overlap`` grams
+    (the clean keep-set), schema-preserving.
+
+    The contaminated-id set is tiny (docs that actually hit), so the
+    anti-join broadcasts it — the corpus is scanned once and never
+    shuffled."""
+    bg = benchmark_grams(benchmark, text_col=text_col, k=k)
+    hits = (contamination_hits(corpus, bg, id_col=id_col,
+                               text_col=text_col, k=k,
+                               broadcast_bench=broadcast_bench)
+            .filter(F.col("n_hits") >= min_overlap)
+            .select(id_col))
+    return corpus.join(F.broadcast(hits), id_col, "left_anti")

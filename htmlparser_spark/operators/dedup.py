@@ -38,7 +38,7 @@ from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.functions import pandas_udf
 
 __all__ = [
-    "exact_dedup", "exact_dup_groups",
+    "exact_dedup", "exact_dup_groups", "paragraph_dedup",
     "minhash_signature_udf", "minhash_candidates", "minhash_dedup_pairs",
     "simhash_udf", "simhash_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
@@ -229,6 +229,58 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                            F.length(F.col(text_col))).orderBy(id_col)
     return (df.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1).drop("_rn"))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n",
+                    max_freq: int = 1) -> DataFrame:
+    """Corpus-level paragraph (line) dedup, CCNet-style boilerplate
+    removal (public method): split each document on ``sep``, count
+    each trimmed paragraph's occurrences across the WHOLE corpus, drop
+    paragraphs occurring more than ``max_freq`` times, and reassemble
+    the survivors in original order. Returns (id, text); documents
+    whose every paragraph was dropped survive with text ``''``.
+
+    Scale shape (this is the op CCNet runs over Common Crawl):
+
+    - Frequencies aggregate on a 16-byte ``(xxhash64(trim(para)),
+      length)`` key — map-side combined, paragraphs never shuffle for
+      the count. The (hash, length) pair is the same cheap second
+      discriminator the exact-dedup path uses; a collision needs equal
+      64-bit hash AND equal length.
+    - The drop-set (keys with count > max_freq) is the heavy-hitter
+      set — far smaller than the paragraph universe. It arrives at
+      the anti-join as an aggregated frame whose size AQE knows, so
+      the join is broadcast when it is small and a keyed shuffle when
+      it is not; either way only hashes move for the probe side keys.
+    - Reassembly is one groupBy(id) with ``array_sort`` over
+      (pos, para) structs — per-doc state only, no window over the
+      corpus.
+    """
+    tkey = F.trim(F.col("_para"))
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_para"))
+    keyed = paras.select(
+        id_col, "_pos", "_para",
+        F.xxhash64(tkey).alias("_ph"), F.length(tkey).alias("_pl"))
+    drop = (keyed.groupBy("_ph", "_pl")
+            .agg(F.count("*").alias("_c"))
+            .filter(F.col("_c") > max_freq)
+            .select("_ph", "_pl"))
+    kept = keyed.join(drop, ["_ph", "_pl"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "_para"))),
+                       lambda st: st["_para"]),
+                   sep).alias(text_col)))
+    ids = df.select(id_col).distinct()
+    return (ids.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce(F.col(text_col), F.lit("")).alias(text_col)))
 
 
 # ------------------------------------------------------------------ #

@@ -677,6 +677,43 @@ def q_domain_budget_sample(spark, sf_dir):
                 "n_tokens", "cum_tokens")
 
 
+def q_decontam_ngrams(spark, sf_dir):
+    """Benchmark decontamination hits: every 10th doc plays the eval
+    suite, the full table plays the training corpus. Fully oracled —
+    the DuckDB side recomputes distinct-shared-5-gram counts from the
+    byte-identical tokenization, so the green row certifies the
+    explode/broadcast-join/count pipeline end to end (each benchmark
+    doc must at minimum hit itself)."""
+    from .operators.decontam import benchmark_grams, contamination_hits
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return contamination_hits(docs, benchmark_grams(bench, k=5), k=5)
+
+
+_BOILER = ("subscribe to our newsletter", "all rights reserved",
+           "accept cookies to continue")
+
+
+def q_paragraph_dedup(spark, sf_dir):
+    """CCNet-style corpus-level paragraph dedup: each doc becomes
+    three lines — its unique text, one of three boilerplate lines
+    (each repeated across ~n/3 docs), and a unique tail. With
+    max_freq=2 the boilerplate lines must vanish and both unique
+    lines must survive in order; the oracle replays the split /
+    global-count / filter / ordered-reassembly exactly."""
+    from .operators.dedup import paragraph_dedup
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    boiler = F.element_at(
+        F.array(*[F.lit(b) for b in _BOILER]),
+        (F.col("doc_id") % 3 + 1).cast("int"))
+    multi = docs.select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), boiler,
+                    F.concat(F.lit("tail "),
+                             F.col("doc_id").cast("string"))).alias("text"))
+    return paragraph_dedup(multi, max_freq=2)
+
+
 # ---- oracle SQL builders for the dedup / fingerprint / media ops ----
 
 # DuckDB replica of dedup._shingle_array_expr's tokenizer: identical
@@ -1133,6 +1170,40 @@ ORACLES["frame_sample"] = (
     "AS BIGINT) AS n_bytes "
     "FROM s CROSS JOIN UNNEST(range(nf)) AS u(i)")
 
+# exact replica of the decontamination pipeline: distinct benchmark
+# 5-grams (same tokenization as the jaccard family) joined against
+# per-doc distinct grams, counted per doc
+ORACLES["decontam_ngrams"] = (
+    "WITH bg AS (SELECT DISTINCT unnest(sh) AS gram FROM ("
+    f"  SELECT {_shingle_sql(5)} AS sh FROM ("
+    f"    SELECT text, {_TOKS_SQL} AS toks FROM documents "
+    "     WHERE doc_id % 10 = 0))), "
+    "cg AS (SELECT doc_id, unnest(sh) AS gram FROM ("
+    f"  SELECT doc_id, {_shingle_sql(5)} AS sh FROM ("
+    f"    SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents))) "
+    "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+    "FROM cg JOIN bg USING (gram) GROUP BY doc_id")
+
+# split / global trimmed-line count / drop > max_freq / ordered
+# string_agg reassembly — byte-exact replay of paragraph_dedup
+ORACLES["paragraph_dedup"] = (
+    "WITH src AS (SELECT doc_id, text || chr(10) || "
+    "  (CASE doc_id % 3 "
+    f"     WHEN 0 THEN '{_BOILER[0]}' WHEN 1 THEN '{_BOILER[1]}' "
+    f"     ELSE '{_BOILER[2]}' END) || chr(10) || 'tail ' || doc_id AS t "
+    "  FROM documents), "
+    "lists AS (SELECT doc_id, string_split(t, chr(10)) AS ps FROM src), "
+    "paras AS (SELECT doc_id, unnest(ps) AS para, "
+    "  unnest(range(len(ps))) AS pos FROM lists), "
+    "freq AS (SELECT trim(para) AS tp, count(*) AS c FROM paras "
+    "  GROUP BY 1), "
+    "kept AS (SELECT p.doc_id, p.para, p.pos FROM paras p "
+    "  JOIN freq f ON trim(p.para) = f.tp WHERE f.c <= 2), "
+    "agg AS (SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) "
+    "  AS text FROM kept GROUP BY doc_id) "
+    "SELECT s.doc_id, coalesce(a.text, '') AS text "
+    "FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id")
+
 QUERIES = {
     "extract_text_identity": q_extract_text_identity,
     "extract_wrapped": q_extract_wrapped,
@@ -1180,4 +1251,6 @@ QUERIES = {
     "pii_redaction": q_pii_redaction,
     "sample_pack": q_sample_pack,
     "domain_budget_sample": q_domain_budget_sample,
+    "decontam_ngrams": q_decontam_ngrams,
+    "paragraph_dedup": q_paragraph_dedup,
 }

@@ -1,0 +1,115 @@
+"""Decontamination + corpus-level paragraph dedup: semantics on
+planted inputs, and the plan shapes that make them 100-TB-safe
+(broadcast benchmark probe, no corpus shuffle for the decontam scan;
+no Window anywhere in paragraph dedup)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row, functions as F
+
+from htmlparser_spark.operators.decontam import (
+    benchmark_grams,
+    contamination_hits,
+    decontaminate,
+)
+from htmlparser_spark.operators.dedup import paragraph_dedup
+from htmlparser_spark.plans import assert_no_python_row_udf, explain_string
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame([Row(doc_id=i, text=t)
+                                  for i, t in rows])
+
+
+def test_decontaminate_removes_overlapping_docs(spark):
+    corpus = _docs(spark, [
+        (1, "the quick brown fox jumps over the lazy dog today"),
+        (2, "completely unrelated words about spark partition shuffles"),
+        (3, "the quick brown fox jumps over something else entirely"),
+        (4, "a b c d e f g h i j"),
+    ])
+    bench = _docs(spark, [(100, "quick brown fox jumps over the lazy")])
+    hits = {r["doc_id"]: r["n_hits"]
+            for r in contamination_hits(
+                corpus, benchmark_grams(bench, k=5), k=5).collect()}
+    # doc 1 shares 5-gram windows with the benchmark; doc 3 shares
+    # exactly one ("quick brown fox jumps over"); 2 and 4 share none
+    assert set(hits) == {1, 3}
+    assert hits[1] > hits[3] >= 1
+    clean = decontaminate(corpus, bench, k=5, min_overlap=1)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [2, 4]
+    # min_overlap above doc 3's single shared gram keeps it
+    clean2 = decontaminate(corpus, bench, k=5, min_overlap=2)
+    assert sorted(r["doc_id"] for r in clean2.collect()) == [2, 3, 4]
+
+
+def test_decontaminate_hash_grams_same_result(spark):
+    corpus = _docs(spark, [
+        (1, "one two three four five six seven"),
+        (2, "eight nine ten eleven twelve thirteen"),
+    ])
+    bench = _docs(spark, [(9, "two three four five six")])
+    a = contamination_hits(corpus, benchmark_grams(bench, k=5),
+                           k=5, hash_grams=False).collect()
+    b = contamination_hits(corpus, benchmark_grams(bench, k=5),
+                           k=5, hash_grams=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_decontam_plan_broadcasts_benchmark(spark):
+    """The corpus side must probe a broadcast of the benchmark grams —
+    no shuffle of the exploded corpus for the join."""
+    corpus = _docs(spark, [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4}")
+                           for i in range(20)])
+    bench = corpus.limit(2)
+    out = contamination_hits(corpus, benchmark_grams(bench, k=5), k=5)
+    plan = explain_string(out)
+    assert "BroadcastExchange" in plan
+    assert_no_python_row_udf(out)
+
+
+def test_paragraph_dedup_drops_global_boilerplate(spark):
+    boiler = "subscribe to our newsletter"
+    rows = [(i, f"unique body {i}\n{boiler}\ntail {i}") for i in range(6)]
+    rows.append((99, boiler))  # doc that is ONLY boilerplate
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(_docs(spark, rows),
+                                    max_freq=2).collect()}
+    assert len(out) == 7  # every doc survives as a row
+    for i in range(6):
+        assert out[i] == f"unique body {i}\ntail {i}"
+    assert out[99] == ""  # all paragraphs dropped -> empty text
+
+
+def test_paragraph_dedup_max_freq_boundary_and_order(spark):
+    # a line appearing exactly max_freq times is KEPT; order preserved
+    rows = [(1, "alpha\nshared line\nomega"),
+            (2, "shared line\nbeta")]
+    out = {r["doc_id"]: r["text"]
+           for r in paragraph_dedup(_docs(spark, rows),
+                                    max_freq=2).collect()}
+    assert out[1] == "alpha\nshared line\nomega"
+    assert out[2] == "shared line\nbeta"
+    out1 = {r["doc_id"]: r["text"]
+            for r in paragraph_dedup(_docs(spark, rows),
+                                     max_freq=1).collect()}
+    assert out1[1] == "alpha\nomega"
+    assert out1[2] == "beta"
+
+
+def test_paragraph_dedup_in_doc_repeats_count_per_occurrence(spark):
+    # the same line twice inside ONE doc already exceeds max_freq=1
+    rows = [(1, "dup\nmiddle\ndup")]
+    out = paragraph_dedup(_docs(spark, rows), max_freq=1).collect()
+    assert out[0]["text"] == "middle"
+
+
+def test_paragraph_dedup_plan_no_window(spark):
+    """Frequency counting and reassembly are aggregates, never a
+    Window over the paragraph universe (a hot boilerplate line must
+    not serialize into one task)."""
+    rows = [(i, f"u{i}\nshared\nv{i}") for i in range(10)]
+    out = paragraph_dedup(_docs(spark, rows), max_freq=2)
+    plan = explain_string(out)
+    assert "Window" not in plan
+    assert_no_python_row_udf(out)
