@@ -149,6 +149,8 @@ def main() -> int:
         ("events_order", Q.q_events_order),
         ("selector_li_count", Q.q_selector_li_count),
         ("raw_html_roundtrip", Q.q_raw_html_roundtrip),
+        ("decontam_ngrams", Q.q_decontam_ngrams),
+        ("paragraph_dedup", Q.q_paragraph_dedup),
     ]
     for name, fn in aux:
         best = float("inf")

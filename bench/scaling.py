@@ -52,6 +52,14 @@ sys.path.insert(0, str(REPO))
 N_TURNS = int(os.environ.get("SCALING_TURNS", "8000000"))
 WORKDIR = Path(os.environ.get("SCALING_WORKDIR", "/tmp/htmlparser_scaling"))
 CORES = [int(c) for c in os.environ.get("SCALING_CORES", "2,8").split(",")]
+# ordering strategy for BOTH legs (same job at both sizes — the ratio
+# must compare identical plans). 'two_phase' avoids the per-conv
+# window sort and measured fastest at 16 cores (BENCH/DIAGNOSIS_4_16)
+ORDER_IMPL = os.environ.get("SCALING_ORDER_IMPL", "window")
+# lineage mode for both legs: hash_col is the at-scale certify path
+# (write-time row_hash column, 8-byte column-pruned re-read) — the
+# full-re-read mode is pinned manifest-byte-equal by pytest
+LINEAGE_MODE = os.environ.get("SCALING_LINEAGE", "hash_col")
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
@@ -136,6 +144,8 @@ def run_at(cores: int, input_path: Path, tag: str = "",
         "--output", str(out),
         "--checkpoint", str(ck),
         "--run-id", f"scaling-{cores}{tag}",
+        "--order-impl", ORDER_IMPL,
+        "--lineage-mode", LINEAGE_MODE,
         *extra_args,
     ]
     t0 = time.time()

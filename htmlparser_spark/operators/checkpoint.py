@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 __all__ = ["with_partition_id", "load_manifest", "completed_partitions",
            "filter_resume", "lineage_rows", "append_manifest",
-           "run_checkpointed"]
+           "run_checkpointed", "row_hash_expr"]
 
 MANIFEST_SCHEMA = ("partition_id long, n_rows long, content_hash long, "
                    "run_id string")
@@ -76,10 +76,24 @@ def completed_ids(spark: SparkSession, path: str) -> Optional[list]:
             .collect()]
 
 
-def lineage_rows(out: DataFrame, run_id: str) -> DataFrame:
+ROW_HASH_COL = "row_hash"
+
+
+def row_hash_expr():
+    """The per-row lineage hash: xxhash64 over the identifying key and
+    the extracted payload. ONE definition shared by both lineage modes
+    and the streaming pipeline, so manifests are byte-comparable
+    across all of them."""
+    return F.xxhash64("conv_id", "turn_idx", "extracted_text")
+
+
+def lineage_rows(out: DataFrame, run_id: str,
+                 from_hash_col: bool = False) -> DataFrame:
     """(partition_id, n_rows, content_hash, run_id) per bucket.
-    content_hash: order-insensitive XOR of per-row content hashes."""
-    row_hash = F.xxhash64("conv_id", "turn_idx", "extracted_text")
+    content_hash: order-insensitive XOR of per-row content hashes —
+    recomputed from the text (default) or read from a precomputed
+    ``row_hash`` column (hash_col lineage mode)."""
+    row_hash = (F.col(ROW_HASH_COL) if from_hash_col else row_hash_expr())
     return (out.groupBy("partition_id")
             .agg(F.count("*").cast("long").alias("n_rows"),
                  F.bit_xor(row_hash).alias("content_hash"))
@@ -123,7 +137,8 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
                      run_id: str = "run-0", key_col: str = "conv_id",
                      extract_kwargs: Optional[dict] = None,
                      cluster_write: bool = True,
-                     max_buckets: Optional[int] = None) -> list:
+                     max_buckets: Optional[int] = None,
+                     lineage_mode: str = "full") -> list:
     """Full checkpointed pipeline: bucket → resume-filter → extract →
     write(partitionBy bucket, dynamic overwrite) → lineage append.
     Returns the lineage rows of THIS run as a driver-side list of Rows
@@ -136,7 +151,27 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
     k buckets were committed" is exactly "a run restricted to k
     buckets completed, then the process died"). The scaling bench's
     kill-resume mode uses it to assert a resumed run processes ONLY
-    the missing buckets and converges to a byte-identical manifest."""
+    the missing buckets and converges to a byte-identical manifest.
+
+    ``lineage_mode`` picks how the commit-certifying pass reads back
+    what landed on disk:
+
+    - ``'full'`` (default): re-read (conv_id, turn_idx,
+      extracted_text) and recompute every row hash — certifies the
+      committed text bytes themselves, at the cost of re-reading the
+      payload column; fine up to mid-size outputs, a full extra
+      I/O+hash pass at 100 TB.
+    - ``'hash_col'``: the per-row hash is computed once in the write
+      stage and written as a ``row_hash`` column (8 B/row); the
+      certify pass re-reads only (partition_id, row_hash) — a >100×
+      smaller column-pruned scan that still proves every committed
+      row landed ON DISK exactly once (missing/duplicated rows change
+      the XOR). This is the Iceberg write-time-stats design and the
+      right default at scale; parquet page checksums cover byte-level
+      corruption of the payload itself.
+
+    Both modes XOR the SAME per-row hash (``row_hash_expr``), so their
+    manifests are byte-identical on identical data — pinned by test."""
     import time
 
     from .extract import extract_transcripts
@@ -188,18 +223,28 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         if os.environ.get("HTMLPARSER_SORT_BUCKETS", "1") != "0":
             out = out.sortWithinPartitions(
                 "partition_id", "conv_id", "turn_idx")
+    if lineage_mode == "hash_col":
+        out = out.withColumn(ROW_HASH_COL, row_hash_expr())
     out.write.mode("overwrite").partitionBy("partition_id") \
         .parquet(output_path)
     mark("extract+write")
     # lineage is computed from a RE-READ of what landed on disk (not
-    # from the in-memory plan) — it certifies the committed bytes.
-    # Column pruning keeps this pass cheap: only the hash inputs are
-    # read back, not raw_html.
-    written = spark.read.parquet(output_path) \
-        .select("partition_id", "conv_id", "turn_idx", "extracted_text")
+    # from the in-memory plan) — it certifies the committed data.
+    # Column pruning keeps this pass cheap: full mode reads back the
+    # hash inputs (not raw_html); hash_col mode reads back only the
+    # 8-byte precomputed row_hash column (see docstring).
+    if lineage_mode == "hash_col":
+        written = spark.read.parquet(output_path) \
+            .select("partition_id", ROW_HASH_COL)
+    else:
+        written = spark.read.parquet(output_path) \
+            .select("partition_id", "conv_id", "turn_idx",
+                    "extracted_text")
     if done:
         written = written.filter(~F.col("partition_id").isin(done))
-    rows = lineage_rows(written, run_id).collect()
+    rows = lineage_rows(written, run_id,
+                        from_hash_col=lineage_mode == "hash_col") \
+        .collect()
     mark("lineage")
     append_manifest_rows(rows, manifest_path)
     mark("manifest_append")

@@ -63,6 +63,13 @@ def main(argv=None) -> int:
                     choices=["window", "two_phase"],
                     help="turn_seq strategy: 'two_phase' is the "
                          "mega-conversation-safe distributed rank")
+    ap.add_argument("--lineage-mode", default="full",
+                    choices=["full", "hash_col"],
+                    help="commit certification: 'full' re-reads and "
+                         "re-hashes the written text; 'hash_col' "
+                         "writes the row hash as a column and "
+                         "re-reads only it (the at-scale mode; same "
+                         "manifest bytes either way)")
     ap.add_argument("--synthetic", type=int, default=0,
                     help="generate N synthetic turns instead of --input")
     ap.add_argument("--kill-after-bucket", type=int, default=None,
@@ -118,6 +125,7 @@ def main(argv=None) -> int:
         spark, df, args.output, args.checkpoint,
         n_buckets=args.buckets, run_id=run_id,
         max_buckets=args.kill_after_bucket,
+        lineage_mode=args.lineage_mode,
         extract_kwargs={"include_raw": not args.no_raw,
                         "num_partitions": args.partitions,
                         "order_impl": args.order_impl})

@@ -216,3 +216,29 @@ def test_kill_after_bucket_resume_matches_uninterrupted(spark, tmp_path):
     got = {(r.partition_id, r.n_rows, r.content_hash)
            for r in killed + resumed}
     assert got == ref_set
+
+
+def test_lineage_hash_col_manifest_equals_full(spark, tmp_path):
+    """hash_col lineage (write-time row_hash column, pruned certify
+    read) must produce a manifest byte-equal to full mode's on the
+    same input — both XOR the same per-row hash."""
+    df = generate_spark_df(spark, n_convs=24, n_turns=120, seed=23,
+                           mega_text=False)
+    full = run_checkpointed(
+        spark, df, str(tmp_path / "of"), str(tmp_path / "mf"),
+        n_buckets=4, run_id="r", extract_kwargs={"include_raw": False},
+        lineage_mode="full")
+    fast = run_checkpointed(
+        spark, df, str(tmp_path / "oh"), str(tmp_path / "mh"),
+        n_buckets=4, run_id="r", extract_kwargs={"include_raw": False},
+        lineage_mode="hash_col")
+    key = lambda rows: sorted(
+        (r.partition_id, r.n_rows, r.content_hash) for r in rows)
+    assert key(full) == key(fast) and len(full) == 4
+    # the fast mode's certify pass prunes to (partition_id, row_hash)
+    back = spark.read.parquet(str(tmp_path / "oh"))
+    assert "row_hash" in back.columns
+    from htmlparser_spark.plans import scan_info
+    pruned = back.select("partition_id", "row_hash")
+    schemas = " ".join(i.get("ReadSchema", "") for i in scan_info(pruned))
+    assert "extracted_text" not in schemas
