@@ -186,6 +186,27 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
                   f"{marks[-1][1] - marks[-2][1]:.1f}s", flush=True)
 
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # ---- fused ordering (default): the ordering window and the
+    # bucket-clustered write want the SAME co-location — partition_id
+    # is a pure function of conv_id, so hash-partitioning by
+    # partition_id already clusters conversations. Running the window
+    # as partitionBy(partition_id, conv_id) AFTER the write
+    # repartition lets Catalyst prove the exchange satisfies the
+    # window's ClusteredDistribution (its expressions are a superset
+    # of the exchange's) and the bucket sort satisfies the window's
+    # required ordering: ONE post-kernel exchange + ONE sort instead
+    # of two of each. At 16 concurrent local writers the second
+    # full-payload shuffle was the measured negative-scaling stage
+    # (BENCH/DIAGNOSIS_4_16.md); on a real cluster it is a full extra
+    # network pass of the widest columns. turn_seq is unchanged:
+    # ranking within (partition_id, conv_id) == ranking within
+    # conv_id because conv_id determines partition_id.
+    ek = dict(extract_kwargs or {})
+    fuse_order = (cluster_write and ek.get("order", True)
+                  and ek.get("order_impl", "window") == "window"
+                  and key_col == "conv_id")
+    if fuse_order:
+        ek["order"] = False
     bucketed = with_partition_id(df, n_buckets, key_col)
     done = completed_ids(spark, manifest_path)
     todo = bucketed
@@ -207,7 +228,7 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
     if todo.isEmpty():
         return []
     mark("resume")
-    out = extract_transcripts(todo, **(extract_kwargs or {}))
+    out = extract_transcripts(todo, **ek)
     if cluster_write:
         # cluster by bucket before the partitioned write: file count
         # becomes ~n_buckets instead of write_tasks × n_buckets, and
@@ -223,6 +244,12 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         if os.environ.get("HTMLPARSER_SORT_BUCKETS", "1") != "0":
             out = out.sortWithinPartitions(
                 "partition_id", "conv_id", "turn_idx")
+        if fuse_order:
+            from pyspark.sql import Window
+            w = (Window.partitionBy("partition_id", "conv_id")
+                 .orderBy("turn_idx"))
+            out = out.withColumn("turn_seq",
+                                 F.row_number().over(w))
     if lineage_mode == "hash_col":
         out = out.withColumn(ROW_HASH_COL, row_hash_expr())
     out.write.mode("overwrite").partitionBy("partition_id") \

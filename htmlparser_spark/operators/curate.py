@@ -65,13 +65,8 @@ def curate_corpus(docs: DataFrame, text_col: str = "text",
             .filter(F.col("_rn") == 1).drop("_rn"))
 
     if near_dedup:
-        from .dedup import connected_components, minhash_dedup_pairs
+        from .dedup import fuzzy_dedup_keep
 
-        pairs = minhash_dedup_pairs(kept, text_col=text_col,
-                                    id_col=id_col,
-                                    threshold=minhash_threshold)
-        comp = connected_components(pairs)
-        drop = comp.filter(F.col("node") != F.col("component")) \
-            .select(F.col("node").alias(id_col))
-        kept = kept.join(drop, id_col, "left_anti")
+        kept = fuzzy_dedup_keep(kept, text_col=text_col, id_col=id_col,
+                                threshold=minhash_threshold)
     return kept

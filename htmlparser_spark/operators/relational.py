@@ -1,0 +1,142 @@
+"""Time-relational operators Spark lacks as built-ins: as-of join and
+gap-based sessionization.
+
+Both are single-shuffle, pure-Catalyst plans (no Python in the hot
+path):
+
+- ``asof_join`` uses the union + running-``last(ignorenulls)`` trick:
+  tag both inputs, union them, and one window over the ``by`` keys
+  ordered by (time, side) lets every left row pick up the most recent
+  right row at-or-before it. ONE shuffle on the by-keys, no range
+  explosion, no per-key Python — the standard distributed as-of
+  formulation (same shape Flink's temporal join and DuckDB's ASOF
+  lower to: a per-key ordered scan).
+- ``sessionize`` is lag + cumulative sum over the same per-key window.
+
+Scale notes (100 TB): the window partitions by the ``by`` keys, so a
+mega-key serializes into one task's sort — the same hazard (and the
+same mitigation story) as the transcripts ordering stage
+(operators/extract.py): keys are user/entity ids with natural
+cardinality in the millions, and a genuinely degenerate key should be
+range-split upstream. Everything stays in whole-stage codegen; rows
+carry only the projected right-payload columns through the shuffle.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "sessionize"]
+
+
+def _epoch_s(col: Column) -> Column:
+    """Whole epoch seconds. The cast chain handles TIMESTAMP_NTZ too
+    (NTZ -> BIGINT is not a legal direct cast); the session timezone
+    is pinned to UTC (session.py), and the callers only ever DIFF two
+    of these, so any constant offset cancels regardless."""
+    return col.cast("timestamp").cast("long")
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
+              by: Sequence[str] = ("user_id",),
+              direction: str = "backward",
+              tolerance_seconds: Optional[int] = None,
+              suffix: str = "_r") -> DataFrame:
+    """For each left row, attach the most recent right row at-or-before
+    its ``on`` time (``direction='backward'``; ``'forward'`` = earliest
+    at-or-after), matching within the same ``by`` key group — pandas
+    ``merge_asof`` / DuckDB ``ASOF JOIN`` semantics, distributed.
+
+    Right payload columns (everything except ``by`` + ``on``) come back
+    suffixed; the matched right time comes back as ``on + suffix``.
+    Unmatched left rows keep nulls (left-outer semantics). With
+    ``tolerance_seconds``, matches further than the tolerance are
+    nulled out (pandas ``merge_asof(tolerance=...)``).
+
+    Ties: a right row exactly at the left row's time DOES match
+    (inclusive, as in DuckDB/pandas). Multiple right rows at the same
+    (by, time) are resolved to the last one in (time, payload) order —
+    pre-aggregate the right side if that tie-break matters.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    by = list(by)
+    payload = [c for c in right.columns if c not in by and c != on]
+    out_payload = [c + suffix for c in payload]
+    on_r = on + suffix
+
+    # common shape: left rows carry nulls for the right payload; right
+    # rows carry nulls for the left payload. _side orders right rows
+    # BEFORE left rows at equal time, so 'backward' is inclusive.
+    lhs = left.select(
+        *by, F.col(on),
+        F.lit(1).alias("_side"),
+        *[F.col(c) for c in left.columns if c not in by and c != on],
+        F.col(on).cast("timestamp").alias("_never"),  # placeholder slot
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
+          for c in payload],
+    ).drop("_never").withColumn(on_r, F.lit(None).cast(
+        right.schema[on].dataType))
+    rhs = right.select(
+        *by, F.col(on),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          for c in left.columns if c not in by and c != on],
+        *[F.col(c).alias(c + suffix) for c in payload],
+    ).withColumn(on_r, F.col(on))
+
+    u = lhs.unionByName(rhs)
+    if direction == "backward":
+        w = (Window.partitionBy(*by).orderBy(F.col(on).asc(),
+                                             F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    else:
+        w = (Window.partitionBy(*by).orderBy(F.col(on).desc(),
+                                             F.col("_side").asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    filled = u.select(
+        *[F.col(c) for c in u.columns if c not in out_payload + [on_r]],
+        *[F.last(c, ignorenulls=True).over(w).alias(c)
+          for c in out_payload + [on_r]],
+    ).filter(F.col("_side") == 1).drop("_side")
+
+    if tolerance_seconds is not None:
+        gap = F.abs(_epoch_s(F.col(on)) - _epoch_s(F.col(on_r)))
+        ok = F.col(on_r).isNotNull() & (gap <= F.lit(tolerance_seconds))
+        filled = filled.select(
+            *[F.col(c) for c in filled.columns
+              if c not in out_payload + [on_r]],
+            *[F.when(ok, F.col(c)).alias(c) for c in out_payload + [on_r]],
+        )
+    return filled
+
+
+def sessionize(events: DataFrame, by: str = "user_id", ts_col: str = "ts",
+               order_tiebreak: str = "event_id",
+               gap_seconds: int = 1800,
+               out: str = "session_idx") -> DataFrame:
+    """Gap-based session assignment: within each ``by`` key (ordered by
+    time, tie-broken on ``order_tiebreak`` for determinism), a new
+    session starts whenever the gap to the previous event exceeds
+    ``gap_seconds``. Appends ``out`` (1-based long) — the classic
+    lag + cumulative-sum formulation, one shuffle, all codegen.
+
+    Structured Streaming note: the streaming twin of this operator is
+    ``F.session_window(ts_col, gap)`` in streaming/pipeline.py's
+    aggregation path; this batch form additionally labels every EVENT
+    with its session ordinal, which session_window (an aggregation)
+    cannot.
+    """
+    w = Window.partitionBy(by).orderBy(ts_col, order_tiebreak)
+    prev = F.lag(F.col(ts_col)).over(w)
+    new_sess = F.when(
+        prev.isNull()
+        | ((_epoch_s(F.col(ts_col)) - _epoch_s(prev))
+           > F.lit(gap_seconds)),
+        F.lit(1)).otherwise(F.lit(0))
+    run = (Window.partitionBy(by).orderBy(ts_col, order_tiebreak)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn(out, F.sum(new_sess).over(run).cast("long"))

@@ -30,6 +30,8 @@ __all__ = [
     "lang_id_col", "with_lang_id",
     "fingerprint_md5_col", "rolling_hash_udf",
     "repetition_stats", "redact_pii", "PII_PATTERNS",
+    "vocab_topk", "classifier_score_col", "classifier_gate",
+    "CLASSIFIER_WEIGHTS",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -316,3 +318,87 @@ def redact_pii(df: DataFrame, text_col: str = "text",
                       .alias(f"n_{name}"))
         red = F.regexp_replace(red, pat, token)
     return df.select("*", *counts).withColumn(out_col, red)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary statistics + model-based quality gate
+# ---------------------------------------------------------------------------
+
+# the corpus tokenizer's split class, spelled out so Java regex and
+# RE2 byte-agree (same class the lang-id scorer uses)
+_VOCAB_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def vocab_topk(docs: DataFrame, text_col: str = "text",
+               k: int = 100, lowercase: bool = True) -> DataFrame:
+    """Top-k corpus vocabulary by frequency → (word, n), ordered by
+    (n desc, word asc) — a total order, so the cut at k is
+    deterministic.
+
+    The classic two-phase aggregate: explode is map-local, the groupBy
+    benefits from partial (map-side) aggregation, so the shuffle
+    carries one row per DISTINCT word per input partition — at 100 TB
+    that is vocabulary-sized (millions), not corpus-sized (trillions).
+    The final top-k is a TakeOrdered over the aggregated frame, not a
+    global sort of the corpus.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = docs.select(
+        F.explode(F.split(F.trim(t), _VOCAB_SPLIT_RE)).alias("word"))
+    return (words.filter(F.col("word") != "")
+            .groupBy("word").agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("word").asc())
+            .limit(k))
+
+
+# Fixed public heuristic weights for the linear quality gate. All
+# integer: score is exactly reproducible in ANSI SQL (no float
+# rounding), like curate_corpus's ratio gates. Positive evidence:
+# alphabetic mass and token count; negative: digits, uppercase runs
+# (shouting/boilerplate) and non-alnum noise. Chosen so a typical
+# clean English paragraph scores ≈ +2 per char.
+CLASSIFIER_WEIGHTS = {
+    "n_alpha": 3,       # per alphabetic char
+    "n_tokens": 8,      # per whitespace token
+    "n_digit": -2,      # per digit
+    "n_upper": -1,      # per uppercase char
+    "n_other": -4,      # per char that is not alpha/digit/space
+}
+
+
+def classifier_score_col(text: Column) -> Column:
+    """Integer linear quality score — the fastText-style 'linear model
+    over cheap features' gate, with fixed public weights and exact
+    integer arithmetic end-to-end (oracle-reproducible; at scale you'd
+    swap CLASSIFIER_WEIGHTS for trained ones without touching the
+    plan). Pure codegen: five regexp counts, no shuffle, no Python."""
+    n_chars = F.length(text).cast("long")
+    n_alpha = _count_class(text, "[A-Za-z]")
+    n_digit = _count_class(text, "[0-9]")
+    n_space = _count_class(text, r"[ \t\n\x0b\f\r]")
+    n_upper = _count_class(text, "[A-Z]")
+    n_other = n_chars - n_alpha - n_digit - n_space
+    w = CLASSIFIER_WEIGHTS
+    return (n_alpha * w["n_alpha"]
+            + token_count_col(text) * w["n_tokens"]
+            + n_digit * w["n_digit"]
+            + n_upper * w["n_upper"]
+            + n_other * w["n_other"]).cast("long")
+
+
+def classifier_gate(docs: DataFrame, text_col: str = "text",
+                    min_score_per_100_chars: int = 150,
+                    score_col: str = "clf_score",
+                    keep_col: str = "clf_keep") -> DataFrame:
+    """Append the linear score and a keep/drop decision normalized by
+    length: keep iff score * 100 >= min_score_per_100_chars * n_chars
+    (integer cross-multiplication — no division, no floats). Evaluated
+    at the scan, so at 100 TB the drop happens before any shuffle."""
+    t = F.col(text_col)
+    score = classifier_score_col(t)
+    keep = (score * 100
+            >= F.length(t).cast("long") * F.lit(min_score_per_100_chars))
+    return docs.withColumn(score_col, score) \
+        .withColumn(keep_col, keep.cast("int").cast("long"))

@@ -1204,6 +1204,82 @@ ORACLES["paragraph_dedup"] = (
     "SELECT s.doc_id, coalesce(a.text, '') AS text "
     "FROM src s LEFT JOIN agg a ON s.doc_id = a.doc_id")
 
+# ---------------------------------------------------------------- #
+# round 3 additions: time-relational ops, vocab/classifier, fuzzy    #
+# dedup end-to-end                                                   #
+# ---------------------------------------------------------------- #
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+
+
+def q_events_asof(spark, sf_dir):
+    """Distributed as-of join: each click picks up the most recent
+    purchase value for the same user (union + running-last, one
+    shuffle). Oracle: DuckDB's native ASOF LEFT JOIN. The right side
+    is pre-aggregated to unique (user_id, ts) so the at-tie pick is
+    deterministic on both engines."""
+    from .operators.relational import asof_join
+    ev = load(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "click") \
+        .select("event_id", "user_id", "ts")
+    right = ev.filter(F.col("event_type") == "purchase") \
+        .groupBy("user_id", "ts").agg(F.max("value").alias("pvalue"))
+    j = asof_join(left, right, on="ts", by=["user_id"])
+    return j.select(
+        "event_id", "user_id",
+        F.date_format("ts", _TS_FMT).alias("ts_s"),
+        F.col("pvalue_r"),
+        F.date_format("ts_r", _TS_FMT).alias("matched_ts"))
+
+
+def q_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min gap): lag + cumulative sum,
+    one shuffle. Gaps compared on floor-of-epoch-seconds so Spark and
+    DuckDB agree exactly on microsecond timestamps."""
+    from .operators.relational import sessionize
+    ev = load(spark, sf_dir, "events")
+    return sessionize(ev, gap_seconds=1800) \
+        .select("event_id", "user_id", "session_idx")
+
+
+def q_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary top-100 by frequency: explode + partial-agg
+    groupBy + TakeOrdered; (n desc, word asc) is a total order so the
+    cut is deterministic. lowercase=False here: Java toLowerCase and
+    DuckDB lower() can disagree on non-ASCII codepoints, and the
+    oracle must be byte-exact."""
+    from .operators.text_stats import vocab_topk
+    docs = load(spark, sf_dir, "documents")
+    return vocab_topk(docs, k=100, lowercase=False)
+
+
+def q_classifier_gate(spark, sf_dir):
+    """fastText-style linear quality gate with fixed integer weights:
+    five regexp-count features, integer score, cross-multiplied
+    length-normalized keep decision — exact in ANSI SQL, no floats."""
+    from .operators.text_stats import classifier_gate
+    docs = load(spark, sf_dir, "documents")
+    return classifier_gate(docs).select("doc_id", "clf_score", "clf_keep")
+
+
+def q_fuzzy_dedup(spark, sf_dir):
+    """End-to-end fuzzy dedup (pairs → connected components → keep
+    min id per component) on the corpus with planted near-dups.
+    FULL ground-truth oracle: DuckDB computes exact all-pairs Jaccard,
+    closes it transitively with a recursive CTE, and drops every
+    non-minimum member — so this row green certifies the whole
+    composed keep-set, not just the pair stage. Same 32×2 banding as
+    minhash_pairs (structural 100% recall at j=0.5, see there)."""
+    from .operators.dedup import fuzzy_dedup_keep
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    kept = fuzzy_dedup_keep(docs.unionAll(planted), threshold=0.5,
+                            bands=32)
+    return kept.select("doc_id")
+
+
 QUERIES = {
     "extract_text_identity": q_extract_text_identity,
     "extract_wrapped": q_extract_wrapped,
@@ -1253,4 +1329,93 @@ QUERIES = {
     "domain_budget_sample": q_domain_budget_sample,
     "decontam_ngrams": q_decontam_ngrams,
     "paragraph_dedup": q_paragraph_dedup,
+    # round 3: time-relational + vocab/classifier + composed fuzzy dedup
+    "events_asof": q_events_asof,
+    "sessionize": q_sessionize,
+    "vocab_topk": q_vocab_topk,
+    "classifier_gate": q_classifier_gate,
+    "fuzzy_dedup": q_fuzzy_dedup,
 }
+
+# oracles for the round-3 additions ------------------------------- #
+
+ORACLES["events_asof"] = (
+    "WITH l AS (SELECT event_id, user_id, ts FROM events "
+    "  WHERE event_type = 'click'), "
+    "r AS (SELECT user_id, ts, max(value) AS pvalue FROM events "
+    "  WHERE event_type = 'purchase' GROUP BY user_id, ts) "
+    "SELECT l.event_id, l.user_id, "
+    "strftime(l.ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_s, "
+    "r.pvalue AS pvalue_r, "
+    "strftime(r.ts, '%Y-%m-%d %H:%M:%S.%f') AS matched_ts "
+    "FROM l ASOF LEFT JOIN r "
+    "ON l.user_id = r.user_id AND l.ts >= r.ts")
+
+ORACLES["sessionize"] = (
+    "WITH o AS (SELECT event_id, user_id, ts, "
+    "  CASE WHEN lag(ts) OVER w IS NULL "
+    "       OR floor(epoch(ts))::BIGINT "
+    "          - floor(epoch(lag(ts) OVER w))::BIGINT > 1800 "
+    "  THEN 1 ELSE 0 END AS ns FROM events "
+    "  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) "
+    "SELECT event_id, user_id, "
+    "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+    "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM o")
+
+ORACLES["vocab_topk"] = (
+    "SELECT word, count(*)::BIGINT AS n FROM ("
+    "  SELECT unnest(string_split_regex(trim(text), "
+    "  '[ \\t\\n\\x0b\\f\\r]+')) AS word FROM documents) t "
+    "WHERE word <> '' GROUP BY word "
+    "ORDER BY n DESC, word ASC LIMIT 100")
+
+_CLF_SQL = {
+    "tok": ("CASE WHEN trim(text) = '' THEN 0 ELSE "
+            "len(string_split_regex(trim(text), '\\s+')) END"),
+    "alpha": "length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))",
+    "digit": "length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))",
+    "space": ("length(text) - length(regexp_replace(text, "
+              "'[ \\t\\n\\x0b\\f\\r]', '', 'g'))"),
+    "upper": "length(text) - length(regexp_replace(text, '[A-Z]', '', 'g'))",
+}
+ORACLES["classifier_gate"] = (
+    "SELECT doc_id, CAST(score AS BIGINT) AS clf_score, "
+    "CAST(CASE WHEN score * 100 >= 150 * n_chars THEN 1 ELSE 0 END "
+    "AS BIGINT) AS clf_keep FROM ("
+    "SELECT doc_id, length(text) AS n_chars, "
+    f"3 * ({_CLF_SQL['alpha']}) + 8 * ({_CLF_SQL['tok']}) "
+    f"- 2 * ({_CLF_SQL['digit']}) - 1 * ({_CLF_SQL['upper']}) "
+    f"- 4 * (length(text) - ({_CLF_SQL['alpha']}) "
+    f"- ({_CLF_SQL['digit']}) - ({_CLF_SQL['space']})) AS score "
+    "FROM documents)")
+
+
+def _fuzzy_keep_oracle(k: int = 5, plant_mod: int = 20) -> str:
+    """Ground-truth fuzzy-dedup keep-set: exact all-pairs Jaccard →
+    recursive transitive closure → drop non-minimum members."""
+    return (
+        "WITH RECURSIVE dupped AS ("
+        "  SELECT doc_id, text FROM documents"
+        "  UNION ALL"
+        f"  SELECT doc_id + 1000000, text || ' tail' "
+        f"  FROM documents WHERE doc_id % {plant_mod} = 0), "
+        "sh AS ("
+        f"  SELECT doc_id, {_shingle_sql(k)} AS sh "
+        f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
+        "pairs AS ("
+        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b "
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
+        "        len(list_distinct(list_concat(a.sh, b.sh)))), "
+        "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "
+        "  UNION SELECT id_b, id_a FROM pairs), "
+        "reach(a, b) AS (SELECT a, b FROM edges "
+        "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
+        "lbl AS (SELECT a AS node, least(a, min(b)) AS comp "
+        "  FROM reach GROUP BY a) "
+        "SELECT d.doc_id FROM dupped d "
+        "WHERE d.doc_id NOT IN "
+        "  (SELECT node FROM lbl WHERE node <> comp)")
+
+
+ORACLES["fuzzy_dedup"] = _fuzzy_keep_oracle()

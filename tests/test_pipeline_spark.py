@@ -218,6 +218,41 @@ def test_kill_after_bucket_resume_matches_uninterrupted(spark, tmp_path):
     assert got == ref_set
 
 
+def test_fused_order_write_single_exchange(spark, tmp_path):
+    """run_checkpointed fuses the ordering window into the bucket-write
+    exchange (partition_id is a function of conv_id, so one
+    hash-partitioning serves both): turn_seq must equal the plain
+    window path's, and the post-kernel plan must contain exactly ONE
+    Exchange and ONE Sort (the round-2 pipeline had two of each — the
+    second full-payload shuffle was the measured negative-scaling
+    stage, BENCH/DIAGNOSIS_4_16.md)."""
+    import re
+
+    from pyspark.sql import Window
+
+    df = generate_spark_df(spark, n_convs=20, n_turns=300, seed=5,
+                           mega_text=False)
+    out_dir, man_dir = str(tmp_path / "o"), str(tmp_path / "m")
+    run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
+                     run_id="fused", extract_kwargs={"include_raw": False})
+    fused = spark.read.parquet(out_dir)
+    exp_df = extract_transcripts(df, include_raw=False, order=True)
+    exp = {(r.conv_id, r.turn_idx): r.turn_seq for r in exp_df.collect()}
+    got = {(r.conv_id, r.turn_idx): r.turn_seq for r in fused.collect()}
+    assert got == exp and len(got) == 300
+
+    # pin the plan shape on the same composition run_checkpointed builds
+    plan_df = extract_transcripts(with_partition_id(df, 4),
+                                  include_raw=False, order=False) \
+        .repartition(4, "partition_id") \
+        .sortWithinPartitions("partition_id", "conv_id", "turn_idx")
+    w = Window.partitionBy("partition_id", "conv_id").orderBy("turn_idx")
+    plan_df = plan_df.withColumn("turn_seq", F.row_number().over(w))
+    p = plan_df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", p)) == 1
+    assert len(re.findall(r"\bSort \[", p)) == 1
+
+
 def test_lineage_hash_col_manifest_equals_full(spark, tmp_path):
     """hash_col lineage (write-time row_hash column, pruned certify
     read) must produce a manifest byte-equal to full mode's on the

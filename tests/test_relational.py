@@ -1,0 +1,118 @@
+"""Time-relational operators (asof_join, sessionize) vs pandas
+ground truth, plus plan-shape pins (one shuffle, no Python UDFs).
+
+pandas.merge_asof is the de-facto reference semantics for as-of joins
+(same inclusive/backward defaults as DuckDB ASOF JOIN), so a
+differential test against it on randomized data certifies the
+union+running-last formulation end to end, including direction and
+tolerance handling.
+"""
+
+import datetime as dt
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from htmlparser_spark.operators.relational import asof_join, sessionize
+
+T0 = dt.datetime(2024, 1, 1)
+
+
+def _mk(spark, seed=7, n_left=400, n_right=150, n_keys=13):
+    # deterministic pseudo-random without RNG state: integer hashing
+    def h(i, salt):
+        x = (i * 2654435761 + salt * 40503) & 0xFFFFFFFF
+        return x
+    left = pd.DataFrame({
+        "k": [h(i, 1) % n_keys for i in range(n_left)],
+        "ts": [T0 + dt.timedelta(seconds=h(i, 2) % 86400)
+               for i in range(n_left)],
+        "lv": [i for i in range(n_left)],
+    })
+    right = pd.DataFrame({
+        "k": [h(i, 3) % n_keys for i in range(n_right)],
+        "ts": [T0 + dt.timedelta(seconds=h(i, 4) % 86400)
+               for i in range(n_right)],
+        "rv": [float(i) * 1.5 for i in range(n_right)],
+    })
+    # make ties interesting: collapse right to unique (k, ts) keeping
+    # max rv, mirroring the documented tie-break contract
+    right = right.groupby(["k", "ts"], as_index=False)["rv"].max()
+    return left, right
+
+
+def _spark_asof(spark, left, right, **kw):
+    lf = spark.createDataFrame(left)
+    rf = spark.createDataFrame(right)
+    out = asof_join(lf, rf, on="ts", by=["k"], **kw)
+    return (out.select("k", "ts", "lv", "rv_r")
+            .toPandas()
+            .sort_values(["k", "ts", "lv"])
+            .reset_index(drop=True))
+
+
+def _pandas_asof(left, right, direction="backward", tolerance=None):
+    kw = {}
+    if tolerance is not None:
+        kw["tolerance"] = pd.Timedelta(seconds=tolerance)
+    out = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"rv": "rv_r"}),
+        on="ts", by="k", direction=direction, **kw)
+    return (out[["k", "ts", "lv", "rv_r"]]
+            .sort_values(["k", "ts", "lv"])
+            .reset_index(drop=True))
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_pandas(spark, direction):
+    left, right = _mk(spark)
+    got = _spark_asof(spark, left, right, direction=direction)
+    want = _pandas_asof(left, right, direction=direction)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_tolerance_matches_pandas(spark):
+    left, right = _mk(spark)
+    got = _spark_asof(spark, left, right, tolerance_seconds=3600)
+    want = _pandas_asof(left, right, tolerance=3600)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_asof_single_shuffle_no_python(spark):
+    from htmlparser_spark.plans import explain_string
+
+    left, right = _mk(spark)
+    lf = spark.createDataFrame(left)
+    rf = spark.createDataFrame(right)
+    plan = explain_string(asof_join(lf, rf, on="ts", by=["k"]))
+    # formatted mode prints each node once in the tree ("Exchange (5)")
+    # and once in the detail section ("(5) Exchange ..."); count tree rows
+    assert plan.count("Exchange (") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Window" in plan
+
+
+def test_sessionize_gap_semantics(spark):
+    rows = [
+        (1, 10, T0),
+        (2, 10, T0 + dt.timedelta(seconds=1800)),   # == gap: same session
+        (3, 10, T0 + dt.timedelta(seconds=3601)),   # > gap from prev: new
+        (4, 11, T0),                                 # other key restarts
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp")
+    got = {r.event_id: r.session_idx
+           for r in sessionize(df, gap_seconds=1800).collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 1}
+
+
+def test_sessionize_timestamp_ntz(spark):
+    # the events table ships TIMESTAMP_NTZ; the gap arithmetic must
+    # not rely on a direct NTZ -> BIGINT cast (illegal in Spark 4)
+    df = spark.createDataFrame(
+        [(1, 5, T0), (2, 5, T0 + dt.timedelta(seconds=9999))],
+        "event_id long, user_id long, ts timestamp_ntz")
+    got = {r.event_id: r.session_idx for r in sessionize(df).collect()}
+    assert got == {1: 1, 2: 2}
