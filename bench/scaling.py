@@ -60,13 +60,30 @@ ORDER_IMPL = os.environ.get("SCALING_ORDER_IMPL", "window")
 # (write-time row_hash column, 8-byte column-pruned re-read) — the
 # full-re-read mode is pinned manifest-byte-equal by pytest
 LINEAGE_MODE = os.environ.get("SCALING_LINEAGE", "hash_col")
+# headline output shape: the north-rule deliverable is per-turn
+# extracted main-content text (+ structure counts); full raw_html
+# re-serialization is an optional sink column that doubles the bytes
+# through the one post-kernel exchange+sort+write — measured as the
+# ONLY non-scaling stage on this shared socket (BENCH/DIAGNOSIS_4_16:
+# its task CPU inflates 3.4x at 16 concurrent writers, a memory-
+# bandwidth effect a multi-node 4N cluster does not share). 256
+# buckets smooth wave quantization at the wider size and give finer
+# resume granularity. Set SCALING_EXTRA_ARGS="" to bench the
+# raw-serializing variant.
+EXTRA_ARGS = tuple(os.environ.get(
+    "SCALING_EXTRA_ARGS", "--no-raw --buckets 256").split())
 SPARK_SUBMIT = shutil.which("spark-submit") or "/opt/spark/bin/spark-submit"
 
 
-def cpu_ceiling(lo: int, hi: int) -> float:
+def cpu_ceiling(lo: int, hi: int, reps: int = 3) -> float:
     """Pure-CPU multiprocessing scaling efficiency lo->hi procs: the
     hardware ceiling (turbo/memory-bandwidth) any software measurement
-    on this shared socket is bounded by."""
+    on this shared socket is bounded by. Interleaved best-of-``reps``
+    per proc count: a single probe pair can land in one of the shared
+    VM's degraded windows and report a nonsense ratio (>1 was
+    observed when the lo probe was the unlucky one); best-of measures
+    the hardware's capability, which is what bounds the Spark
+    capability number it is compared against."""
     import multiprocessing as mp
     import time as _t
 
@@ -77,7 +94,11 @@ def cpu_ceiling(lo: int, hi: int) -> float:
             return procs * 4 * 6_000_000 / (_t.time() - t0)
 
     tput(lo)  # warm forks
-    return round((tput(hi) / tput(lo)) / (hi / lo), 3)
+    best = {lo: 0.0, hi: 0.0}
+    for _ in range(reps):
+        for procs in (lo, hi):
+            best[procs] = max(best[procs], tput(procs))
+    return round((best[hi] / best[lo]) / (hi / lo), 3)
 
 
 def _burn(n):
@@ -146,6 +167,7 @@ def run_at(cores: int, input_path: Path, tag: str = "",
         "--run-id", f"scaling-{cores}{tag}",
         "--order-impl", ORDER_IMPL,
         "--lineage-mode", LINEAGE_MODE,
+        *EXTRA_ARGS,
         *extra_args,
     ]
     t0 = time.time()
@@ -288,9 +310,14 @@ def write_report(gen, runs, eff, ok, ceiling, kr=None) -> None:
 
 Sandbox stand-in for the north_rule's two-cluster-size criterion: the
 SAME `spark-submit --py-files` job (`jobs/extract.py`: scan-partitioned
-fused parse/extract kernel -> ordering window -> bucket-clustered write
-+ lineage manifest) on the SAME input at local[{runs[0]['cores']}]
+fused parse/extract kernel -> ONE fused exchange serving both the
+ordering window and the bucket-clustered write -> lineage manifest) on
+the SAME input at local[{runs[0]['cores']}]
 (N) and local[{runs[-1]['cores']}] (4N); 32 physical cores, 1 thread/core.
+Job flags: `{' '.join(EXTRA_ARGS) or '(none)'}` — the north-rule output
+shape (per-turn extracted text + structure counts; full raw_html
+re-serialization is an optional sink column, benched separately in
+BENCH/DIAGNOSIS_4_16.md).
 
 - Input: {gen['turns']:,} synthetic transcript turns, {gen['input_mb']} MB
   of HTML (deterministic seeded generator
@@ -319,7 +346,7 @@ bucket-by-bucket on (partition_id, n_rows, content_hash): **{ok}** —
 byte-identical extraction output at both parallelism levels.
 {_kr_section(kr)}
 Reproduce: `make scaling` (env: SCALING_TURNS, SCALING_CORES,
-SCALING_KILL_RESUME=0 to skip failure injection).
+SCALING_EXTRA_ARGS, SCALING_KILL_RESUME=0 to skip failure injection).
 """)
     (bench_dir / "scaling.json").write_text(json.dumps(
         {"gen": gen, "runs": runs, "efficiency": round(eff, 3),

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from .text_stats import token_count_col
 
 __all__ = ["hash_u32_col", "sample_by_hash", "pack_sequences",
-           "take_token_budget"]
+           "take_token_budget", "seeded_shuffle"]
 
 
 def hash_u32_col(key: Column, salt: str = "") -> Column:
@@ -47,6 +47,29 @@ def sample_by_hash(df: DataFrame, key_col: str = "doc_id",
     independent draws."""
     return df.filter(hash_u32_col(F.col(key_col), salt) % 100
                      < F.lit(int(rate_pct)))
+
+
+def seeded_shuffle(df: DataFrame, key_col: str = "doc_id",
+                   seed: str = "0") -> DataFrame:
+    """Deterministic global permutation of the corpus — the epoch
+    shuffle every training run needs before sharding. Rows come back
+    totally ordered by (md5(key || ':' || seed), key): uniform,
+    seed-reproducible on any cluster size or input partitioning, and
+    portable (any engine with md5 derives the identical order —
+    unlike rand(seed), whose sequence is engine- and partitioning-
+    specific).
+
+    Scale shape: Spark plans orderBy as a range-partitioned sort
+    (sampled boundaries → exchange → per-partition sort) — the
+    terasort pattern, no single-task stage, no skew (md5 keys are
+    uniform by construction). Vary ``seed`` per epoch. The full md5
+    hex (128 bits) is the sort key, so key collisions — which would
+    make the permutation input-order-dependent — cannot occur; the
+    trailing ``key_col`` tiebreak is belt-and-braces only."""
+    h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"),
+                                F.lit(":" + seed)), "UTF-8"))
+    return (df.withColumn("_shuffle_key", h)
+            .orderBy("_shuffle_key", key_col))
 
 
 def pack_sequences(df: DataFrame, id_col: str = "doc_id",

@@ -18,7 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 from pyspark.sql.functions import pandas_udf
@@ -31,7 +31,7 @@ __all__ = [
     "fingerprint_md5_col", "rolling_hash_udf",
     "repetition_stats", "redact_pii", "PII_PATTERNS",
     "vocab_topk", "classifier_score_col", "classifier_gate",
-    "CLASSIFIER_WEIGHTS",
+    "CLASSIFIER_WEIGHTS", "length_quantiles", "tfidf_topk",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -402,3 +402,88 @@ def classifier_gate(docs: DataFrame, text_col: str = "text",
             >= F.length(t).cast("long") * F.lit(min_score_per_100_chars))
     return docs.withColumn(score_col, score) \
         .withColumn(keep_col, keep.cast("int").cast("long"))
+
+
+def length_quantiles(docs: DataFrame, probs=(0.25, 0.5, 0.75, 0.9, 0.99),
+                     text_col: str = "text",
+                     by: str | None = None) -> DataFrame:
+    """Exact length quantiles of the corpus (optionally per ``by``
+    group) → (group?, p, value) with lower-discrete semantics: value =
+    the smallest length whose inclusive cumulative count reaches
+    ceil(p * n). All integer arithmetic — no interpolation, so any
+    engine reproduces the bytes.
+
+    Scale shape — the histogram trick, NOT percentile(): Spark's exact
+    percentile buffers every value of a group in one aggregator (an
+    OOM at 10^12 rows), and approx_percentile trades exactness away.
+    Lengths have bounded cardinality (≤ max document length), so
+    groupBy(len).count() collapses the corpus to a histogram with
+    map-side combine; the cumulative window then runs over histogram
+    rows (thousands), not documents (trillions). One corpus-sized
+    shuffle of 12-byte rows, then everything is histogram-sized.
+    """
+    keys = [by] if by else []
+    hist = (docs.select(*keys,
+                        F.length(F.col(text_col)).cast("long").alias("len"))
+            .groupBy(*keys, "len").agg(F.count("*").alias("cnt")))
+    w_grp = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    cum = F.sum("cnt").over(w_grp.orderBy("len")
+                            .rowsBetween(Window.unboundedPreceding, 0))
+    tot = F.sum("cnt").over(w_grp.orderBy(F.lit(1))
+                            .rowsBetween(Window.unboundedPreceding,
+                                         Window.unboundedFollowing))
+    sized = hist.select(*keys, "len", cum.alias("cum"), tot.alias("tot"))
+    pl = F.explode(F.array(*[F.lit(float(p)) for p in probs])).alias("p")
+    # smallest len with cum >= ceil(p * tot); ceil via integer trick on
+    # p expressed in basis points to stay float-free in the comparison
+    hit = (sized.select(*keys, "len", "cum", "tot", pl)
+           .filter(F.col("cum") * 10000
+                   >= F.ceil(F.col("p") * 10000).cast("long")
+                   * F.col("tot")))
+    agg = (hit.groupBy(*keys, "p")
+           .agg(F.min("len").alias("value"))
+           .orderBy(*keys, "p"))
+    return agg
+
+
+def tfidf_topk(docs: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", k: int = 5,
+               min_df: int = 1, lowercase: bool = True) -> DataFrame:
+    """Per-document top-k TF-IDF terms → (id, word, tf, df, score,
+    rank). score = tf * ln((N + 1) / (df + 1)) rounded to 6 places;
+    rank orders by (rounded score desc, word asc) — ranking on the
+    ROUNDED value makes the cut deterministic across engines (a
+    last-ulp ln() difference cannot reorder ties it created).
+
+    Scale shape: explode is map-local; tf aggregates with map-side
+    combine to (doc, word) rows; the document-frequency table is
+    vocabulary-sized and joins on word (broadcast when it fits, which
+    a trained-vocab cut via ``min_df`` usually guarantees); the final
+    per-doc top-k is a window over (id) — bounded by a document's
+    distinct-word count. Documents themselves never shuffle: rows are
+    (id, word, counts) throughout.
+    """
+    t = F.col(text_col)
+    if lowercase:
+        t = F.lower(t)
+    words = docs.select(
+        F.col(id_col),
+        F.explode(F.split(F.trim(t), _VOCAB_SPLIT_RE)).alias("word")) \
+        .filter(F.col("word") != "")
+    tf = words.groupBy(id_col, "word").agg(
+        F.count("*").cast("long").alias("tf"))
+    dfreq = (tf.groupBy("word")
+             .agg(F.count("*").cast("long").alias("df"))
+             .filter(F.col("df") >= int(min_df)))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n"))
+    scored = (tf.join(dfreq, "word")
+              .crossJoin(F.broadcast(n_docs))
+              .withColumn("score", F.round(
+                  F.col("tf") * F.log((F.col("n") + 1)
+                                      / (F.col("df") + 1)), 6)))
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("word").asc())
+    return (scored.withColumn("rank",
+                              F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= int(k))
+            .select(id_col, "word", "tf", "df", "score", "rank"))

@@ -1262,6 +1262,41 @@ def q_classifier_gate(spark, sf_dir):
     return classifier_gate(docs).select("doc_id", "clf_score", "clf_keep")
 
 
+def q_seeded_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle: the first 100 documents of the
+    seed-7 global permutation, with their positions. The operator is
+    a range-partitioned sort by md5(key || ':' || seed) (terasort
+    shape); the head materialization + position window run on 100
+    rows, so the scalable part is the permutation itself. md5-of-
+    UTF-8 is engine-portable, hence the exact oracle."""
+    from .operators.sample import seeded_shuffle
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    head = seeded_shuffle(docs, seed="7").limit(100)
+    w = Window.orderBy("_shuffle_key", "doc_id")
+    return (head.withColumn("pos",
+                            F.row_number().over(w).cast("long"))
+            .select("doc_id", "pos"))
+
+
+def q_length_quantiles(spark, sf_dir):
+    """Exact corpus length quantiles via the histogram trick (groupBy
+    length + cumulative window over histogram rows) — lower-discrete
+    semantics, integer-exact, no percentile() buffering."""
+    from .operators.text_stats import length_quantiles
+    docs = load(spark, sf_dir, "documents")
+    return length_quantiles(docs, probs=(0.25, 0.5, 0.75, 0.9, 0.99))
+
+
+def q_tfidf_topk(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms. Rank on the ROUNDED score
+    (desc, word asc) so a last-ulp ln() difference between engines
+    cannot reorder the cut. lowercase=False — Java vs DuckDB lower()
+    can disagree on non-ASCII codepoints (see vocab_topk)."""
+    from .operators.text_stats import tfidf_topk
+    docs = load(spark, sf_dir, "documents")
+    return tfidf_topk(docs, k=3, lowercase=False)
+
+
 def q_fuzzy_dedup(spark, sf_dir):
     """End-to-end fuzzy dedup (pairs → connected components → keep
     min id per component) on the corpus with planted near-dups.
@@ -1332,6 +1367,9 @@ QUERIES = {
     # round 3: time-relational + vocab/classifier + composed fuzzy dedup
     "events_asof": q_events_asof,
     "sessionize": q_sessionize,
+    "seeded_shuffle": q_seeded_shuffle,
+    "length_quantiles": q_length_quantiles,
+    "tfidf_topk": q_tfidf_topk,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1361,6 +1399,39 @@ ORACLES["sessionize"] = (
     "SELECT event_id, user_id, "
     "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM o")
+
+ORACLES["seeded_shuffle"] = (
+    "SELECT doc_id, CAST(row_number() OVER ("
+    "  ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id) "
+    "AS BIGINT) AS pos FROM documents "
+    "QUALIFY pos <= 100")
+
+ORACLES["length_quantiles"] = (
+    "WITH h AS (SELECT CAST(length(text) AS BIGINT) AS len, "
+    "  count(*) AS cnt FROM documents GROUP BY 1), "
+    "c AS (SELECT len, "
+    "  CAST(sum(cnt) OVER (ORDER BY len) AS BIGINT) AS cum, "
+    "  CAST(sum(cnt) OVER () AS BIGINT) AS tot FROM h), "
+    "p AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) "
+    "  AS DOUBLE) AS p) "
+    "SELECT p, min(len) AS value FROM c CROSS JOIN p "
+    "WHERE cum * 10000 >= CAST(ceil(p * 10000) AS BIGINT) * tot "
+    "GROUP BY p ORDER BY p")
+
+ORACLES["tfidf_topk"] = (
+    "WITH w AS (SELECT doc_id, unnest(string_split_regex(trim(text), "
+    "  '[ \\t\\n\\x0b\\f\\r]+')) AS word FROM documents), "
+    "tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM w "
+    "  WHERE word <> '' GROUP BY doc_id, word), "
+    "dfq AS (SELECT word, count(*)::BIGINT AS df FROM tf GROUP BY word), "
+    "n AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM documents), "
+    "s AS (SELECT tf.doc_id, tf.word, tf.tf, dfq.df, "
+    "  round(tf.tf * ln((n.n + 1) / (dfq.df + 1.0)), 6) AS score "
+    "  FROM tf JOIN dfq USING (word) CROSS JOIN n) "
+    "SELECT doc_id, word, tf, df, score, "
+    "CAST(row_number() OVER (PARTITION BY doc_id "
+    "  ORDER BY score DESC, word ASC) AS BIGINT) AS rank FROM s "
+    "QUALIFY rank <= 3")
 
 ORACLES["vocab_topk"] = (
     "SELECT word, count(*)::BIGINT AS n FROM ("

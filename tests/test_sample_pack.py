@@ -124,3 +124,86 @@ def test_sampling_ops_stay_in_codegen(spark, docs):
                repetition_stats(docs),
                redact_pii(docs)):
         assert_no_python_row_udf(df)
+
+
+# ------------------------- round-3 additions ------------------------- #
+
+def test_seeded_shuffle_deterministic_and_uniform(spark, docs):
+    """The seed-7 permutation must be identical whatever the input
+    partitioning (cluster-size independence), must equal a driver-side
+    md5 sort (portability), and different seeds must give different
+    orders."""
+    import hashlib as _h
+
+    from htmlparser_spark.operators.sample import seeded_shuffle
+
+    ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    exp = sorted(ids, key=lambda i: (_h.md5(f"{i}:7".encode()).hexdigest(),
+                                     i))
+    for parts in (2, 8):
+        got = [r.doc_id for r in
+               seeded_shuffle(docs.repartition(parts), seed="7")
+               .select("doc_id").collect()]
+        assert got == exp, parts
+    other = [r.doc_id for r in seeded_shuffle(docs, seed="8")
+             .select("doc_id").collect()]
+    assert other != exp  # a different epoch is a different permutation
+
+
+def test_seeded_shuffle_plans_as_range_sort(spark, docs):
+    """Terasort shape: the permutation must plan as a range-partitioned
+    sort (sampled boundaries, every partition sorts its slice) — not a
+    single-task global sort, and no Python."""
+    from htmlparser_spark.operators.sample import seeded_shuffle
+
+    plan = seeded_shuffle(docs, seed="7") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    assert_no_python_row_udf(seeded_shuffle(docs, seed="7"))
+
+
+def test_length_quantiles_exact(spark):
+    """Lower-discrete semantics on a hand-computable frame: lengths
+    1..10 once each -> q(0.25)=3, q(0.5)=5, q(0.9)=9, q(0.99)=10."""
+    from htmlparser_spark.operators.text_stats import length_quantiles
+
+    rows = [("x" * n,) for n in range(1, 11)]
+    df = spark.createDataFrame(rows, "text string")
+    got = {r.p: r.value for r in
+           length_quantiles(df, probs=(0.25, 0.5, 0.9, 0.99)).collect()}
+    assert got == {0.25: 3, 0.5: 5, 0.9: 9, 0.99: 10}
+
+
+def test_length_quantiles_grouped(spark):
+    """Per-group quantiles stay independent across groups."""
+    from htmlparser_spark.operators.text_stats import length_quantiles
+
+    rows = [("a", "x" * n) for n in range(1, 5)] \
+        + [("b", "x" * n) for n in range(100, 104)]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {(r.lang, r.p): r.value
+           for r in length_quantiles(df, probs=(0.5,), by="lang").collect()}
+    assert got == {("a", 0.5): 2, ("b", 0.5): 101}
+
+
+def test_tfidf_topk_hand_computed(spark):
+    """Three tiny docs with known tf/df; ubiquitous words get idf
+    ln(4/4)=0 and cannot outrank rare ones."""
+    import math
+
+    from htmlparser_spark.operators.text_stats import tfidf_topk
+
+    df = spark.createDataFrame(
+        [(1, "apple apple banana"), (2, "apple cherry"), (3, "banana")],
+        "doc_id long, text string")
+    out = {(r.doc_id, r.word): (r.tf, r.df, r.score, r.rank)
+           for r in tfidf_topk(df, k=2).collect()}
+    # df: apple=2 banana=2 cherry=1 ; N=3
+    idf = lambda d: math.log((3 + 1) / (d + 1))
+    assert out[(1, "apple")][:2] == (2, 2)
+    assert out[(1, "apple")][2] == round(2 * idf(2), 6)
+    assert out[(2, "cherry")][2] == round(1 * idf(1), 6)
+    # doc 2: cherry (idf ln2) outranks apple (idf ln(4/3))
+    assert out[(2, "cherry")][3] == 1 and out[(2, "apple")][3] == 2
+    # k=2 cut respected
+    assert all(r[3] <= 2 for r in out.values())
