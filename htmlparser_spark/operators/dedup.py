@@ -622,11 +622,13 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
-                    hamming.cast("long").alias("hamming"))
-            .distinct())
+                    hamming.cast("long").alias("hamming")))
     star = _star_pairs(oversize.select(id_col, "sh").distinct(),
                        F.col("sh"), id_col) \
         .withColumn("hamming", F.lit(0).cast("long"))
+    # ONE distinct collapses both multi-chunk collisions within quad
+    # and quad∩star overlap — a second upstream distinct on quad alone
+    # would re-shuffle the same 24 B rows twice for the same result
     return quad.unionAll(star).distinct()
 
 
