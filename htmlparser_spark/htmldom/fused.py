@@ -73,7 +73,10 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                 is_block = False
             txt.append(content)
         if raw is not None:
-            if RE_HAS_NONSPACE.search(content):
+            # not-isspace() short-circuits at C speed; the regex
+            # fallback keeps \v-only runs (unicode-space but
+            # reference-NONspace, constants.py) emitting correctly
+            if not content.isspace() or RE_HAS_NONSPACE.search(content):
                 raw.append(content if in_rawtext else collapse_spaces(content))
 
     def emit_open_raw(name: str, attrs: dict, selfc: bool) -> None:
@@ -148,8 +151,9 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
         if ("a" <= c <= "z") or ("A" <= c <= "Z"):
             if pending:
                 # inline flush_text/emit_text (hot path: data-state
-                # text is never rawtext and never suppressed)
-                t = "".join(pending)
+                # text is never rawtext and never suppressed; chunk
+                # count is almost always 1 — skip the join then)
+                t = pending[0] if len(pending) == 1 else "".join(pending)
                 pending.clear()
                 if t:
                     n_nodes += 1
@@ -158,7 +162,9 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                             txt.append("\n")
                         is_block = False
                     txt.append(t)
-                    if raw is not None and RE_HAS_NONSPACE.search(t):
+                    if raw is not None and (
+                            not t.isspace()
+                            or RE_HAS_NONSPACE.search(t)):
                         raw.append(collapse_spaces(t))
             res = _scan_tag(s, i, n)
             if res is None:
