@@ -1,0 +1,142 @@
+"""Distributed k-means topic clustering over embedding columns.
+
+The training-data use: cluster the corpus's embedding space to drive
+data mixing (per-topic token budgets), cluster-level dedup, and
+diversity sampling. Classic Lloyd iterations, Spark-shaped:
+
+- Centroids live on the DRIVER between iterations (k × dim longs —
+  kilobytes) and enter each assignment pass as a broadcast literal
+  table: the corpus never shuffles for assignment, only (id, cid)
+  pairs and per-dimension partial sums do. This is the same bounded
+  driver step the IVF index build documents (similarity.py) — the
+  standard distributed k-means recipe (MLlib's KMeans does the same).
+- Every per-row computation is a Catalyst expression (zip_with /
+  aggregate / min-struct) — whole-stage codegen, no Python UDF.
+- The centroid update aggregates with map-side combine on
+  (cid, dim) — the shuffle is k·dim rows of partial sums, independent
+  of corpus size.
+
+Exactness: ``kmeans_fit_quantized`` snaps vectors to an integer
+lattice (round(x·scale)) and updates centroids with FLOOR-division
+means, so distances, argmins (ties → smallest cid), and updates are
+exact integer arithmetic end-to-end — bit-reproducible on any engine
+and any partitioning, hence the exact cross-engine oracle
+(queries.py `kmeans_quantized`). Quantization at scale=128 (int8-ish
+product-quantization granularity) perturbs each coordinate by
+≤ 1/256 — far below any real cluster separation; swap in float
+centroids without changing the plan shape if bit-reproducibility is
+not required.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["quantize_vec", "kmeans_assign", "kmeans_fit_quantized"]
+
+
+def quantize_vec(col: Column, scale: int = 128) -> Column:
+    """array<float> → array<long> on the integer lattice: round
+    half-away-from-zero of x·scale (Spark round and DuckDB round agree
+    on doubles; x·128 is exact in double for float32 x, a power-of-two
+    product)."""
+    return F.transform(
+        col, lambda x: F.round(x.cast("double") * scale, 0).cast("long"))
+
+
+def _sq_dist(v: Column, c: Column) -> Column:
+    """Exact squared L2 distance of two array<long> columns (codegen:
+    zip_with + aggregate, no Python)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def kmeans_assign(df: DataFrame, centroids: DataFrame,
+                  vec_col: str = "qv", id_col: str = "vec_id") -> DataFrame:
+    """Assign each row to its nearest centroid → (id, cid, dist).
+
+    ``centroids``: (cid long, cv array<long>) — k rows, broadcast, so
+    the corpus-side plan is scan → k distance expressions → one
+    map-side argmin; the only exchange is the caller's (if any). Ties
+    break to the smallest cid (min over (dist, cid) structs — a total
+    order, so assignment is deterministic)."""
+    d = (df.select(F.col(id_col), F.col(vec_col))
+         .crossJoin(F.broadcast(centroids))
+         .select(id_col,
+                 F.struct(_sq_dist(F.col(vec_col), F.col("cv"))
+                          .alias("dist"),
+                          F.col("cid").alias("cid")).alias("dc")))
+    best = (d.groupBy(id_col).agg(F.min("dc").alias("dc"))
+            .select(id_col, F.col("dc.cid").alias("cid"),
+                    F.col("dc.dist").alias("dist")))
+    return best
+
+
+def kmeans_fit_quantized(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", k: int = 10,
+                         iters: int = 2, scale: int = 128
+                         ) -> tuple[DataFrame, List]:
+    """Integer-lattice Lloyd: quantize → k iterations of
+    (assign → floor-division centroid update) → final assignment.
+
+    Init: deterministic farthest-point traversal (Gonzalez 1985) —
+    seed 0 is the smallest id's vector, each next seed maximizes the
+    distance to its nearest chosen seed (ties → smallest id);
+    partitioning-independent and it cannot collapse all seeds into one
+    dense cluster the way a fixed-id init can. Empty clusters keep
+    their previous centroid. Returns (assignments DataFrame
+    (id, cid, dist), final centroids as a driver-side list of
+    (cid, [long]*dim)).
+
+    Per iteration: ONE corpus pass for assignment (broadcast
+    centroids, no corpus shuffle) + ONE map-side-combined aggregate of
+    (cid, dim, partial sum/count) — shuffle volume k·dim·partitions
+    partial rows, independent of corpus size. Centroid collects are
+    k·dim longs — the bounded driver step documented above."""
+    spark = df.sparkSession
+    q = df.select(F.col(id_col),
+                  quantize_vec(F.col(vec_col), scale).alias("qv"))
+    # Deterministic farthest-point init (Gonzalez): seed 0 = smallest
+    # id, then k-1 passes each picking the point farthest from its
+    # nearest chosen seed (ties -> smallest id). Unlike "k smallest
+    # ids" this cannot land every seed inside one dense cluster. Each
+    # pass is a pure projection (seeds inlined as literal arrays — k
+    # is small) + top-1: no shuffle, one bounded driver row per pass.
+    first = q.orderBy(id_col).limit(1).collect()[0]
+    cents = [(0, [int(x) for x in first.qv])]
+    for i in range(1, k):
+        lits = [F.array(*[F.lit(x) for x in v]) for _, v in cents]
+        nd = F.least(*[_sq_dist(F.col("qv"), c) for c in lits]) if \
+            len(lits) > 1 else _sq_dist(F.col("qv"), lits[0])
+        far = (q.select(id_col, "qv", nd.alias("nd"))
+               .orderBy(F.desc("nd"), F.asc(id_col)).limit(1)
+               .collect()[0])
+        cents.append((i, [int(x) for x in far.qv]))
+
+    def cent_df(cs):
+        return spark.createDataFrame(
+            [(c, v) for c, v in cs], "cid long, cv array<bigint>")
+
+    assigned = None
+    for _ in range(max(1, int(iters))):
+        assigned = kmeans_assign(q, cent_df(cents), vec_col="qv",
+                                 id_col=id_col)
+        upd = (assigned.join(q, id_col)
+               .select("cid", F.posexplode("qv").alias("pos", "v"))
+               .groupBy("cid", "pos")
+               .agg(F.floor(F.sum("v") / F.count("*")).cast("long")
+                    .alias("mv")))
+        new = (upd.groupBy("cid")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+                   lambda s: s.mv).alias("cv"))
+               .collect())
+        got = {int(r.cid): [int(x) for x in r.cv] for r in new}
+        # empty clusters keep their previous centroid
+        cents = [(c, got.get(c, v)) for c, v in cents]
+    final = kmeans_assign(q, cent_df(cents), vec_col="qv", id_col=id_col)
+    return final, cents

@@ -1297,6 +1297,20 @@ def q_tfidf_topk(spark, sf_dir):
     return tfidf_topk(docs, k=3, lowercase=False)
 
 
+def q_kmeans_quantized(spark, sf_dir):
+    """Distributed k-means topic clustering (k=10, 2 Lloyd iterations)
+    over the embeddings table on the integer lattice (scale 128):
+    distances, argmins (ties → smallest cid) and floor-division
+    centroid updates are exact integer arithmetic, so DuckDB replays
+    the identical iterations — a FULL exact oracle for an iterative
+    clustering, not an invariant. Assignment passes broadcast the
+    k×64-long centroid table; the corpus never shuffles."""
+    from .operators.cluster import kmeans_fit_quantized
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _cents = kmeans_fit_quantized(emb, k=10, iters=2, scale=128)
+    return assigned.select("vec_id", "cid", "dist")
+
+
 def q_fuzzy_dedup(spark, sf_dir):
     """End-to-end fuzzy dedup (pairs → connected components → keep
     min id per component) on the corpus with planted near-dups.
@@ -1370,6 +1384,7 @@ QUERIES = {
     "seeded_shuffle": q_seeded_shuffle,
     "length_quantiles": q_length_quantiles,
     "tfidf_topk": q_tfidf_topk,
+    "kmeans_quantized": q_kmeans_quantized,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1399,6 +1414,57 @@ ORACLES["sessionize"] = (
     "SELECT event_id, user_id, "
     "CAST(sum(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id "
     "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM o")
+
+# exact replay of the integer-lattice Lloyd iterations (see
+# operators/cluster.py): quantize -> (assign -> floor-mean update) x2
+# -> final assignment. All integer arithmetic, ties -> smallest cid.
+_KM_DIST = ("list_sum(list_transform(range(1, 65), "
+            "i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i])))")
+_KM_STEP = (
+    "d{n} AS MATERIALIZED (SELECT q.vec_id, c.cid, " + _KM_DIST +
+    "  AS dist FROM q CROSS JOIN c{n} c), "
+    "a{n} AS MATERIALIZED (SELECT vec_id, cid FROM ("
+    "  SELECT vec_id, cid, row_number() OVER ("
+    "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d{n}) "
+    "  WHERE rn = 1), "
+    "m{m} AS MATERIALIZED (SELECT a{n}.cid, t.i AS pos, "
+    "  CAST(floor(sum(q.qv[t.i]) * 1.0 / count(*)) AS BIGINT) AS mv "
+    "  FROM a{n} JOIN q USING (vec_id), unnest(range(1, 65)) AS t(i) "
+    "  GROUP BY a{n}.cid, t.i), "
+    "c{m}n AS MATERIALIZED (SELECT cid, list(mv ORDER BY pos) AS cv "
+    "  FROM m{m} GROUP BY cid), "
+    "c{m} AS MATERIALIZED (SELECT c{n}.cid, "
+    "  coalesce(c{m}n.cv, c{n}.cv) AS cv "
+    "  FROM c{n} LEFT JOIN c{m}n USING (cid))")
+# farthest-point (Gonzalez) init replay: seed 0 = smallest vec_id's
+# vector; seed i = the point maximizing min-distance to seeds 0..i-1
+# (ties -> smallest vec_id). s{i} accumulates the chosen seeds.
+# MATERIALIZED throughout: DuckDB inlines CTEs by default, and the
+# chained seed/step references would re-evaluate exponentially.
+_KM_SEED = (
+    "nd{p} AS MATERIALIZED (SELECT q.vec_id, q.qv, min(" + _KM_DIST +
+    "  ) AS nd FROM q CROSS JOIN s{p} c GROUP BY q.vec_id, q.qv), "
+    "s{i} AS MATERIALIZED (SELECT * FROM s{p} UNION ALL "
+    "  SELECT CAST({p} AS BIGINT) AS cid, qv AS cv FROM "
+    "  (SELECT qv FROM nd{p} ORDER BY nd DESC, vec_id LIMIT 1))")
+_KM_INIT = (
+    "s1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cid, qv AS cv "
+    "  FROM (SELECT qv FROM q ORDER BY vec_id LIMIT 1)), "
+    + ", ".join(_KM_SEED.format(p=i - 1, i=i) for i in range(2, 11)))
+ORACLES["kmeans_quantized"] = (
+    "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
+    "  x -> CAST(round(CAST(x AS DOUBLE) * 128) AS BIGINT)) AS qv "
+    "  FROM embeddings), "
+    + _KM_INIT + ", "
+    "c0 AS (SELECT cid, cv FROM s10), "
+    + _KM_STEP.format(n=0, m=1) + ", "
+    + _KM_STEP.format(n=1, m=2) + ", "
+    "df AS (SELECT q.vec_id, c.cid, " + _KM_DIST +
+    "  AS dist FROM q CROSS JOIN c2 c) "
+    "SELECT vec_id, cid, CAST(dist AS BIGINT) AS dist FROM ("
+    "  SELECT vec_id, cid, dist, row_number() OVER ("
+    "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) "
+    "WHERE rn = 1")
 
 ORACLES["seeded_shuffle"] = (
     "SELECT doc_id, CAST(row_number() OVER ("
