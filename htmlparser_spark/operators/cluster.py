@@ -78,19 +78,25 @@ def kmeans_assign(df: DataFrame, centroids: DataFrame,
 
 def kmeans_fit_quantized(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id", k: int = 10,
-                         iters: int = 2, scale: int = 128
+                         iters: int = 2, scale: int = 128,
+                         init_sample: int = 2048
                          ) -> tuple[DataFrame, List]:
     """Integer-lattice Lloyd: quantize → k iterations of
     (assign → floor-division centroid update) → final assignment.
 
-    Init: deterministic farthest-point traversal (Gonzalez 1985) —
-    seed 0 is the smallest id's vector, each next seed maximizes the
-    distance to its nearest chosen seed (ties → smallest id);
-    partitioning-independent and it cannot collapse all seeds into one
-    dense cluster the way a fixed-id init can. Empty clusters keep
-    their previous centroid. Returns (assignments DataFrame
-    (id, cid, dist), final centroids as a driver-side list of
-    (cid, [long]*dim)).
+    Init: deterministic farthest-point traversal (Gonzalez 1985) over
+    a bounded sample — the ``init_sample`` smallest ids, ONE corpus
+    pass to fetch (≈1 MB at 2048×64 longs, the same bounded driver
+    step the IVF build documents), then exact integer farthest-point
+    on the driver: seed 0 is the smallest id's vector, each next seed
+    maximizes distance to its nearest chosen seed (ties → smallest
+    id). Partitioning-independent, and it cannot collapse all seeds
+    into one dense cluster the way a fixed-id init can. Running
+    Gonzalez on the full corpus instead would cost k-1 extra corpus
+    scans — the sample keeps total passes at iters+2 regardless of k.
+    Empty clusters keep their previous centroid. Returns (assignments
+    DataFrame (id, cid, dist), final centroids as a driver-side list
+    of (cid, [long]*dim)).
 
     Per iteration: ONE corpus pass for assignment (broadcast
     centroids, no corpus shuffle) + ONE map-side-combined aggregate of
@@ -100,22 +106,21 @@ def kmeans_fit_quantized(df: DataFrame, vec_col: str = "embedding",
     spark = df.sparkSession
     q = df.select(F.col(id_col),
                   quantize_vec(F.col(vec_col), scale).alias("qv"))
-    # Deterministic farthest-point init (Gonzalez): seed 0 = smallest
-    # id, then k-1 passes each picking the point farthest from its
-    # nearest chosen seed (ties -> smallest id). Unlike "k smallest
-    # ids" this cannot land every seed inside one dense cluster. Each
-    # pass is a pure projection (seeds inlined as literal arrays — k
-    # is small) + top-1: no shuffle, one bounded driver row per pass.
-    first = q.orderBy(id_col).limit(1).collect()[0]
-    cents = [(0, [int(x) for x in first.qv])]
-    for i in range(1, k):
-        lits = [F.array(*[F.lit(x) for x in v]) for _, v in cents]
-        nd = F.least(*[_sq_dist(F.col("qv"), c) for c in lits]) if \
-            len(lits) > 1 else _sq_dist(F.col("qv"), lits[0])
-        far = (q.select(id_col, "qv", nd.alias("nd"))
-               .orderBy(F.desc("nd"), F.asc(id_col)).limit(1)
-               .collect()[0])
-        cents.append((i, [int(x) for x in far.qv]))
+    import numpy as np
+    sample = q.orderBy(id_col).limit(int(init_sample)).collect()
+    ids = np.array([int(r[0]) for r in sample], dtype=np.int64)
+    vecs = np.array([r.qv for r in sample], dtype=np.int64)
+    # exact integer farthest-point on the sample: nd = squared L2 to
+    # the nearest chosen seed; next seed = argmax nd, ties -> smallest
+    # id (ids are sorted ascending, so the first argmax hit wins)
+    seed_idx = [0]
+    nd = ((vecs - vecs[0]) ** 2).sum(axis=1)
+    for _ in range(1, min(k, len(sample))):
+        j = int(np.argmax(nd))
+        seed_idx.append(j)
+        nd = np.minimum(nd, ((vecs - vecs[j]) ** 2).sum(axis=1))
+    cents = [(i, [int(x) for x in vecs[j]])
+             for i, j in enumerate(seed_idx[:k])]
 
     def cent_df(cs):
         return spark.createDataFrame(

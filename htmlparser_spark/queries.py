@@ -1436,20 +1436,25 @@ _KM_STEP = (
     "c{m} AS MATERIALIZED (SELECT c{n}.cid, "
     "  coalesce(c{m}n.cv, c{n}.cv) AS cv "
     "  FROM c{n} LEFT JOIN c{m}n USING (cid))")
-# farthest-point (Gonzalez) init replay: seed 0 = smallest vec_id's
-# vector; seed i = the point maximizing min-distance to seeds 0..i-1
-# (ties -> smallest vec_id). s{i} accumulates the chosen seeds.
-# MATERIALIZED throughout: DuckDB inlines CTEs by default, and the
-# chained seed/step references would re-evaluate exponentially.
+# farthest-point (Gonzalez) init replay over the bounded init sample
+# (the 2048 smallest vec_ids — cluster.py collects the same sample):
+# seed 0 = smallest vec_id's vector; seed i = the sample point
+# maximizing min-distance to seeds 0..i-1 (ties -> smallest vec_id).
+# s{i} accumulates the chosen seeds. MATERIALIZED throughout: DuckDB
+# inlines CTEs by default, and the chained seed/step references would
+# re-evaluate exponentially.
 _KM_SEED = (
     "nd{p} AS MATERIALIZED (SELECT q.vec_id, q.qv, min(" + _KM_DIST +
-    "  ) AS nd FROM q CROSS JOIN s{p} c GROUP BY q.vec_id, q.qv), "
+    "  ) AS nd FROM smp q CROSS JOIN s{p} c "
+    "  GROUP BY q.vec_id, q.qv), "
     "s{i} AS MATERIALIZED (SELECT * FROM s{p} UNION ALL "
     "  SELECT CAST({p} AS BIGINT) AS cid, qv AS cv FROM "
     "  (SELECT qv FROM nd{p} ORDER BY nd DESC, vec_id LIMIT 1))")
 _KM_INIT = (
+    "smp AS MATERIALIZED (SELECT vec_id, qv FROM q "
+    "  ORDER BY vec_id LIMIT 2048), "
     "s1 AS MATERIALIZED (SELECT CAST(0 AS BIGINT) AS cid, qv AS cv "
-    "  FROM (SELECT qv FROM q ORDER BY vec_id LIMIT 1)), "
+    "  FROM (SELECT qv FROM smp ORDER BY vec_id LIMIT 1)), "
     + ", ".join(_KM_SEED.format(p=i - 1, i=i) for i in range(2, 11)))
 ORACLES["kmeans_quantized"] = (
     "WITH q AS MATERIALIZED (SELECT vec_id, list_transform(embedding, "
