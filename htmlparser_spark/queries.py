@@ -1311,6 +1311,25 @@ def q_kmeans_quantized(spark, sf_dir):
     return assigned.select("vec_id", "cid", "dist")
 
 
+def q_chunk_overlap(spark, sf_dir):
+    """Token-window chunking (size 48, overlap 8) of every document —
+    the context-window prep step. Window boundaries are integer
+    arithmetic over a portable whitespace tokenization, so the oracle
+    replays every (doc, window) row byte-exactly."""
+    from .operators.chunk import chunk_tokens
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_tokens(docs, size=48, overlap=8)
+
+
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test split (90/5/5) from the portable
+    md5-u32 hash of doc_id + salt — content- and partitioning-
+    independent, so the oracle reproduces the exact assignment."""
+    from .operators.chunk import dataset_split
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return dataset_split(docs).select("doc_id", "bucket", "split")
+
+
 def q_fuzzy_dedup(spark, sf_dir):
     """End-to-end fuzzy dedup (pairs → connected components → keep
     min id per component) on the corpus with planted near-dups.
@@ -1385,6 +1404,8 @@ QUERIES = {
     "length_quantiles": q_length_quantiles,
     "tfidf_topk": q_tfidf_topk,
     "kmeans_quantized": q_kmeans_quantized,
+    "chunk_overlap": q_chunk_overlap,
+    "dataset_split": q_dataset_split,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1470,6 +1491,34 @@ ORACLES["kmeans_quantized"] = (
     "  SELECT vec_id, cid, dist, row_number() OVER ("
     "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) "
     "WHERE rn = 1")
+
+# chunk_tokens replay: same whitespace class, integer window count
+# (1 + ceil((n-48)/40) via // floor division), inclusive-end
+# list_slice == Spark's (start, length) slice with clamping.
+ORACLES["chunk_overlap"] = (
+    "WITH t AS (SELECT doc_id, CASE WHEN trim(text) = '' THEN [] "
+    "  ELSE string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') "
+    "  END AS toks FROM documents), "
+    "n AS (SELECT doc_id, toks, "
+    "  CASE WHEN len(toks) <= 48 THEN 1 "
+    "  ELSE 1 + (len(toks) - 48 + 39) // 40 END AS nc FROM t), "
+    "e AS (SELECT doc_id, toks, u.i AS chunk_idx "
+    "  FROM n, unnest(range(0, nc)) AS u(i)) "
+    "SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx, "
+    "CAST(len(list_slice(toks, chunk_idx*40 + 1, chunk_idx*40 + 48)) "
+    "  AS BIGINT) AS n_chunk_tokens, "
+    "array_to_string(list_slice(toks, chunk_idx*40 + 1, "
+    "  chunk_idx*40 + 48), ' ') AS chunk_text FROM e")
+
+_MD5_U32_SPLIT_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) "
+    f"|| ':split7'), {j + 1}, 1)) - 1)*{16 ** (7 - j)}"
+    for j in range(8)) + ")"
+ORACLES["dataset_split"] = (
+    "SELECT doc_id, CAST(" + _MD5_U32_SPLIT_SQL + " % 100 AS BIGINT) "
+    "AS bucket, CASE WHEN " + _MD5_U32_SPLIT_SQL + " % 100 < 90 "
+    "THEN 'train' WHEN " + _MD5_U32_SPLIT_SQL + " % 100 < 95 "
+    "THEN 'val' ELSE 'test' END AS split FROM documents")
 
 ORACLES["seeded_shuffle"] = (
     "SELECT doc_id, CAST(row_number() OVER ("
