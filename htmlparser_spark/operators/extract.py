@@ -27,7 +27,48 @@ from pyspark.sql import functions as F
 from ..kernel import extract_text
 
 __all__ = ["extract_transcripts", "salted_repartition",
-           "order_turns_scalable", "bucket_offsets"]
+           "order_turns_scalable", "bucket_offsets",
+           "assemble_conversations"]
+
+
+def assemble_conversations(df: DataFrame, conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           role_col: str = "role",
+                           text_col: str = "text",
+                           sep: str = "\n\n",
+                           max_turns: int | None = None) -> DataFrame:
+    """Turn-level → document-level: one row per conversation with the
+    turns concatenated as "role: text" in turn order → (conv_id,
+    n_turns, doc_text). The inverse direction of the extraction
+    pipeline's explode — this is how per-turn extracted text becomes
+    a training document.
+
+    ONE keyed shuffle (groupBy conv_id) with map-side partial
+    collect; the sort happens inside each group's collected array
+    (array_sort on (turn_idx, role, text) structs — turn_idx leads,
+    so ordering is by turn position, deterministic for the unique
+    turn_idx the pipeline guarantees). Memory bound: one task holds
+    ONE conversation's text — the same bound as the ordering window,
+    documented in BASELINE.md with the two-phase escape hatch; pass
+    ``max_turns`` to truncate pathological conversations at assembly
+    (slice AFTER the sort, so it keeps the first turns, not a random
+    subset). n_turns counts the PRE-truncation total, so downstream
+    can see what was cut."""
+    struct = F.struct(F.col(idx_col).alias("i"),
+                      F.col(role_col).alias("r"),
+                      F.col(text_col).alias("t"))
+    g = (df.select(F.col(conv_col), struct.alias("_s"))
+         .groupBy(conv_col)
+         .agg(F.count("*").alias("n_turns"),
+              F.array_sort(F.collect_list("_s")).alias("_ts")))
+    ts = F.col("_ts")
+    if max_turns is not None:
+        ts = F.slice(ts, 1, int(max_turns))
+    return g.select(
+        conv_col, F.col("n_turns").cast("long").alias("n_turns"),
+        F.array_join(
+            F.transform(ts, lambda s: F.concat(s.r, F.lit(": "), s.t)),
+            sep).alias("doc_text"))
 
 
 def bucket_offsets(df: DataFrame,

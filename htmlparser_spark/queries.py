@@ -1311,6 +1311,26 @@ def q_kmeans_quantized(spark, sf_dir):
     return assigned.select("vec_id", "cid", "dist")
 
 
+def q_conv_assemble(spark, sf_dir):
+    """Turn-level → document-level assembly: synthesize a transcripts
+    table from documents (50 conversations, roles cycling
+    user/assistant/tool by turn), concatenate each conversation's
+    turns as 'role: text' in turn order. The oracle replays the
+    string_agg with the identical ordering — certifying the sort
+    inside the collected array, not just the counts."""
+    from .operators.extract import assemble_conversations
+    docs = load(spark, sf_dir, "documents")
+    roles = F.array(F.lit("user"), F.lit("assistant"), F.lit("tool"))
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        F.element_at(roles, (F.col("doc_id") % 3 + 1).cast("int"))
+        .alias("role"),
+        F.col("text"))
+    return assemble_conversations(tr)
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Token-window chunking (size 48, overlap 8) of every document —
     the context-window prep step. Window boundaries are integer
@@ -1406,6 +1426,7 @@ QUERIES = {
     "kmeans_quantized": q_kmeans_quantized,
     "chunk_overlap": q_chunk_overlap,
     "dataset_split": q_dataset_split,
+    "conv_assemble": q_conv_assemble,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1509,6 +1530,15 @@ ORACLES["chunk_overlap"] = (
     "  AS BIGINT) AS n_chunk_tokens, "
     "array_to_string(list_slice(toks, chunk_idx*40 + 1, "
     "  chunk_idx*40 + 48), ' ') AS chunk_text FROM e")
+
+ORACLES["conv_assemble"] = (
+    "WITH t AS (SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) "
+    "  AS conv_id, CAST(doc_id // 50 AS INTEGER) AS turn_idx, "
+    "  CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "  ELSE 'tool' END AS role, text FROM documents) "
+    "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+    "string_agg(role || ': ' || text, chr(10) || chr(10) "
+    "  ORDER BY turn_idx) AS doc_text FROM t GROUP BY conv_id")
 
 _MD5_U32_SPLIT_SQL = "(" + " + ".join(
     f"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR) "
