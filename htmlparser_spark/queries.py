@@ -1331,6 +1331,16 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_inverted_index(spark, sf_dir):
+    """Capped inverted index: df counts + the 50 smallest doc_ids per
+    term for the 100 highest-df terms. The two-stage min-k postings
+    cap is deterministic (keeps smallest ids), so the oracle replays
+    counts, cut, and postings arrays exactly."""
+    from .operators.index import inverted_index
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return inverted_index(docs, top_terms=100, max_postings=50)
+
+
 def q_chunk_overlap(spark, sf_dir):
     """Token-window chunking (size 48, overlap 8) of every document —
     the context-window prep step. Window boundaries are integer
@@ -1427,6 +1437,7 @@ QUERIES = {
     "chunk_overlap": q_chunk_overlap,
     "dataset_split": q_dataset_split,
     "conv_assemble": q_conv_assemble,
+    "inverted_index": q_inverted_index,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1530,6 +1541,19 @@ ORACLES["chunk_overlap"] = (
     "  AS BIGINT) AS n_chunk_tokens, "
     "array_to_string(list_slice(toks, chunk_idx*40 + 1, "
     "  chunk_idx*40 + 48), ' ') AS chunk_text FROM e")
+
+ORACLES["inverted_index"] = (
+    "WITH d AS (SELECT doc_id, list_distinct(CASE "
+    "  WHEN trim(lower(text)) = '' THEN [] "
+    "  ELSE string_split_regex(trim(lower(text)), "
+    "  '[ \\t\\n\\x0b\\f\\r]+') END) AS toks FROM documents), "
+    "p AS (SELECT doc_id, t.term FROM d, unnest(toks) AS t(term) "
+    "  WHERE t.term != ''), "
+    "g AS (SELECT term, count(*) AS df_count, "
+    "  list_slice(list(doc_id ORDER BY doc_id), 1, 50) AS postings "
+    "  FROM p GROUP BY term) "
+    "SELECT term, CAST(df_count AS BIGINT) AS df_count, postings "
+    "FROM g ORDER BY df_count DESC, term LIMIT 100")
 
 ORACLES["conv_assemble"] = (
     "WITH t AS (SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) "
