@@ -35,7 +35,8 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_vec", "kmeans_assign", "kmeans_fit_quantized"]
+__all__ = ["quantize_vec", "kmeans_assign", "kmeans_fit_quantized",
+           "topic_mix"]
 
 
 def quantize_vec(col: Column, scale: int = 128) -> Column:
@@ -145,3 +146,32 @@ def kmeans_fit_quantized(df: DataFrame, vec_col: str = "embedding",
         cents = [(c, got.get(c, v)) for c, v in cents]
     final = kmeans_assign(q, cent_df(cents), vec_col="qv", id_col=id_col)
     return final, cents
+
+
+def topic_mix(assigned: DataFrame, tokens: DataFrame,
+              id_col: str = "vec_id", doc_id_col: str = "doc_id",
+              tok_col: str = "n_tokens",
+              ppm_scale: int = 1_000_000) -> DataFrame:
+    """Per-cluster data-mixing budgets: join cluster assignments with
+    per-document token counts → (cid, n_docs, n_tokens, weight_ppm)
+    where weight_ppm = n_tokens·scale // total_tokens (integer floor —
+    exact on any engine; weights sum to ≤ scale with the remainder
+    deliberately unassigned rather than smeared non-deterministically).
+
+    This is the step between clustering and sampling: the weights
+    drive per-topic token budgets (plug into take_token_budget) or
+    temperature-scaled mixture sampling. Plan: one equi-join
+    (assignments are (id, cid) — narrow), one k-row aggregate with
+    map-side combine, and a 1-row total broadcast-joined back. No
+    corpus text moves."""
+    j = (assigned.select(F.col(id_col).alias("_id"), "cid")
+         .join(tokens.select(F.col(doc_id_col).alias("_id"),
+                             F.col(tok_col).alias("_nt")), "_id"))
+    g = (j.groupBy("cid")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum("_nt").cast("long").alias("n_tokens")))
+    total = g.agg(F.sum("n_tokens").alias("_tot"))
+    return (g.crossJoin(F.broadcast(total))
+            .select("cid", "n_docs", "n_tokens",
+                    F.expr(f"CAST(n_tokens * {ppm_scale} DIV _tot "
+                           "AS LONG)").alias("weight_ppm")))

@@ -1331,6 +1331,21 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_topic_mix(spark, sf_dir):
+    """Clustering → data-mixing weights: k-means topic assignments
+    joined with per-document whitespace token counts → per-cluster
+    (n_docs, n_tokens, weight_ppm). Integer floor-division weights, so
+    the oracle (which re-runs the full exact k-means replay as a
+    subquery) reproduces every value."""
+    from .operators.cluster import kmeans_fit_quantized, topic_mix
+    from .operators.text_stats import with_token_count
+    emb = load(spark, sf_dir, "embeddings")
+    assigned, _ = kmeans_fit_quantized(emb, k=10, iters=2)
+    toks = with_token_count(
+        load(spark, sf_dir, "documents").select("doc_id", "text"))
+    return topic_mix(assigned, toks)
+
+
 def q_inverted_index(spark, sf_dir):
     """Capped inverted index: df counts + the 50 smallest doc_ids per
     term for the 100 highest-df terms. The two-stage min-k postings
@@ -1438,6 +1453,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "conv_assemble": q_conv_assemble,
     "inverted_index": q_inverted_index,
+    "topic_mix": q_topic_mix,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1523,6 +1539,20 @@ ORACLES["kmeans_quantized"] = (
     "  SELECT vec_id, cid, dist, row_number() OVER ("
     "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) "
     "WHERE rn = 1")
+
+# cluster assignments (full k-means replay as a subquery) × token
+# counts → integer floor-division mixture weights
+ORACLES["topic_mix"] = (
+    "WITH asn AS MATERIALIZED (" + ORACLES["kmeans_quantized"] + "), "
+    "tk AS (SELECT doc_id, " + _NTOK_SQL + " AS n_tokens "
+    "  FROM documents), "
+    "g AS (SELECT asn.cid, count(*) AS n_docs, "
+    "  sum(tk.n_tokens) AS nt FROM asn "
+    "  JOIN tk ON asn.vec_id = tk.doc_id GROUP BY asn.cid) "
+    "SELECT cid, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(nt AS BIGINT) AS n_tokens, "
+    "CAST(nt * 1000000 // (SELECT sum(nt) FROM g) AS BIGINT) "
+    "AS weight_ppm FROM g")
 
 # chunk_tokens replay: same whitespace class, integer window count
 # (1 + ceil((n-48)/40) via // floor division), inclusive-end

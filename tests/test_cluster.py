@@ -95,3 +95,22 @@ def test_kmeans_empty_cluster_keeps_centroid(spark):
     assigned, cents = kmeans_fit_quantized(df, k=3, iters=2)
     assert len(cents) == 3
     assert assigned.count() == 20
+
+
+def test_topic_mix_weights_sum_and_join(spark):
+    from htmlparser_spark.operators.cluster import topic_mix
+    asn = spark.createDataFrame(
+        [(i, i % 3, 0) for i in range(30)],
+        "vec_id long, cid long, dist long")
+    toks = spark.createDataFrame(
+        [(i, 10 + i) for i in range(30)],
+        "doc_id long, n_tokens long")
+    out = topic_mix(asn, toks).collect()
+    assert len(out) == 3
+    tot = sum(r.n_tokens for r in out)
+    assert tot == sum(10 + i for i in range(30))
+    # floor weights sum to <= 1e6 and within 3 ulp of it
+    s = sum(r.weight_ppm for r in out)
+    assert 1_000_000 - 3 <= s <= 1_000_000
+    for r in out:
+        assert r.weight_ppm == r.n_tokens * 1_000_000 // tot
