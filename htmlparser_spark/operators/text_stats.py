@@ -30,7 +30,8 @@ __all__ = [
     "lang_id_col", "with_lang_id",
     "fingerprint_md5_col", "rolling_hash_udf",
     "repetition_stats", "redact_pii", "PII_PATTERNS",
-    "vocab_topk", "classifier_score_col", "classifier_gate",
+    "vocab_topk", "bpe_pair_counts", "classifier_score_col",
+    "classifier_gate",
     "CLASSIFIER_WEIGHTS", "length_quantiles", "tfidf_topk",
 ]
 
@@ -327,6 +328,36 @@ def redact_pii(df: DataFrame, text_col: str = "text",
 # the corpus tokenizer's split class, spelled out so Java regex and
 # RE2 byte-agree (same class the lang-id scorer uses)
 _VOCAB_SPLIT_RE = r"[ \t\n\x0b\f\r]+"
+
+
+def bpe_pair_counts(docs: DataFrame, text_col: str = "text",
+                    k: int = 100) -> DataFrame:
+    """Top-k adjacent character-pair frequencies over the corpus —
+    the inner statistic of BPE tokenizer training (the highest-count
+    pair is the next merge; iterate externally, re-tokenizing between
+    merges) → (pair, n), ordered by (n desc, pair asc).
+
+    Corpus-scale shape: the expensive step collapses FIRST — words
+    aggregate to (word, count) with map-side combine (vocabulary-
+    sized shuffle, the vocab_topk pattern), then pairs explode from
+    DISTINCT words only, weighted by the counts — so a word appearing
+    10⁹ times contributes its pairs once, not 10⁹ times. Everything
+    is codegen (substring over a sequence); character-based substr is
+    UTF-8-aware on both engines, hence the exact oracle."""
+    words = docs.select(
+        F.explode(F.split(F.trim(F.col(text_col)), _VOCAB_SPLIT_RE))
+        .alias("word"))
+    wc = (words.filter(F.col("word") != "")
+          .groupBy("word").agg(F.count("*").alias("wn")))
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "wn",
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))")).alias("pair"))
+    return (pairs.groupBy("pair")
+            .agg(F.sum("wn").cast("long").alias("n"))
+            .orderBy(F.col("n").desc(), F.col("pair").asc())
+            .limit(k))
 
 
 def vocab_topk(docs: DataFrame, text_col: str = "text",

@@ -1331,6 +1331,16 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Tokenizer-training statistic: top-100 adjacent character-pair
+    frequencies (the next-BPE-merge counts), computed from the
+    vocabulary aggregate so hot words contribute once. Exact SQL
+    replay — character pairs, weighted sums, (n desc, pair) cut."""
+    from .operators.text_stats import bpe_pair_counts
+    docs = load(spark, sf_dir, "documents").select("text")
+    return bpe_pair_counts(docs, k=100)
+
+
 def q_topic_mix(spark, sf_dir):
     """Clustering → data-mixing weights: k-means topic assignments
     joined with per-document whitespace token counts → per-cluster
@@ -1454,6 +1464,7 @@ QUERIES = {
     "conv_assemble": q_conv_assemble,
     "inverted_index": q_inverted_index,
     "topic_mix": q_topic_mix,
+    "bpe_pair_counts": q_bpe_pair_counts,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1571,6 +1582,17 @@ ORACLES["chunk_overlap"] = (
     "  AS BIGINT) AS n_chunk_tokens, "
     "array_to_string(list_slice(toks, chunk_idx*40 + 1, "
     "  chunk_idx*40 + 48), ' ') AS chunk_text FROM e")
+
+ORACLES["bpe_pair_counts"] = (
+    "WITH w AS (SELECT t.word, count(*) AS wn FROM documents, "
+    "  unnest(string_split_regex(trim(text), "
+    "  '[ \\t\\n\\x0b\\f\\r]+')) AS t(word) "
+    "  WHERE t.word != '' GROUP BY t.word), "
+    "p AS (SELECT u.pair, w.wn FROM w, "
+    "  unnest([substr(word, i, 2) for i in range(1, length(word))]) "
+    "  AS u(pair) WHERE length(word) >= 2) "
+    "SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p "
+    "GROUP BY pair ORDER BY n DESC, pair LIMIT 100")
 
 ORACLES["inverted_index"] = (
     "WITH d AS (SELECT doc_id, list_distinct(CASE "

@@ -207,3 +207,13 @@ def test_tfidf_topk_hand_computed(spark):
     assert out[(2, "cherry")][3] == 1 and out[(2, "apple")][3] == 2
     # k=2 cut respected
     assert all(r[3] <= 2 for r in out.values())
+
+
+def test_bpe_pair_counts_hand_computed(spark):
+    from htmlparser_spark.operators.text_stats import bpe_pair_counts
+    df = spark.createDataFrame(
+        [(1, "abab ab"), (2, "ab x")], "doc_id long, text string")
+    # words: abab(1), ab(2: one in doc1, one in doc2), x(1)
+    # pairs: abab -> ab,ba,ab ; ab -> ab (x2 weight)
+    out = {r.pair: r.n for r in bpe_pair_counts(df).collect()}
+    assert out == {"ab": 4, "ba": 1}
