@@ -1331,6 +1331,23 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_pdf_extract(spark, sf_dir):
+    """PDF layout-parse round trip (north_rule "PDF/layout parse"):
+    every document's text → deterministic single-page PDF blob →
+    lib-free content-stream extractor (Tj/TJ/hex/octal/Td-layout
+    subset) → text. The oracle is the IDENTITY on documents.text —
+    green certifies the extractor inverts the structurally valid
+    generator byte-for-byte, the same pattern as the PPM/BMP real
+    decode witness."""
+    from .operators.pdf import pdf_text_col, synth_pdf_col
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    blobs = docs.select("doc_id", synth_pdf_col(F.col("text"))
+                        .alias("pdf_blob"))
+    return blobs.select("doc_id",
+                        pdf_text_col(F.col("pdf_blob"))
+                        .alias("pdf_text"))
+
+
 def q_bpe_pair_counts(spark, sf_dir):
     """Tokenizer-training statistic: top-100 adjacent character-pair
     frequencies (the next-BPE-merge counts), computed from the
@@ -1465,6 +1482,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "topic_mix": q_topic_mix,
     "bpe_pair_counts": q_bpe_pair_counts,
+    "pdf_extract": q_pdf_extract,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1582,6 +1600,9 @@ ORACLES["chunk_overlap"] = (
     "  AS BIGINT) AS n_chunk_tokens, "
     "array_to_string(list_slice(toks, chunk_idx*40 + 1, "
     "  chunk_idx*40 + 48), ' ') AS chunk_text FROM e")
+
+ORACLES["pdf_extract"] = (
+    "SELECT doc_id, text AS pdf_text FROM documents")
 
 ORACLES["bpe_pair_counts"] = (
     "WITH w AS (SELECT t.word, count(*) AS wn FROM documents, "
