@@ -20,11 +20,10 @@ streams — the layout-parse sibling of the HTML kernel:
     ignored (they are glyph-space offsets, not characters);
   * ``Td``/``TD`` with a vertical move, ``T*``, and the ``'`` and
     ``"`` next-line-show operators each emit a newline.
-  Compressed (FlateDecode) streams carry no text for this parser —
-  real PDFs would need zlib; the subset keeps the container lib-free
-  and is exactly what the synthesizer emits. (``import zlib`` would
-  be stdlib, but staying byte-deterministic end-to-end is what makes
-  the identity oracle possible.)
+  FlateDecode streams are inflated first (stdlib zlib — declared via
+  /Filter in the stream dict; a corrupt body shows nothing rather
+  than raising mid-job). zlib at a fixed level is deterministic, so
+  the identity round trip holds on the compressed path too.
 
 Spark surface: an Arrow-batched pandas UDF over the binary column
 (``with_pdf_text``) — same per-batch Python-kernel shape as the HTML
@@ -38,6 +37,7 @@ the DuckDB side is the IDENTITY on text.
 
 from __future__ import annotations
 
+import re
 from typing import Iterable
 
 import pandas as pd
@@ -65,9 +65,12 @@ def _esc_literal(s: bytes) -> bytes:
     return bytes(out)
 
 
-def synth_pdf_blob(text: str) -> bytes:
+def synth_pdf_blob(text: str, compress: bool = False) -> bytes:
     """Deterministic single-page PDF showing ``text`` (UTF-8 bytes in
-    literal strings), one Tj per line, 14-unit leading."""
+    literal strings), one Tj per line, 14-unit leading. With
+    ``compress`` the content stream is FlateDecode-compressed —
+    zlib output at a fixed level is deterministic, so round-trip
+    exactness holds on that path too."""
     lines = text.split("\n")
     ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
     for i, ln in enumerate(lines):
@@ -76,14 +79,19 @@ def synth_pdf_blob(text: str) -> bytes:
         ops.append(b"(" + _esc_literal(ln.encode("utf-8")) + b") Tj")
     ops.append(b"ET")
     content = b"\n".join(ops)
+    filt = b""
+    if compress:
+        import zlib
+        content = zlib.compress(content, 6)
+        filt = b"/Filter /FlateDecode "
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
         b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
         b"/Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>",
-        b"<< /Length " + str(len(content)).encode() + b" >>\nstream\n"
-        + content + b"\nendstream",
+        b"<< " + filt + b"/Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
     buf = bytearray(b"%PDF-1.4\n")
@@ -116,7 +124,27 @@ def _content_streams(data: bytes) -> Iterable[bytes]:
         e = data.find(b"endstream", j)
         if e < 0:
             return
-        yield data[j:e]
+        body = data[j:e]
+        # stream dict precedes the `stream` keyword; honor its
+        # /Length — the EOL before `endstream` is a separator, not
+        # data, and compressed bodies may legitimately END in 0x0a/0x0d
+        # so a blind rstrip would corrupt them
+        dict_start = data.rfind(b"<<", max(0, s - 512), s)
+        d = data[dict_start:s] if dict_start >= 0 else b""
+        m = re.search(rb"/Length\s+(\d+)", d)
+        if m and j + int(m.group(1)) <= e:
+            body = data[j:j + int(m.group(1))]
+        elif body.endswith(b"\r\n"):
+            body = body[:-2]
+        elif body.endswith((b"\n", b"\r")):
+            body = body[:-1]
+        if b"FlateDecode" in d:
+            import zlib
+            try:
+                body = zlib.decompress(body)
+            except zlib.error:
+                body = b""            # corrupt stream: show nothing
+        yield body
         i = e + 9
 
 

@@ -73,6 +73,16 @@ def test_text_outside_bt_et_ignored_and_flate_yields_nothing():
     assert extract_pdf_text(pdf) == "shown"
 
 
+def test_flate_compressed_round_trip_and_corrupt_stream():
+    text = "compressed\nstream (with) escapes \\ fine"
+    blob = synth_pdf_blob(text, compress=True)
+    assert b"FlateDecode" in blob and text.encode() not in blob
+    assert extract_pdf_text(blob) == text
+    # corrupt Flate body: extractor shows nothing, does not raise
+    bad = b"<< /Filter /FlateDecode >>\nstream\nnotzlib\nendstream\n"
+    assert extract_pdf_text(bad) == ""
+
+
 def test_spark_roundtrip_batch(spark):
     df = spark.createDataFrame(
         [(i, f"doc {i}\nline(two) \\ {i}") for i in range(50)],
