@@ -30,7 +30,7 @@ from pyspark.sql import functions as F
 
 from .sample import hash_u32_col
 
-__all__ = ["chunk_tokens", "dataset_split"]
+__all__ = ["chunk_tokens", "dataset_split", "leakage_safe_split"]
 
 # Java \s spelled out so RE2 (DuckDB) tokenizes identically — same
 # class text_stats.py uses for token counts.
@@ -81,3 +81,30 @@ def dataset_split(df: DataFrame, key_col: str = "doc_id",
              .when(b < train_pct + val_pct, "val")
              .otherwise("test"))
     return df.withColumn("bucket", b).withColumn("split", split)
+
+
+def leakage_safe_split(df: DataFrame, components: DataFrame,
+                       id_col: str = "doc_id", salt: str = ":split7",
+                       train_pct: int = 90,
+                       val_pct: int = 5) -> DataFrame:
+    """Duplicate-aware split: every member of a near-dup component
+    gets the split of the component ROOT (its minimum id), so a
+    near-duplicate of a training document can never leak into val or
+    test — the contamination `dataset_split` alone cannot prevent.
+
+    ``components``: (node, component) from ``connected_components``
+    over near-dup pairs; documents absent from it are singletons and
+    root to themselves. One narrow left join (8-byte keys) + the same
+    salted-hash projection as dataset_split — the corpus text never
+    moves."""
+    roots = components.select(F.col("node").alias(id_col),
+                              F.col("component").alias("root"))
+    j = (df.join(roots, id_col, "left")
+         .withColumn("root",
+                     F.coalesce(F.col("root"), F.col(id_col))
+                     .cast("long")))
+    b = (hash_u32_col(F.col("root"), salt) % 100).cast("long")
+    split = (F.when(b < train_pct, "train")
+             .when(b < train_pct + val_pct, "val")
+             .otherwise("test"))
+    return j.withColumn("split", split)

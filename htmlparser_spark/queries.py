@@ -1420,6 +1420,27 @@ def q_fuzzy_dedup(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_leakage_safe_split(spark, sf_dir):
+    """Near-dup-aware train/val/test split on the planted fuzzy-dedup
+    corpus: minhash pairs → connected components → every component
+    member takes the salted-hash split of the component root. FULL
+    ground-truth oracle (exact all-pairs Jaccard + recursive closure
+    + the same md5-u32 split arithmetic) — green certifies that no
+    near-dup pair straddles splits."""
+    from .operators.chunk import leakage_safe_split
+    from .operators.dedup import connected_components, \
+        minhash_dedup_pairs
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    corpus = docs.unionAll(planted)
+    pairs = minhash_dedup_pairs(corpus, threshold=0.5, bands=32)
+    comp = connected_components(pairs)
+    return leakage_safe_split(corpus.select("doc_id"), comp) \
+        .select("doc_id", "root", "split")
+
+
 QUERIES = {
     "extract_text_identity": q_extract_text_identity,
     "extract_wrapped": q_extract_wrapped,
@@ -1483,6 +1504,7 @@ QUERIES = {
     "topic_mix": q_topic_mix,
     "bpe_pair_counts": q_bpe_pair_counts,
     "pdf_extract": q_pdf_extract,
+    "leakage_safe_split": q_leakage_safe_split,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1708,9 +1730,9 @@ ORACLES["classifier_gate"] = (
     "FROM documents)")
 
 
-def _fuzzy_keep_oracle(k: int = 5, plant_mod: int = 20) -> str:
-    """Ground-truth fuzzy-dedup keep-set: exact all-pairs Jaccard →
-    recursive transitive closure → drop non-minimum members."""
+def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
+    """Shared ground-truth prefix: planted corpus → exact all-pairs
+    Jaccard → recursive transitive closure → lbl(node, comp)."""
     return (
         "WITH RECURSIVE dupped AS ("
         "  SELECT doc_id, text FROM documents"
@@ -1730,10 +1752,31 @@ def _fuzzy_keep_oracle(k: int = 5, plant_mod: int = 20) -> str:
         "reach(a, b) AS (SELECT a, b FROM edges "
         "  UNION SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a), "
         "lbl AS (SELECT a AS node, least(a, min(b)) AS comp "
-        "  FROM reach GROUP BY a) "
+        "  FROM reach GROUP BY a)")
+
+
+def _fuzzy_keep_oracle(k: int = 5, plant_mod: int = 20) -> str:
+    """Ground-truth fuzzy-dedup keep-set: drop non-minimum members."""
+    return (
+        _fuzzy_closure_cte(k, plant_mod) + " "
         "SELECT d.doc_id FROM dupped d "
         "WHERE d.doc_id NOT IN "
         "  (SELECT node FROM lbl WHERE node <> comp)")
 
 
 ORACLES["fuzzy_dedup"] = _fuzzy_keep_oracle()
+
+_MD5_U32_ROOT_SQL = "(" + " + ".join(
+    f"(strpos('0123456789abcdef', substr(md5(CAST(root AS VARCHAR) "
+    f"|| ':split7'), {j + 1}, 1)) - 1)*{16 ** (7 - j)}"
+    for j in range(8)) + ")"
+# split assigned per duplicate-COMPONENT root, so near-dups can never
+# straddle train/test; singletons root to themselves
+ORACLES["leakage_safe_split"] = (
+    _fuzzy_closure_cte() + ", "
+    "r AS (SELECT d.doc_id, coalesce(lbl.comp, d.doc_id) AS root "
+    "  FROM dupped d LEFT JOIN lbl ON d.doc_id = lbl.node) "
+    "SELECT doc_id, CAST(root AS BIGINT) AS root, "
+    "CASE WHEN " + _MD5_U32_ROOT_SQL + " % 100 < 90 THEN 'train' "
+    "WHEN " + _MD5_U32_ROOT_SQL + " % 100 < 95 THEN 'val' "
+    "ELSE 'test' END AS split FROM r")

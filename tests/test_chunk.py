@@ -85,3 +85,22 @@ def test_split_deterministic_and_proportioned(spark):
             .join(c.alias("y"), "doc_id")
             .filter(F.col("x.split") != F.col("y.split")).count())
     assert diff > 0
+
+
+def test_leakage_safe_split_groups_components(spark):
+    from htmlparser_spark.operators.chunk import leakage_safe_split
+    docs = spark.range(0, 100).withColumnRenamed("id", "doc_id")
+    # components: {0,1,2} root 0, {10,11} root 10
+    comp = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (10, 10), (11, 10)],
+        "node long, component long")
+    out = {r.doc_id: r for r in
+           leakage_safe_split(docs, comp).collect()}
+    assert out[0].split == out[1].split == out[2].split
+    assert out[10].split == out[11].split
+    assert out[1].root == 0 and out[11].root == 10
+    # singleton roots to itself and matches plain dataset_split
+    assert out[50].root == 50
+    from htmlparser_spark.operators.chunk import dataset_split
+    plain = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert out[50].split == plain[50]
