@@ -151,6 +151,8 @@ def main() -> int:
         ("raw_html_roundtrip", Q.q_raw_html_roundtrip),
         ("decontam_ngrams", Q.q_decontam_ngrams),
         ("paragraph_dedup", Q.q_paragraph_dedup),
+        ("chunk_overlap", Q.q_chunk_overlap),
+        ("inverted_index", Q.q_inverted_index),
     ]
     for name, fn in aux:
         best = float("inf")
