@@ -717,7 +717,8 @@ def fuzzy_dedup_keep(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", threshold: float = 0.5,
                      num_perm: int = 64, bands: int = 32,
                      shingle_k: int = 5,
-                     max_bucket_size: int = 4096) -> DataFrame:
+                     max_bucket_size: int = 4096,
+                     score_col: str | None = None) -> DataFrame:
     """End-to-end fuzzy dedup: MinHash-LSH pairs → connected
     components → keep the minimum id per component; returns the
     surviving rows of ``docs`` (all columns). The composed form every
@@ -730,12 +731,31 @@ def fuzzy_dedup_keep(docs: DataFrame, text_col: str = "text",
     array verification on a semi-join-pruned candidate set, O(log n)
     pointer-jumping components, and ONE final 8-byte-key anti-join —
     documents never shuffle, only ids and signatures do.
+
+    With ``score_col`` the keep policy flips from min-id to BEST
+    member: within each component the row with the highest score wins
+    (ties → smallest id) — production curation keeps the
+    highest-quality duplicate, not an arbitrary one. The winner pick
+    is one narrow aggregate over (component, score, id) triples; the
+    documents still never shuffle.
     """
     pairs = minhash_dedup_pairs(
         docs, text_col=text_col, id_col=id_col, threshold=threshold,
         num_perm=num_perm, bands=bands, shingle_k=shingle_k,
         max_bucket_size=max_bucket_size)
     comp = connected_components(pairs)
-    drop = comp.filter(F.col("node") != F.col("component")) \
-        .select(F.col("node").alias(id_col))
+    if score_col is None:
+        drop = comp.filter(F.col("node") != F.col("component")) \
+            .select(F.col("node").alias(id_col))
+        return docs.join(drop, id_col, "left_anti")
+    scored = comp.join(
+        docs.select(F.col(id_col).alias("node"), F.col(score_col)),
+        "node")
+    win = (scored.groupBy("component")
+           .agg(F.min(F.struct((-F.col(score_col)).alias("ns"),
+                               F.col("node").alias("node")))
+                .alias("w"))
+           .select(F.col("w.node").alias("_winner")))
+    drop = (comp.join(win, comp["node"] == win["_winner"], "left_anti")
+            .select(F.col("node").alias(id_col)))
     return docs.join(drop, id_col, "left_anti")

@@ -1420,6 +1420,25 @@ def q_fuzzy_dedup(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_fuzzy_dedup_best(spark, sf_dir):
+    """Fuzzy dedup with the production keep policy: the HIGHEST-
+    quality member of each near-dup component survives (integer
+    classifier score, ties → smallest id), instead of an arbitrary
+    min-id. Ground-truth oracle: exact Jaccard closure + the same
+    integer score arithmetic pick the identical winners."""
+    from .operators.dedup import fuzzy_dedup_keep
+    from .operators.text_stats import classifier_score_col
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    planted = docs.filter(F.col("doc_id") % 20 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" tail")).alias("text"))
+    corpus = docs.unionAll(planted).withColumn(
+        "clf_score", classifier_score_col(F.col("text")))
+    kept = fuzzy_dedup_keep(corpus, threshold=0.5, bands=32,
+                            score_col="clf_score")
+    return kept.select("doc_id", "clf_score")
+
+
 def q_leakage_safe_split(spark, sf_dir):
     """Near-dup-aware train/val/test split on the planted fuzzy-dedup
     corpus: minhash pairs → connected components → every component
@@ -1505,6 +1524,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "pdf_extract": q_pdf_extract,
     "leakage_safe_split": q_leakage_safe_split,
+    "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1780,3 +1800,22 @@ ORACLES["leakage_safe_split"] = (
     "CASE WHEN " + _MD5_U32_ROOT_SQL + " % 100 < 90 THEN 'train' "
     "WHEN " + _MD5_U32_ROOT_SQL + " % 100 < 95 THEN 'val' "
     "ELSE 'test' END AS split FROM r")
+
+_CLF_SCORE_EXPR = (
+    f"3 * ({_CLF_SQL['alpha']}) + 8 * ({_CLF_SQL['tok']}) "
+    f"- 2 * ({_CLF_SQL['digit']}) - 1 * ({_CLF_SQL['upper']}) "
+    f"- 4 * (length(text) - ({_CLF_SQL['alpha']}) "
+    f"- ({_CLF_SQL['digit']}) - ({_CLF_SQL['space']}))")
+# best-member keep: within each ground-truth component the highest
+# integer classifier score wins, ties -> smallest id
+ORACLES["fuzzy_dedup_best"] = (
+    _fuzzy_closure_cte() + ", "
+    "sc AS (SELECT doc_id, CAST(" + _CLF_SCORE_EXPR + " AS BIGINT) "
+    "  AS clf_score FROM dupped), "
+    "r AS (SELECT d.doc_id, coalesce(lbl.comp, d.doc_id) AS root "
+    "  FROM dupped d LEFT JOIN lbl ON d.doc_id = lbl.node), "
+    "w AS (SELECT doc_id FROM ("
+    "  SELECT r.doc_id, row_number() OVER (PARTITION BY r.root "
+    "  ORDER BY sc.clf_score DESC, r.doc_id) AS rn "
+    "  FROM r JOIN sc USING (doc_id)) WHERE rn = 1) "
+    "SELECT sc.doc_id, sc.clf_score FROM sc JOIN w USING (doc_id)")

@@ -405,3 +405,23 @@ def test_embedding_hot_bucket_star_pairs(spark):
     out = embedding_near_dups(df, threshold=0.95, max_bucket_size=50)
     pairs = {(r.id_a, r.id_b) for r in out.collect()}
     assert pairs == {(0, i) for i in range(1, 300)}
+
+
+def test_fuzzy_dedup_keep_best_prefers_high_score(spark):
+    """Three near-identical docs; the middle id has the best score —
+    best-keep must retain it (min-id keep would retain id 1)."""
+    from htmlparser_spark.operators.dedup import fuzzy_dedup_keep
+    base = "the quick brown fox jumps over the lazy dog again " * 6
+    rows = [(1, base + "x", 10), (2, base + "y", 99), (3, base, 50),
+            (40, "completely different unrelated tiny text", 1)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, clf_score long")
+    kept = sorted(r.doc_id for r in
+                  fuzzy_dedup_keep(df, threshold=0.5, bands=32,
+                                   score_col="clf_score").collect())
+    assert kept == [2, 40]
+    # min-id policy on the same corpus keeps 1 instead
+    kept_min = sorted(r.doc_id for r in
+                      fuzzy_dedup_keep(df, threshold=0.5,
+                                       bands=32).collect())
+    assert kept_min == [1, 40]
