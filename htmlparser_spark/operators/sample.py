@@ -28,7 +28,8 @@ from pyspark.sql import functions as F
 from .text_stats import token_count_col
 
 __all__ = ["hash_u32_col", "sample_by_hash", "pack_sequences",
-           "take_token_budget", "seeded_shuffle"]
+           "take_token_budget", "seeded_shuffle",
+           "quality_budget_select"]
 
 
 def hash_u32_col(key: Column, salt: str = "") -> Column:
@@ -132,3 +133,48 @@ def take_token_budget(df: DataFrame, domain_col: str, budget: int,
     return (base.withColumn("cum_tokens", cum)
             .filter(F.col("cum_tokens") <= budget)
             .drop("_h"))
+
+
+def quality_budget_select(df: DataFrame, score_col: str, budget: int,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          token_col: str | None = None) -> DataFrame:
+    """GLOBAL budget selection: keep the highest-``score_col``
+    documents, ordered (score desc, id asc), until the corpus-wide
+    token budget is spent (kept iff the inclusive prefix sum fits) →
+    (id, score, n_tokens, cum_tokens).
+
+    The 100-TB shape — no corpus-wide window. Two-phase, the same
+    histogram trick as length_quantiles:
+    1. aggregate (score → n_docs, sum_tokens): map-side combined,
+       shuffle is score-cardinality, not corpus-cardinality;
+    2. cumulative sum over the TINY score histogram (ordered desc)
+       gives each score's token offset; scores whose inclusive total
+       fits are kept wholesale with cum = offset + within-score
+       prefix — and only the single BOUNDARY score's documents go
+       through a window (partitioned by that one score value, ordered
+       by id). A tie-dense boundary score concentrates its docs in
+       one task of narrow (id, tokens) rows — the same documented
+       bound as the ordering window; salt the score if that ever
+       binds.
+    """
+    tok = (F.col(token_col) if token_col
+           else token_count_col(F.col(text_col))).cast("long")
+    base = df.select(F.col(id_col), F.col(score_col).alias("_s"),
+                     tok.alias("n_tokens"))
+    hist = (base.groupBy("_s")
+            .agg(F.sum("n_tokens").alias("_bt")))
+    wh = Window.orderBy(F.desc("_s")) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    hist = hist.withColumn("_cum", F.sum("_bt").over(wh)) \
+               .withColumn("_off", F.col("_cum") - F.col("_bt"))
+    # scores that fit entirely, plus the one boundary score
+    cand = hist.filter(F.col("_off") < budget) \
+               .select("_s", "_off", "_cum")
+    j = base.join(F.broadcast(cand), "_s")
+    ws = Window.partitionBy("_s").orderBy(id_col)
+    out = (j.withColumn("cum_tokens",
+                        F.col("_off") + F.sum("n_tokens").over(ws))
+           .filter(F.col("cum_tokens") <= budget))
+    return out.select(F.col(id_col), F.col("_s").alias(score_col),
+                      "n_tokens", "cum_tokens")

@@ -1420,6 +1420,19 @@ def q_fuzzy_dedup(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_quality_budget(spark, sf_dir):
+    """Global best-first corpus selection: keep the highest-scoring
+    documents (integer classifier score, ties → smallest id) until an
+    8000-token corpus budget is spent. Two-phase histogram selection
+    — no corpus-wide window; the oracle replays the global prefix sum
+    exactly."""
+    from .operators.sample import quality_budget_select
+    from .operators.text_stats import classifier_score_col
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text") \
+        .withColumn("clf_score", classifier_score_col(F.col("text")))
+    return quality_budget_select(docs, "clf_score", budget=8000)
+
+
 def q_fuzzy_dedup_best(spark, sf_dir):
     """Fuzzy dedup with the production keep policy: the HIGHEST-
     quality member of each near-dup component survives (integer
@@ -1525,6 +1538,7 @@ QUERIES = {
     "pdf_extract": q_pdf_extract,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
+    "quality_budget": q_quality_budget,
     "vocab_topk": q_vocab_topk,
     "classifier_gate": q_classifier_gate,
     "fuzzy_dedup": q_fuzzy_dedup,
@@ -1819,3 +1833,15 @@ ORACLES["fuzzy_dedup_best"] = (
     "  ORDER BY sc.clf_score DESC, r.doc_id) AS rn "
     "  FROM r JOIN sc USING (doc_id)) WHERE rn = 1) "
     "SELECT sc.doc_id, sc.clf_score FROM sc JOIN w USING (doc_id)")
+
+# global best-first prefix: inclusive running token sum over
+# (score desc, id) <= budget
+ORACLES["quality_budget"] = (
+    "WITH t AS (SELECT doc_id, CAST(" + _CLF_SCORE_EXPR + " AS BIGINT)"
+    "  AS clf_score, CAST(" + _NTOK_SQL + " AS BIGINT) AS n_tokens "
+    "  FROM documents), "
+    "c AS (SELECT doc_id, clf_score, n_tokens, "
+    "  sum(n_tokens) OVER (ORDER BY clf_score DESC, doc_id "
+    "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
+    "SELECT doc_id, clf_score, n_tokens, CAST(cum AS BIGINT) "
+    "AS cum_tokens FROM c WHERE cum <= 8000")

@@ -217,3 +217,30 @@ def test_bpe_pair_counts_hand_computed(spark):
     # pairs: abab -> ab,ba,ab ; ab -> ab (x2 weight)
     out = {r.pair: r.n for r in bpe_pair_counts(df).collect()}
     assert out == {"ab": 4, "ba": 1}
+
+
+def test_quality_budget_select_global_prefix(spark):
+    from htmlparser_spark.operators.sample import quality_budget_select
+    # scores 3,3,2,1 with 10 tokens each; budget 25 keeps the two
+    # score-3 docs (cum 10,20) and cuts the score-2 doc (cum 30)
+    rows = [(1, "w " * 10, 3), (2, "w " * 10, 3),
+            (3, "w " * 10, 2), (4, "w " * 10, 1)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, s long")
+    out = sorted((r.doc_id, r.cum_tokens) for r in
+                 quality_budget_select(df, "s", budget=25).collect())
+    assert out == [(1, 10), (2, 20)]
+    # boundary INSIDE a score group: budget 15 keeps only id 1
+    out2 = [(r.doc_id, r.cum_tokens) for r in
+            quality_budget_select(df, "s", budget=15).collect()]
+    assert out2 == [(1, 10)]
+    # plan: no corpus-wide single-partition window — the only
+    # unpartitioned window runs over the score histogram aggregate
+    q = quality_budget_select(df, "s", budget=25)
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    import re
+    corpus_windows = [ln for ln in plan.splitlines()
+                      if "Window" in ln and "partitionBy" not in ln
+                      and "_bt" not in ln and "windowspecdef" not in ln]
+    # the per-score window must be hash-partitioned by _s
+    assert "partitionBy=[_s" in plan.replace(" ", "")[:10**6] or \
+        "hashpartitioning(_s" in plan
