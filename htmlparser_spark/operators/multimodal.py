@@ -39,7 +39,8 @@ from pyspark.sql.types import (
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "decode_image_features", "decode_image_pixels",
-           "synth_ppm_blob", "frame_sample_stub"]
+           "synth_ppm_blob", "frame_sample_stub",
+           "synth_wav_blob", "decode_audio_features"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -272,5 +273,116 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
                     blobs.append(b[i * step:(i + 1) * step])
             yield pd.DataFrame({**keys, "frame_idx": fidx, "ts_ms": ts,
                                 "frame_blob": blobs})
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
+def _parse_wav(b: bytes):
+    """Real RIFF/WAVE parse: verify the container, walk chunks (with
+    odd-size padding) to `fmt ` and `data`, return (channels, rate,
+    int16 sample array). Raises ValueError on malformed input —
+    callers decide whether to null or fail."""
+    if len(b) < 12 or b[0:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid = b[pos:pos + 4]
+        sz = int.from_bytes(b[pos + 4:pos + 8], "little")
+        body = b[pos + 8:pos + 8 + sz]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + sz + (sz & 1)          # chunks are word-aligned
+    if fmt is None or data is None or len(fmt) < 16:
+        raise ValueError("missing fmt/data chunk")
+    audio_fmt = int.from_bytes(fmt[0:2], "little")
+    channels = int.from_bytes(fmt[2:4], "little")
+    rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_fmt != 1 or bits != 16 or channels < 1:
+        raise ValueError("only 16-bit PCM supported")
+    samples = np.frombuffer(data[:len(data) & ~1], dtype="<i2")
+    return channels, rate, samples
+
+
+def synth_wav_blob(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "blob") -> DataFrame:
+    """Deterministic audio source: a REAL 16-bit PCM RIFF/WAVE blob
+    per row — channels = id%2+1, 8 kHz, frames = id%50+20, sample
+    i = ((id*13 + i*37) % 65536) - 32768 — a closed arithmetic form
+    an external oracle replays without any audio code, while the
+    decode stage exercises actual container parsing (chunk walk,
+    fmt fields, little-endian PCM)."""
+    key = df.schema[id_col]
+    schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                ch, rate, frames = i % 2 + 1, 8000, i % 50 + 20
+                n = frames * ch
+                s = ((i * 13 + 37 * np.arange(n, dtype=np.int64))
+                     % 65536 - 32768).astype("<i2")
+                data = s.tobytes()
+                fmt = (b"\x01\x00" + ch.to_bytes(2, "little")
+                       + rate.to_bytes(4, "little")
+                       + (rate * ch * 2).to_bytes(4, "little")
+                       + (ch * 2).to_bytes(2, "little")
+                       + (16).to_bytes(2, "little"))
+                body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little")
+                        + fmt + b"data"
+                        + len(data).to_bytes(4, "little") + data)
+                blobs.append(b"RIFF" + len(body).to_bytes(4, "little")
+                             + body)
+            yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+def decode_audio_features(df: DataFrame, blob_col: str = "blob",
+                          key_cols=("doc_id",)) -> DataFrame:
+    """Real audio decode: parse each WAV blob (``_parse_wav``) and
+    emit integer-exact witnesses — channels, sample rate, frame
+    count, sum of absolute sample values, max absolute sample.
+
+    Same scale shape as the image decode: mapInPandas over
+    (keys, blob) only, numpy per-blob arithmetic, tiny integer output
+    rows — downstream shuffles metadata, never audio bytes.
+    Malformed blobs yield null features instead of failing the job
+    (the production quarantine-not-crash policy)."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("n_channels", IntegerType(), True),
+            StructField("sample_rate", IntegerType(), True),
+            StructField("n_frames", LongType(), True),
+            StructField("sum_abs", LongType(), True),
+            StructField("max_abs", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cols: dict = {k: pdf[k] for k in key_cols}
+            ch_, rt_, fr_, sa_, ma_ = [], [], [], [], []
+            for blob in pdf[blob_col]:
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    ch, rate, s = _parse_wav(bytes(blob))
+                    a = np.abs(s.astype(np.int64))
+                    ch_.append(ch); rt_.append(rate)
+                    fr_.append(len(s) // ch)
+                    sa_.append(int(a.sum()))
+                    ma_.append(int(a.max()) if len(a) else 0)
+                except ValueError:
+                    ch_.append(None); rt_.append(None)
+                    fr_.append(None); sa_.append(None); ma_.append(None)
+            out = pd.DataFrame(cols)
+            out["n_channels"], out["sample_rate"] = ch_, rt_
+            out["n_frames"], out["sum_abs"], out["max_abs"] = fr_, sa_, ma_
+            yield out
 
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)

@@ -1331,6 +1331,19 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_audio_decode_real(spark, sf_dir):
+    """REAL audio decode: every doc gets a synthesized 16-bit PCM
+    RIFF/WAVE blob (closed arithmetic samples), the decode stage
+    parses the actual container (chunk walk, fmt fields, LE PCM) and
+    emits integer witnesses the oracle recomputes arithmetically —
+    the audio sibling of `image_decode_real`."""
+    from .operators.multimodal import decode_audio_features, \
+        synth_wav_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    blobs = synth_wav_blob(docs)
+    return decode_audio_features(blobs)
+
+
 def q_pdf_extract(spark, sf_dir):
     """PDF layout-parse round trip (north_rule "PDF/layout parse"):
     every document's text → deterministic single-page PDF blob →
@@ -1536,6 +1549,7 @@ QUERIES = {
     "topic_mix": q_topic_mix,
     "bpe_pair_counts": q_bpe_pair_counts,
     "pdf_extract": q_pdf_extract,
+    "audio_decode_real": q_audio_decode_real,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1659,6 +1673,19 @@ ORACLES["chunk_overlap"] = (
 
 ORACLES["pdf_extract"] = (
     "SELECT doc_id, text AS pdf_text FROM documents")
+
+# arithmetic replay of synth_wav_blob's closed-form samples:
+# s_i = (id*13 + i*37) % 65536 - 32768 over frames*channels samples
+ORACLES["audio_decode_real"] = (
+    "SELECT doc_id, CAST(doc_id % 2 + 1 AS INTEGER) AS n_channels, "
+    "CAST(8000 AS INTEGER) AS sample_rate, "
+    "CAST(doc_id % 50 + 20 AS BIGINT) AS n_frames, "
+    "CAST(list_sum(l) AS BIGINT) AS sum_abs, "
+    "CAST(list_max(l) AS BIGINT) AS max_abs FROM ("
+    "  SELECT doc_id, list_transform("
+    "    range(0, (doc_id % 50 + 20) * (doc_id % 2 + 1)), "
+    "    i -> abs((doc_id * 13 + i * 37) % 65536 - 32768)) AS l "
+    "  FROM documents)")
 
 ORACLES["bpe_pair_counts"] = (
     "WITH w AS (SELECT t.word, count(*) AS wn FROM documents, "

@@ -97,3 +97,44 @@ def test_decode_features_real_path(spark):
         exp = [w, h] + [float(np.float32(px[:, c].mean())) for c in range(3)]
         assert r.features[:5] == pytest.approx(exp, rel=1e-6)
         assert r.features[5:] == [0.0, 0.0, 0.0]
+
+
+def test_wav_parse_golden_and_malformed(spark):
+    """Hand-built WAV with an extra unknown odd-size chunk before
+    data (word-alignment walk), plus quarantine on malformed blobs."""
+    import numpy as np
+    from htmlparser_spark.operators.multimodal import (
+        _parse_wav, decode_audio_features)
+    s = np.array([-3, 7, -32768, 32767, 0], dtype="<i2")
+    fmt = (b"\x01\x00\x01\x00" + (8000).to_bytes(4, "little")
+           + (16000).to_bytes(4, "little") + b"\x02\x00\x10\x00")
+    junk = b"LIST" + (3).to_bytes(4, "little") + b"abc" + b"\x00"
+    body = (b"WAVEfmt " + (16).to_bytes(4, "little") + fmt + junk
+            + b"data" + len(s.tobytes()).to_bytes(4, "little")
+            + s.tobytes())
+    wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+    ch, rate, got = _parse_wav(wav)
+    assert (ch, rate) == (1, 8000) and list(got) == list(s)
+    # malformed rows -> null features, job does not fail
+    df = spark.createDataFrame(
+        [(1, bytearray(wav)), (2, bytearray(b"not a wav"))],
+        "doc_id long, blob binary")
+    rows = {r.doc_id: r for r in decode_audio_features(df).collect()}
+    assert rows[1].sum_abs == 3 + 7 + 32768 + 32767
+    assert rows[1].max_abs == 32768 and rows[1].n_frames == 5
+    assert rows[2].sum_abs is None and rows[2].n_channels is None
+
+
+def test_wav_synth_decode_round_trip(spark):
+    from htmlparser_spark.operators.multimodal import (
+        decode_audio_features, synth_wav_blob)
+    docs = spark.range(0, 40).withColumnRenamed("id", "doc_id")
+    out = decode_audio_features(synth_wav_blob(docs)).collect()
+    assert len(out) == 40
+    for r in out:
+        i = r.doc_id
+        assert r.n_channels == i % 2 + 1 and r.sample_rate == 8000
+        assert r.n_frames == i % 50 + 20
+        n = r.n_frames * r.n_channels
+        vals = [abs((i * 13 + j * 37) % 65536 - 32768) for j in range(n)]
+        assert r.sum_abs == sum(vals) and r.max_abs == max(vals)
