@@ -87,3 +87,43 @@ def test_void_tag_node_accounting(k):
     doc = parse("<br>" * k)
     assert len(doc) == k
     assert all(doc.self_closing[i] for i in range(k))
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=400))
+def test_pdf_round_trip_any_text(text):
+    """extract(synth(t)) == t for arbitrary unicode (escaping must
+    survive parens, backslashes, newlines, controls, emoji)."""
+    from htmlparser_spark.operators.pdf import (extract_pdf_text,
+                                                synth_pdf_blob)
+    assert extract_pdf_text(synth_pdf_blob(text)) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+               max_size=400))
+def test_pdf_round_trip_compressed(text):
+    from htmlparser_spark.operators.pdf import (extract_pdf_text,
+                                                synth_pdf_blob)
+    assert extract_pdf_text(synth_pdf_blob(text, compress=True)) == text
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(alphabet="abcXYZ09", min_size=1, max_size=6),
+                max_size=120),
+       st.integers(2, 20), st.integers(0, 10))
+def test_chunk_windows_cover_exactly(words, size, overlap):
+    """Pure-python replay of chunk_tokens' window arithmetic: windows
+    reassemble to the original token sequence with exactly `overlap`
+    shared tokens between neighbours, for any (size, overlap)."""
+    if overlap >= size:
+        overlap = size - 1
+    step = size - overlap
+    n = len(words)
+    nc = 1 if n <= size else 1 + -(-(n - size) // step)
+    chunks = [words[i * step:i * step + size] for i in range(nc)]
+    seen = list(chunks[0])
+    for c in chunks[1:]:
+        seen += c[overlap:]
+    assert seen == words
