@@ -40,7 +40,8 @@ from pyspark.sql.types import (
 __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "decode_image_features", "decode_image_pixels",
            "synth_ppm_blob", "frame_sample_stub",
-           "synth_wav_blob", "decode_audio_features"]
+           "synth_wav_blob", "decode_audio_features",
+           "synth_y4m_blob", "frame_sample_real"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -383,6 +384,108 @@ def decode_audio_features(df: DataFrame, blob_col: str = "blob",
             out = pd.DataFrame(cols)
             out["n_channels"], out["sample_rate"] = ch_, rt_
             out["n_frames"], out["sum_abs"], out["max_abs"] = fr_, sa_, ma_
+            yield out
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
+def synth_y4m_blob(df: DataFrame, id_col: str = "doc_id",
+                   blob_col: str = "blob") -> DataFrame:
+    """Deterministic video source: a REAL YUV4MPEG2 (Y4M) stream per
+    row — plain-text header, C420 planar frames behind ``FRAME``
+    markers. Dims W=(id%8+2)*2, H=(id%6+2)*2, n_frames=id%7+3; byte j
+    of frame f is (id*11 + f*101 + j*7) % 256 — a closed form an
+    external oracle replays with no video code, while the decode
+    stage parses the actual container."""
+    key = df.schema[id_col]
+    schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, nf = (i % 8 + 2) * 2, (i % 6 + 2) * 2, i % 7 + 3
+                fsz = w * h * 3 // 2                    # C420 planar
+                head = (f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C420\n"
+                        .encode("ascii"))
+                parts = [head]
+                j = np.arange(fsz, dtype=np.int64)
+                for f in range(nf):
+                    px = (i * 11 + f * 101 + j * 7) % 256
+                    parts.append(b"FRAME\n"
+                                 + px.astype(np.uint8).tobytes())
+                blobs.append(b"".join(parts))
+            yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+def frame_sample_real(df: DataFrame, blob_col: str = "blob",
+                      every: int = 2,
+                      key_cols=("doc_id",)) -> DataFrame:
+    """REAL video frame sampling: parse the Y4M header (W/H/C420
+    tokens), then treat the frame array as a UNIFORM STRIDE buffer —
+    one reshape to (n_frames, 6 + frame_size), marker validation and
+    Y-plane sums fully vectorized in numpy. No per-frame Python loop
+    (the round-2 stub's itertuples hazard, fixed for the real path).
+    Emits every ``every``-th frame's (frame_idx, sum_y, max_y) —
+    integer-exact, arithmetic-oracled. Malformed blobs yield no rows
+    (quarantine-not-crash); at scale the explode-shaped output keeps
+    rows tiny while blobs never leave the decode stage."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("frame_idx", LongType(), True),
+            StructField("sum_y", LongType(), True),
+            StructField("max_y", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys: dict = {k: [] for k in key_cols}
+            fi_, sy_, my_ = [], [], []
+            for ridx, blob in enumerate(pdf[blob_col]):
+                try:
+                    b = bytes(blob)
+                    nl = b.index(b"\n")
+                    toks = b[:nl].split(b" ")
+                    if toks[0] != b"YUV4MPEG2":
+                        raise ValueError("not Y4M")
+                    w = h = None
+                    c420 = True
+                    for t in toks[1:]:
+                        if t[:1] == b"W":
+                            w = int(t[1:])
+                        elif t[:1] == b"H":
+                            h = int(t[1:])
+                        elif t[:1] == b"C":
+                            c420 = t[1:].startswith(b"420")
+                    if not (w and h and c420):
+                        raise ValueError("unsupported Y4M layout")
+                    fsz = w * h * 3 // 2
+                    stride = 6 + fsz
+                    body = b[nl + 1:]
+                    nf = len(body) // stride
+                    if nf == 0 or len(body) % stride:
+                        raise ValueError("truncated frame array")
+                    arr = np.frombuffer(body, dtype=np.uint8,
+                                        count=nf * stride)
+                    arr = arr.reshape(nf, stride)
+                    if not (arr[:, :6]
+                            == np.frombuffer(b"FRAME\n", np.uint8)).all():
+                        raise ValueError("bad FRAME marker")
+                    y = arr[:, 6:6 + w * h][::every].astype(np.int64)
+                    idxs = np.arange(nf)[::every]
+                    for k in key_cols:
+                        out_keys[k].extend([pdf[k].iloc[ridx]] * len(idxs))
+                    fi_.extend(int(x) for x in idxs)
+                    sy_.extend(int(s) for s in y.sum(axis=1))
+                    my_.extend(int(m) for m in y.max(axis=1))
+                except (ValueError, IndexError):
+                    continue
+            out = pd.DataFrame(out_keys)
+            out["frame_idx"], out["sum_y"], out["max_y"] = fi_, sy_, my_
             yield out
 
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)

@@ -1331,6 +1331,18 @@ def q_conv_assemble(spark, sf_dir):
     return assemble_conversations(tr)
 
 
+def q_video_frames_real(spark, sf_dir):
+    """REAL video frame sampling: a synthesized Y4M (C420) stream per
+    doc, parsed by the vectorized uniform-stride decoder; every 2nd
+    frame's integer Y-plane witnesses, arithmetically replayed by the
+    oracle — the video sibling of `image_decode_real` and
+    `audio_decode_real`, retiring the round-2 per-row-Python stub for
+    the real path."""
+    from .operators.multimodal import frame_sample_real, synth_y4m_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    return frame_sample_real(synth_y4m_blob(docs), every=2)
+
+
 def q_audio_decode_real(spark, sf_dir):
     """REAL audio decode: every doc gets a synthesized 16-bit PCM
     RIFF/WAVE blob (closed arithmetic samples), the decode stage
@@ -1550,6 +1562,7 @@ QUERIES = {
     "bpe_pair_counts": q_bpe_pair_counts,
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
+    "video_frames_real": q_video_frames_real,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1673,6 +1686,21 @@ ORACLES["chunk_overlap"] = (
 
 ORACLES["pdf_extract"] = (
     "SELECT doc_id, text AS pdf_text FROM documents")
+
+# arithmetic replay of synth_y4m_blob: every 2nd frame f of n=id%7+3,
+# Y-plane = first w*h of the frame bytes (id*11 + f*101 + j*7) % 256
+ORACLES["video_frames_real"] = (
+    "WITH g AS (SELECT doc_id, (doc_id % 8 + 2) * 2 AS w, "
+    "  (doc_id % 6 + 2) * 2 AS h, doc_id % 7 + 3 AS nf "
+    "  FROM documents), "
+    "f AS (SELECT doc_id, w, h, t.f AS frame_idx FROM g, "
+    "  unnest(range(0, nf)) AS t(f) WHERE t.f % 2 = 0), "
+    "p AS (SELECT doc_id, frame_idx, list_transform(range(0, w * h), "
+    "  j -> (doc_id * 11 + frame_idx * 101 + j * 7) % 256) AS l "
+    "  FROM f) "
+    "SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx, "
+    "CAST(list_sum(l) AS BIGINT) AS sum_y, "
+    "CAST(list_max(l) AS BIGINT) AS max_y FROM p")
 
 # arithmetic replay of synth_wav_blob's closed-form samples:
 # s_i = (id*13 + i*37) % 65536 - 32768 over frames*channels samples

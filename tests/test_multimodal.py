@@ -138,3 +138,42 @@ def test_wav_synth_decode_round_trip(spark):
         n = r.n_frames * r.n_channels
         vals = [abs((i * 13 + j * 37) % 65536 - 32768) for j in range(n)]
         assert r.sum_abs == sum(vals) and r.max_abs == max(vals)
+
+
+def test_y4m_sample_golden_and_quarantine(spark):
+    """Hand-built 2-frame 4x2 C420 Y4M: sampled frame 0's Y sums, a
+    non-C420 stream and a truncated stream yield no rows."""
+    import numpy as np
+    from htmlparser_spark.operators.multimodal import frame_sample_real
+    w, h = 4, 2
+    fsz = w * h * 3 // 2
+    head = b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+    f0 = bytes(range(fsz))            # Y plane = bytes 0..7
+    f1 = bytes(200 for _ in range(fsz))
+    good = head + b"FRAME\n" + f0 + b"FRAME\n" + f1
+    bad_c = b"YUV4MPEG2 W4 H2 C444\n" + b"FRAME\n" + bytes(w * h * 3)
+    trunc = head + b"FRAME\n" + f0[:-1]
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(bad_c)),
+         (3, bytearray(trunc))],
+        "doc_id long, blob binary")
+    rows = frame_sample_real(df, every=2).collect()
+    assert [(r.doc_id, r.frame_idx, r.sum_y, r.max_y) for r in rows] \
+        == [(1, 0, sum(range(8)), 7)]
+
+
+def test_y4m_synth_decode_round_trip(spark):
+    from htmlparser_spark.operators.multimodal import (
+        frame_sample_real, synth_y4m_blob)
+    docs = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    rows = frame_sample_real(synth_y4m_blob(docs), every=2).collect()
+    for r in rows:
+        i, f = r.doc_id, r.frame_idx
+        w, h = (i % 8 + 2) * 2, (i % 6 + 2) * 2
+        vals = [(i * 11 + f * 101 + j * 7) % 256 for j in range(w * h)]
+        assert f % 2 == 0 and r.sum_y == sum(vals) and r.max_y == max(vals)
+    # every doc contributes ceil(nf/2) sampled frames
+    from collections import Counter
+    per = Counter(r.doc_id for r in rows)
+    for i in range(30):
+        assert per[i] == -(-(i % 7 + 3) // 2)
