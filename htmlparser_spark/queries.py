@@ -258,6 +258,25 @@ def q_events_stats(spark, sf_dir):
                  F.date_format(F.max("ts"), fmt).alias("last_ts")))
 
 
+def q_events_rolling(spark, sf_dir):
+    """Time-interval rolling aggregate — the RANGE-frame window type
+    (frame = value interval, not row count): per user, the sum and
+    count of events in the trailing hour. Values snap to integer
+    cents and timestamps to epoch seconds so both engines compute the
+    identical frame and sum."""
+    ev = load(spark, sf_dir, "events")
+    sec = F.unix_timestamp("ts").cast("long")
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    base = ev.select("event_id", "user_id", sec.alias("sec"),
+                     cents.alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-3600, 0))
+    return base.select(
+        "event_id", "user_id", "sec",
+        F.sum("cents").over(w).cast("long").alias("roll_cents"),
+        F.count("*").over(w).cast("long").alias("roll_n"))
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: pushdown date filter + grouped
     aggregation + sort. Aggregates chosen to be summation-order-exact
@@ -1563,6 +1582,7 @@ QUERIES = {
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
     "video_frames_real": q_video_frames_real,
+    "events_rolling": q_events_rolling,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1686,6 +1706,18 @@ ORACLES["chunk_overlap"] = (
 
 ORACLES["pdf_extract"] = (
     "SELECT doc_id, text AS pdf_text FROM documents")
+
+ORACLES["events_rolling"] = (
+    "WITH t AS (SELECT event_id, user_id, "
+    "  CAST(floor(extract(epoch FROM ts)) AS BIGINT) AS sec, "
+    "  CAST(round(value * 100) AS BIGINT) AS cents FROM events) "
+    "SELECT event_id, user_id, sec, "
+    "CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY sec "
+    "  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "  AS roll_cents, "
+    "CAST(count(*) OVER (PARTITION BY user_id ORDER BY sec "
+    "  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS BIGINT) "
+    "  AS roll_n FROM t")
 
 # arithmetic replay of synth_y4m_blob: every 2nd frame f of n=id%7+3,
 # Y-plane = first w*h of the frame bytes (id*11 + f*101 + j*7) % 256
