@@ -277,6 +277,39 @@ def q_events_rolling(spark, sf_dir):
         F.count("*").over(w).cast("long").alias("roll_n"))
 
 
+def q_events_setops(spark, sf_dir):
+    """Set operations (§2.4): users who clicked but never purchased
+    (EXCEPT), did both (INTERSECT), and did either (UNION DISTINCT) —
+    tagged and unioned into one deterministic result."""
+    ev = load(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click") \
+        .select("user_id").distinct()
+    buys = ev.filter(F.col("event_type") == "purchase") \
+        .select("user_id").distinct()
+    tag = lambda df, t: df.withColumn("op", F.lit(t))  # noqa: E731
+    return (tag(clicks.subtract(buys), "click_only")
+            .unionAll(tag(clicks.intersect(buys), "both"))
+            .unionAll(tag(clicks.union(buys).distinct(), "either")))
+
+
+def q_orders_rollup(spark, sf_dir):
+    """ROLLUP aggregation (grouping sets): order counts and total
+    price by (segment, priority), by segment, and grand total, with
+    grouping_id distinguishing the levels — integer cents keep the
+    sums exact across engines."""
+    orders = load(spark, sf_dir, "orders")
+    cust = load(spark, sf_dir, "customer") \
+        .select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust),
+                    orders["o_custkey"] == cust["c_custkey"])
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    return (j.withColumn("cents", cents)
+            .rollup("c_mktsegment", "o_orderpriority")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("sum_cents"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: pushdown date filter + grouped
     aggregation + sort. Aggregates chosen to be summation-order-exact
@@ -1583,6 +1616,8 @@ QUERIES = {
     "audio_decode_real": q_audio_decode_real,
     "video_frames_real": q_video_frames_real,
     "events_rolling": q_events_rolling,
+    "events_setops": q_events_setops,
+    "orders_rollup": q_orders_rollup,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1706,6 +1741,30 @@ ORACLES["chunk_overlap"] = (
 
 ORACLES["pdf_extract"] = (
     "SELECT doc_id, text AS pdf_text FROM documents")
+
+ORACLES["events_setops"] = (
+    "WITH c AS (SELECT DISTINCT user_id FROM events "
+    "  WHERE event_type = 'click'), "
+    "b AS (SELECT DISTINCT user_id FROM events "
+    "  WHERE event_type = 'purchase') "
+    "SELECT user_id, 'click_only' AS op FROM "
+    "  (SELECT user_id FROM c EXCEPT SELECT user_id FROM b) "
+    "UNION ALL SELECT user_id, 'both' FROM "
+    "  (SELECT user_id FROM c INTERSECT SELECT user_id FROM b) "
+    "UNION ALL SELECT user_id, 'either' FROM "
+    "  (SELECT user_id FROM c UNION SELECT user_id FROM b)")
+
+# Spark grouping_id(): leftmost rollup column = most significant bit
+ORACLES["orders_rollup"] = (
+    "WITH j AS (SELECT c_mktsegment, o_orderpriority, "
+    "  CAST(round(o_totalprice * 100) AS BIGINT) AS cents "
+    "  FROM orders JOIN customer ON o_custkey = c_custkey) "
+    "SELECT c_mktsegment, o_orderpriority, "
+    "CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(cents) AS BIGINT) AS sum_cents, "
+    "CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) "
+    "  AS BIGINT) AS gid "
+    "FROM j GROUP BY ROLLUP(c_mktsegment, o_orderpriority)")
 
 ORACLES["events_rolling"] = (
     "WITH t AS (SELECT event_id, user_id, "
