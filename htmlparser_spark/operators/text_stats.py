@@ -33,6 +33,7 @@ __all__ = [
     "vocab_topk", "bpe_pair_counts", "classifier_score_col",
     "classifier_gate",
     "CLASSIFIER_WEIGHTS", "length_quantiles", "tfidf_topk",
+    "hashed_features",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -518,3 +519,43 @@ def tfidf_topk(docs: DataFrame, text_col: str = "text",
                               F.row_number().over(w).cast("long"))
             .filter(F.col("rank") <= int(k))
             .select(id_col, "word", "tf", "df", "score", "rank"))
+
+
+def hashed_features(docs: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", dim: int = 32,
+                    salt: str = ":feat1") -> DataFrame:
+    """Hashing-trick featurizer → (id, features array<long>[dim]):
+    token t increments bucket md5_u32(t || salt) % dim — the classic
+    collision-tolerant featurization for training the linear quality
+    gates classifier_gate applies at inference. Portable-hash exact,
+    so any engine reproduces the identical vectors.
+
+    Scale shape: explode → map-side-combined groupBy (id, bucket) →
+    one per-doc aggregate assembling the dense vector from the ≤ dim
+    bucket counts (map lookup over a sequence — codegen, no Python).
+    The shuffle carries (id, bucket, count) rows, ≤ dim per document
+    regardless of document length."""
+    from .sample import hash_u32_col
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, _VOCAB_SPLIT_RE))
+    pairs = (docs.select(F.col(id_col), F.explode(toks).alias("tok"))
+             .filter(F.col("tok") != "")
+             .select(id_col,
+                     (hash_u32_col(F.col("tok"), salt) % dim)
+                     .alias("bucket")))
+    counts = pairs.groupBy(id_col, "bucket") \
+        .agg(F.count("*").cast("long").alias("cnt"))
+    agg = counts.groupBy(id_col).agg(
+        F.map_from_entries(F.collect_list(F.struct("bucket", "cnt")))
+        .alias("_m"))
+    vec = F.transform(F.sequence(F.lit(0), F.lit(dim - 1)),
+                      lambda i: F.coalesce(
+                          F.element_at(F.col("_m"), i.cast("long")),
+                          F.lit(0).cast("long")))
+    out = agg.select(F.col(id_col), vec.alias("features"))
+    # docs with no tokens still get a zero vector
+    zeros = F.array_repeat(F.lit(0).cast("long"), dim)
+    return (docs.select(id_col).join(out, id_col, "left")
+            .select(id_col, F.coalesce("features", zeros)
+                    .alias("features")))

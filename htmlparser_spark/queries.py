@@ -1435,6 +1435,15 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(docs, k=100)
 
 
+def q_hashed_features(spark, sf_dir):
+    """Hashing-trick featurization (dim 32): the training-side
+    companion of classifier_gate — portable md5-u32 token buckets, so
+    the oracle reproduces every count vector exactly."""
+    from .operators.text_stats import hashed_features
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_features(docs, dim=32)
+
+
 def q_topic_mix(spark, sf_dir):
     """Clustering → data-mixing weights: k-means topic assignments
     joined with per-document whitespace token counts → per-cluster
@@ -1618,6 +1627,7 @@ QUERIES = {
     "events_rolling": q_events_rolling,
     "events_setops": q_events_setops,
     "orders_rollup": q_orders_rollup,
+    "hashed_features": q_hashed_features,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1741,6 +1751,31 @@ ORACLES["chunk_overlap"] = (
 
 ORACLES["pdf_extract"] = (
     "SELECT doc_id, text AS pdf_text FROM documents")
+
+def _md5_u32_of(expr: str) -> str:
+    """uint32 from the first 8 md5 hex digits of an arbitrary SQL
+    string expression (hex-digit arithmetic — the portable-hash
+    replica used throughout)."""
+    return "(" + " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5({expr}), {j + 1}, 1))"
+        f" - 1)*{16 ** (7 - j)}" for j in range(8)) + ")"
+
+
+ORACLES["hashed_features"] = (
+    "WITH p AS (SELECT doc_id, t.tok FROM "
+    "  (SELECT doc_id, string_split_regex(trim(text), "
+    "   '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents), "
+    "  unnest(toks) AS t(tok) WHERE t.tok != ''), "
+    "b AS (SELECT doc_id, "
+    + _md5_u32_of("t.tok || ':feat1'").replace("t.tok", "tok")
+    + " % 32 AS bucket, count(*) AS cnt FROM p GROUP BY doc_id, "
+    "  bucket), "
+    "g AS (SELECT d.doc_id, r.i, coalesce(b.cnt, 0) AS cnt "
+    "  FROM (SELECT DISTINCT doc_id FROM documents) d "
+    "  CROSS JOIN (SELECT unnest(range(0, 32)) AS i) r "
+    "  LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = r.i) "
+    "SELECT doc_id, list(cnt ORDER BY i) AS features "
+    "FROM g GROUP BY doc_id")
 
 ORACLES["events_setops"] = (
     "WITH c AS (SELECT DISTINCT user_id FROM events "

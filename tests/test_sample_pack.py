@@ -244,3 +244,23 @@ def test_quality_budget_select_global_prefix(spark):
     # the per-score window must be hash-partitioned by _s
     assert "partitionBy=[_s" in plan.replace(" ", "")[:10**6] or \
         "hashpartitioning(_s" in plan
+
+
+def test_hashed_features_hand_computed(spark):
+    from htmlparser_spark.operators.sample import hash_u32_col  # noqa
+    from htmlparser_spark.operators.text_stats import hashed_features
+    import hashlib
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "   "), (3, "")],
+        "doc_id long, text string")
+    out = {r.doc_id: list(r.features) for r in
+           hashed_features(df, dim=8).collect()}
+    def bkt(tok):
+        return int(hashlib.md5((tok + ":feat1").encode()).hexdigest()[:8],
+                   16) % 8
+    exp = [0] * 8
+    exp[bkt("cat")] += 2
+    exp[bkt("dog")] += 1
+    assert out[1] == exp
+    # blank/empty docs keep zero vectors (never dropped)
+    assert out[2] == [0] * 8 and out[3] == [0] * 8
