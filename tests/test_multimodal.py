@@ -177,3 +177,21 @@ def test_y4m_synth_decode_round_trip(spark):
     per = Counter(r.doc_id for r in rows)
     for i in range(30):
         assert per[i] == -(-(i % 7 + 3) // 2)
+
+
+def test_media_decoders_quarantine_random_blobs(spark):
+    """One batch of seeded pseudo-random blobs through all three
+    decode stages: jobs complete, malformed inputs become nulls
+    (audio), zero rows (video), or decode errors never escape the
+    try (image path is only fed its two real formats elsewhere)."""
+    import random
+    from htmlparser_spark.operators.multimodal import (
+        decode_audio_features, frame_sample_real)
+    rng = random.Random(99)
+    rows = [(i, bytearray(rng.randbytes(rng.randrange(0, 200))))
+            for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, blob binary")
+    audio = decode_audio_features(df).collect()
+    assert len(audio) == 100
+    assert all(r.sum_abs is None for r in audio)
+    assert frame_sample_real(df).count() == 0

@@ -127,3 +127,36 @@ def test_chunk_windows_cover_exactly(words, size, overlap):
     for c in chunks[1:]:
         seen += c[overlap:]
     assert seen == words
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_pdf_extractor_total_on_garbage(b):
+    """extract_pdf_text must be TOTAL: arbitrary bytes (including
+    truncated stream/BT/string openers) return a string, never
+    raise."""
+    from htmlparser_spark.operators.pdf import extract_pdf_text
+    assert isinstance(extract_pdf_text(b), str)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.binary(max_size=300))
+def test_wav_parser_raises_only_valueerror(b):
+    """_parse_wav on garbage either parses or raises ValueError — the
+    decode stage's quarantine contract catches exactly that."""
+    from htmlparser_spark.operators.multimodal import _parse_wav
+    try:
+        _parse_wav(b)
+    except ValueError:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.binary(max_size=200))
+def test_pdf_extractor_total_on_prefixed_garbage(b):
+    """Garbage grafted AFTER a valid stream must not corrupt the
+    parsed prefix or raise."""
+    from htmlparser_spark.operators.pdf import extract_pdf_text
+    base = b"stream\nBT (ok) Tj ET\nendstream\n"
+    out = extract_pdf_text(base + b)
+    assert isinstance(out, str) and out.startswith("ok")
