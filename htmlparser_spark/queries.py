@@ -310,6 +310,23 @@ def q_orders_rollup(spark, sf_dir):
                  F.grouping_id().cast("long").alias("gid")))
 
 
+def q_events_pivot(spark, sf_dir):
+    """Pivot/crosstab: per-user event counts spread across event-type
+    columns (explicit value list, so the plan is ONE aggregate pass —
+    no second distinct-values job) plus integer total cents."""
+    ev = load(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    cents = F.round(F.col("value") * 100, 0).cast("long")
+    return (ev.withColumn("cents", cents)
+            .groupBy("user_id")
+            .pivot("event_type", types)
+            .agg(F.count(F.lit(1)).cast("long"))
+            .na.fill(0, types)
+            .join(ev.withColumn("cents", cents).groupBy("user_id")
+                  .agg(F.sum("cents").cast("long").alias("sum_cents")),
+                  "user_id"))
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H-Q1-shaped pricing summary: pushdown date filter + grouped
     aggregation + sort. Aggregates chosen to be summation-order-exact
@@ -1628,6 +1645,7 @@ QUERIES = {
     "events_setops": q_events_setops,
     "orders_rollup": q_orders_rollup,
     "hashed_features": q_hashed_features,
+    "events_pivot": q_events_pivot,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1776,6 +1794,14 @@ ORACLES["hashed_features"] = (
     "  LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = r.i) "
     "SELECT doc_id, list(cnt ORDER BY i) AS features "
     "FROM g GROUP BY doc_id")
+
+ORACLES["events_pivot"] = (
+    "SELECT user_id, "
+    + ", ".join(
+        f"CAST(count(*) FILTER (event_type = '{t}') AS BIGINT) AS {t}"
+        for t in ["click", "view", "purchase", "signup", "error"])
+    + ", CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) "
+    "AS sum_cents FROM events GROUP BY user_id")
 
 ORACLES["events_setops"] = (
     "WITH c AS (SELECT DISTINCT user_id FROM events "
