@@ -5,12 +5,19 @@ Everything here that can be a JVM-side Catalyst expression IS one
 rolling-hash fingerprint needs a vectorized pandas UDF (numpy).
 
 Operators:
-- token_count        — whitespace tokenization count
-- quality_counts     — alpha/digit/space/punct/upper char counts + token stats
-- quality_score      — composite [0,1] quality heuristic
-- lang_id            — n-gram/stopword-ratio language guess (en/de/fr/es + other)
+- token_count / bpe_token_count — whitespace and GPT-2-style piece counts
+- quality_counts / quality_score / classifier_score — char-class stats,
+  [0,1] heuristic, and the integer linear quality gate
+- hashed_features    — hashing-trick featurization (md5-u32 buckets)
+- lang_id            — stopword-marker guess across the top-20 web
+  languages (+ unpadded zh/ja/ko substring counting)
 - fingerprint_md5    — exact content fingerprint (md5 hex)
 - fingerprint_rolling— 64-bit polynomial rolling hash (numpy pandas UDF)
+- repetition_stats / redact_pii — Gopher-style dup-line/bigram
+  witnesses; progressive email/phone/IPv4 redaction
+- vocab_topk / bpe_pair_counts / tfidf_topk / length_quantiles —
+  vocabulary, BPE-merge statistics, per-doc top-k terms, exact
+  histogram quantiles
 """
 
 from __future__ import annotations
