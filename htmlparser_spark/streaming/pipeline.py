@@ -24,8 +24,30 @@ from ..sources.transcripts import TRANSCRIPTS_SCHEMA_DDL
 __all__ = [
     "read_transcripts_stream", "extract_stream", "conv_running_state",
     "turn_rates", "write_extracted_stream", "dedup_stream",
-    "near_dup_detect_stream",
+    "near_dup_detect_stream", "session_stats_stream",
 ]
+
+
+def session_stats_stream(sdf: DataFrame, ts_col: str = "ts",
+                         key_col: str = "user_id",
+                         gap: str = "30 minutes",
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming sessionization — the ``session_window`` twin of the
+    batch ``operators.relational.sessionize`` (which labels every
+    event; this aggregates per session): per key, one row per
+    gap-delimited session with its window and event count. State is
+    bounded by the watermark: sessions older than it finalize and
+    evict. Equivalence with the batch labeling is pinned by
+    ``tests/test_streaming.py::test_session_window_matches_batch_sessionize``
+    (same gap ⇒ identical session boundaries and counts)."""
+    return (sdf.withWatermark(ts_col, watermark)
+            .groupBy(F.session_window(F.col(ts_col), gap).alias("sw"),
+                     F.col(key_col))
+            .agg(F.count("*").cast("long").alias("n_events"))
+            .select(key_col,
+                    F.col("sw.start").alias("session_start"),
+                    F.col("sw.end").alias("session_end"),
+                    "n_events"))
 
 
 _NEAR_STATE_SCHEMA = StructType([

@@ -191,3 +191,52 @@ def test_stream_near_dup_matches_batch_keepset(spark, tmp_path):
     # every planted dup was caught, every base doc kept
     assert {r[0] for r in copies + tails} <= stream_dropped
     assert stream_dropped.isdisjoint({r[0] for r in base})
+
+
+def test_session_window_matches_batch_sessionize(spark, tmp_path):
+    """Streaming session_window and batch sessionize must agree on
+    session boundaries and sizes for the same 30-minute gap: group
+    the batch per-event labels into sessions and compare (key, start,
+    n) sets; streaming session end = last event + gap."""
+    from datetime import datetime, timedelta
+    from htmlparser_spark.operators.relational import sessionize
+    from htmlparser_spark.streaming.pipeline import session_stats_stream
+
+    t0 = datetime(2024, 1, 1, 8, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: two sessions (burst, 2h gap, burst); user 2: one session
+    for mins in (0, 5, 10, 130, 135):
+        rows.append((eid, 1, t0 + timedelta(minutes=mins))); eid += 1
+    for mins in (0, 20, 40):
+        rows.append((eid, 2, t0 + timedelta(minutes=mins))); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp")
+    d = tmp_path / "sess_in"
+    df.coalesce(1).write.parquet(str(d))
+
+    sdf = spark.readStream.schema(df.schema).parquet(str(d))
+    out = session_stats_stream(sdf, gap="30 minutes")
+    # complete mode: a finite availableNow run never advances the
+    # watermark past the final sessions, so append would hold them in
+    # state; production streams use append + watermark eviction
+    q = (out.writeStream.format("memory").queryName("sess")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r.user_id, r.session_start, r.n_events)
+           for r in spark.sql("SELECT * FROM sess").collect()}
+
+    batch = sessionize(df, gap_seconds=1800)
+    exp = {(r.user_id, r.start, r.n)
+           for r in batch.groupBy("user_id", "session_idx")
+           .agg(F.min("ts").alias("start"),
+                F.count("*").cast("long").alias("n")).collect()}
+    assert got == exp and len(got) == 3
+    # streaming session end = last event + gap
+    ends = {(r.user_id, r.session_start): r.session_end
+            for r in spark.sql("SELECT * FROM sess").collect()}
+    for r in (batch.groupBy("user_id", "session_idx")
+              .agg(F.min("ts").alias("start"), F.max("ts").alias("last"))
+              .collect()):
+        assert ends[(r.user_id, r.start)] == \
+            r.last + timedelta(minutes=30)
