@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize"]
+__all__ = ["asof_join", "sessionize", "global_rank"]
 
 
 def _epoch_s(col: Column) -> Column:
@@ -140,3 +140,44 @@ def sessionize(events: DataFrame, by: str = "user_id", ts_col: str = "ts",
     run = (Window.partitionBy(by).orderBy(ts_col, order_tiebreak)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.withColumn(out, F.sum(new_sess).over(run).cast("long"))
+
+
+def global_rank(df: DataFrame, order_cols: Sequence[str],
+                out: str = "rank",
+                num_partitions: int | None = None) -> DataFrame:
+    """Global 1-based rank over ``order_cols`` WITHOUT the
+    single-partition window `row_number() over (ORDER BY …)` plans —
+    the reusable form of the transcripts two-phase ordering trick:
+
+    1. ``repartitionByRange`` on the sort keys (sampled boundaries —
+       the terasort exchange; equal keys land in one partition);
+    2. per-partition local rank (window partitioned by
+       ``spark_partition_id()`` — parallel, no global sort task);
+    3. add each partition's row-count prefix offset (a driver-side
+       cumulative over ≤ num_partitions counts — bounded metadata,
+       same class as the checkpoint manifest read).
+
+    Exact iff ``order_cols`` is a TOTAL order (append a unique id as
+    the last key; ties split across range-partition boundaries would
+    otherwise make ranks partitioning-dependent). Every stage is
+    codegen; rows carry only the caller's columns."""
+    cols = [F.col(c) for c in order_cols]
+    parts = num_partitions or df.sparkSession.sparkContext \
+        .defaultParallelism
+    ranged = df.repartitionByRange(parts, *cols)
+    pid = F.spark_partition_id().alias("_pid")
+    base = ranged.withColumn("_pid", pid)
+    counts = {r._pid: r.n for r in
+              base.groupBy("_pid").agg(F.count("*").alias("n"))
+              .collect()}
+    offs, acc = {}, 0
+    for p in sorted(counts):
+        offs[p] = acc
+        acc += counts[p]
+    off_df = df.sparkSession.createDataFrame(
+        [(p, o) for p, o in offs.items()], "_pid int, _off long")
+    w = Window.partitionBy("_pid").orderBy(*cols)
+    return (base.join(F.broadcast(off_df), "_pid")
+            .withColumn(out, (F.col("_off")
+                              + F.row_number().over(w)).cast("long"))
+            .drop("_pid", "_off"))

@@ -199,8 +199,10 @@ def mixture_schedule(df: DataFrame, weights: DataFrame,
     schedule itself is the SORT ORDER by the virtual key
     (range-partitioned terasort, same as seeded_shuffle): writers
     consume order, not ordinals, so no global-rank window exists.
-    ``with_pos=True`` additionally materializes the 1-based ordinal —
-    a single-partition window, for small/sampled frames only."""
+    ``with_pos=True`` additionally materializes the 1-based ordinal
+    via the two-phase ``relational.global_rank`` (range partition +
+    local rank + bounded offsets) — still no single-partition
+    window."""
     h = F.md5(F.encode(F.concat(F.col(id_col).cast("string"),
                                 F.lit(":" + str(seed))), "UTF-8"))
     base = (df.select(F.col(id_col), F.col(topic_col))
@@ -218,7 +220,6 @@ def mixture_schedule(df: DataFrame, weights: DataFrame,
                        F.col("_vt").alias("vt")) \
         .orderBy("vt", topic_col, "k")
     if with_pos:
-        wg = Window.orderBy("vt", topic_col, "k")
-        out = out.withColumn("pos",
-                             F.row_number().over(wg).cast("long"))
+        from .relational import global_rank
+        out = global_rank(out, ["vt", topic_col, "k"], out="pos")
     return out

@@ -116,3 +116,25 @@ def test_sessionize_timestamp_ntz(spark):
         "event_id long, user_id long, ts timestamp_ntz")
     got = {r.event_id: r.session_idx for r in sessionize(df).collect()}
     assert got == {1: 1, 2: 2}
+
+
+def test_global_rank_equals_window_rank(spark):
+    from htmlparser_spark.operators.relational import global_rank
+    from pyspark.sql import Window
+    df = spark.range(0, 500).select(
+        (F.col("id") * 37 % 101).alias("a"), F.col("id").alias("b"))
+    exp = {(r.a, r.b): r.rk for r in
+           df.withColumn("rk", F.row_number().over(
+               Window.orderBy("a", "b"))).collect()}
+    for parts in (3, 16):
+        got = {(r.a, r.b): r.rank for r in
+               global_rank(df.repartition(7), ["a", "b"],
+                           num_partitions=parts).collect()}
+        assert got == exp
+    # no single-partition global window in the plan
+    out = global_rank(df, ["a", "b"], num_partitions=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for ln in plan.splitlines():
+        if "Window" in ln and "windowspecdefinition" in ln:
+            assert "_pid" in ln
+    assert "RangePartitioning" in plan or "rangepartitioning" in plan
