@@ -47,7 +47,8 @@ from pyspark.sql import functions as F
 
 from .dedup import _shingle_array_expr, band_struct_cols, make_minhash_udf
 
-__all__ = ["build_dedup_index", "dedup_against_index"]
+__all__ = ["build_dedup_index", "dedup_against_index",
+           "corpus_diff"]
 
 _MANIFEST = "index_manifest.json"
 
@@ -186,3 +187,26 @@ def dedup_against_index(df: DataFrame, path: str, *,
     matched = F.coalesce("m_exact", "m_norm", "m_near")
     return out.select(F.col(id_col), kind.alias("dup_kind"),
                       matched.alias("matched_old"))
+
+
+def corpus_diff(old: DataFrame, new: DataFrame,
+                id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Snapshot delta → (id, status ∈ added|removed|changed|same):
+    the audit step between two corpus versions (what did this week's
+    crawl/recuration actually change?). Compares md5 fingerprints,
+    never texts: each side reduces to (id, 16-byte hash) before the
+    ONE full-outer join — at 100 TB the shuffle is fingerprint-sized,
+    and the text columns are pruned out of both scans."""
+    o = old.select(F.col(id_col),
+                   F.md5(F.encode(F.col(text_col), "UTF-8"))
+                   .alias("_ho"))
+    n = new.select(F.col(id_col),
+                   F.md5(F.encode(F.col(text_col), "UTF-8"))
+                   .alias("_hn"))
+    j = o.join(n, id_col, "full_outer")
+    status = (F.when(F.col("_ho").isNull(), "added")
+              .when(F.col("_hn").isNull(), "removed")
+              .when(F.col("_ho") != F.col("_hn"), "changed")
+              .otherwise("same"))
+    return j.select(id_col, status.alias("status"))

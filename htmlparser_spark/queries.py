@@ -1551,6 +1551,21 @@ def q_mixture_schedule(spark, sf_dir):
     return mixture_schedule(docs, weights, seed="7")
 
 
+def q_corpus_diff(spark, sf_dir):
+    """Snapshot delta audit: old = docs except every 7th, with every
+    5th's text perturbed; new = docs except id%11==3. Statuses are
+    pure hash/NULL arithmetic — exact FULL OUTER JOIN replay."""
+    from .operators.incremental import corpus_diff
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.col("text"), F.lit(" v1")))
+        .otherwise(F.col("text")).alias("text"))
+    new = docs.filter(F.col("doc_id") % 11 != 3)
+    return corpus_diff(old, new)
+
+
 def q_fuzzy_dedup_best(spark, sf_dir):
     """Fuzzy dedup with the production keep policy: the HIGHEST-
     quality member of each near-dup component survives (integer
@@ -1662,6 +1677,7 @@ QUERIES = {
     "hashed_features": q_hashed_features,
     "events_pivot": q_events_pivot,
     "mixture_schedule": q_mixture_schedule,
+    "corpus_diff": q_corpus_diff,
     "leakage_safe_split": q_leakage_safe_split,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "quality_budget": q_quality_budget,
@@ -1810,6 +1826,18 @@ ORACLES["hashed_features"] = (
     "  LEFT JOIN b ON b.doc_id = d.doc_id AND b.bucket = r.i) "
     "SELECT doc_id, list(cnt ORDER BY i) AS features "
     "FROM g GROUP BY doc_id")
+
+ORACLES["corpus_diff"] = (
+    "WITH o AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 "
+    "  THEN text || ' v1' ELSE text END AS t FROM documents "
+    "  WHERE doc_id % 7 != 0), "
+    "n AS (SELECT doc_id, text AS t FROM documents "
+    "  WHERE doc_id % 11 != 3) "
+    "SELECT coalesce(o.doc_id, n.doc_id) AS doc_id, "
+    "CASE WHEN o.doc_id IS NULL THEN 'added' "
+    "WHEN n.doc_id IS NULL THEN 'removed' "
+    "WHEN o.t != n.t THEN 'changed' ELSE 'same' END AS status "
+    "FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id")
 
 ORACLES["mixture_schedule"] = (
     "WITH t AS (SELECT doc_id, doc_id % 5 AS topic, "

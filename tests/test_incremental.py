@@ -88,3 +88,17 @@ def test_exact_beats_near_priority(spark, index_dir):
                                 "doc_id long, text string")
     out = dedup_against_index(new, index_dir, threshold=0.5).collect()
     assert out[0].dup_kind == "exact" and out[0].matched_old == 0
+
+
+def test_corpus_diff_statuses(spark):
+    from htmlparser_spark.operators.incremental import corpus_diff
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(2, "b"), (3, "c2"), (4, "d")], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "same", 3: "changed", 4: "added"}
+    # texts are pruned before the join: only ids+hashes shuffle
+    plan = corpus_diff(old, new)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "FullOuter" in plan or "full_outer" in plan.lower()
