@@ -246,7 +246,10 @@ def frame_sample_stub(df: DataFrame, blob_col: str = "blob",
                       every_ms: int = 1000, key_cols=("doc_id",)) -> DataFrame:
     """Video frame-sampling plumbing: one output row per sampled frame
     (frame_idx, ts_ms, frame_blob). Decode stubbed: frame_blob is a
-    deterministic slice of the source bytes."""
+    deterministic slice of the source bytes. SUPERSEDED for real
+    containers by ``frame_sample_real`` (Y4M parse, vectorized stride
+    decode) — kept for arbitrary-blob plumbing tests and the
+    byte-arithmetic oracle."""
     key_cols = list(key_cols)
     schema = StructType(
         [df.schema[k] for k in key_cols] + [
