@@ -96,15 +96,27 @@ def leakage_safe_split(df: DataFrame, components: DataFrame,
     over near-dup pairs; documents absent from it are singletons and
     root to themselves. One narrow left join (8-byte keys) + the same
     salted-hash projection as dataset_split — the corpus text never
-    moves."""
-    roots = components.select(F.col("node").alias(id_col),
-                              F.col("component").alias("root"))
+    moves.
+
+    The root is coalesced in the ID COLUMN'S OWN TYPE and hashed via
+    the same string-form ``hash_u32_col`` as ``dataset_split`` — so a
+    singleton document gets bit-identically the split dataset_split
+    would give it (no silent long-cast: a non-numeric string id used
+    to cast to NULL and fall through every branch into 'test'). A
+    NULL root (only possible from a NULL id) raises rather than
+    silently landing in a split."""
+    id_type = df.schema[id_col].dataType
+    roots = components.select(F.col("node").cast(id_type).alias(id_col),
+                              F.col("component").cast(id_type)
+                              .alias("root"))
     j = (df.join(roots, id_col, "left")
-         .withColumn("root",
-                     F.coalesce(F.col("root"), F.col(id_col))
-                     .cast("long")))
+         .withColumn("root", F.coalesce(F.col("root"), F.col(id_col))))
     b = (hash_u32_col(F.col("root"), salt) % 100).cast("long")
+    guard = F.assert_true(
+        b.isNotNull(), F.lit("leakage_safe_split: NULL split bucket "
+                             "(NULL document id?)"))
     split = (F.when(b < train_pct, "train")
              .when(b < train_pct + val_pct, "val")
              .otherwise("test"))
-    return j.withColumn("split", split)
+    return (j.withColumn("_chk", guard).withColumn("split", split)
+            .drop("_chk"))

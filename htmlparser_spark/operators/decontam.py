@@ -74,7 +74,13 @@ def contamination_hits(corpus: DataFrame, bench_grams: DataFrame,
         cg = cg.select(id_col, F.xxhash64("gram").alias("gram"))
         bg = bg.select(F.xxhash64("gram").alias("gram")).distinct()
     if broadcast_bench:
-        bg = F.broadcast(bg)
+        # guard the broadcast: an oversized eval-suite gram set would
+        # hit Spark's 8 GB broadcast hard cap / driver OOM. The count
+        # is one pass over the (small, usually persisted) gram frame;
+        # above the limit fall back to the shuffle hash join.
+        if bg.limit(DEFAULT_BROADCAST_LIMIT + 1).count() \
+                <= DEFAULT_BROADCAST_LIMIT:
+            bg = F.broadcast(bg)
     return (cg.join(bg, "gram")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_hits")))

@@ -9,11 +9,14 @@ documents containing each. Spark-shaped for 100 TB:
   document, never per occurrence.
 - Postings are capped at ``max_postings`` ids per term with the same
   two-stage min-k pattern the brute-force ANN uses
-  (similarity.py): stage 1 takes the k smallest doc_ids per
-  (term, salt) group, stage 2 merges the ≤ n_salts×k partials — a
-  stopword appearing in every document of a 100-TB corpus never
-  materializes more than n_salts×k ids in any task, while df counts
-  stay exact (summed from stage-1 partial counts).
+  (similarity.py): stage 1 keeps the k smallest doc_ids per
+  (term, salt) group, stage 2 merges the ≤ n_salts×k partials. The
+  stage-1 cut is a ``row_number`` window BEFORE any ``collect_list``
+  — the window's sort spills to disk, so a stopword appearing in
+  every document of a 100-TB corpus costs a spillable sort, never an
+  in-memory aggregation buffer of df/n_salts ids; the subsequent
+  ``collect_list`` only ever sees the ≤ max_postings survivors. df
+  counts stay exact (summed over all rows, not just survivors).
 - The final top-terms cut is a TakeOrdered over the vocabulary-sized
   aggregate on the total order (df desc, term asc) — deterministic,
   no global sort of the corpus.
@@ -24,7 +27,7 @@ but deterministic, engine-replayable cap, hence the exact oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = ["inverted_index"]
@@ -46,12 +49,21 @@ def inverted_index(df: DataFrame, text_col: str = "text",
         .otherwise(F.array_distinct(F.split(t, _WS)))
     pairs = (df.select(F.col(id_col).alias("_id"),
                        F.explode(toks).alias("term"))
-             .filter(F.col("term") != ""))
+             .filter(F.col("term") != "")
+             .withColumn("_s", F.col("_id") % n_salts))
+    # min-k cut first (spillable window sort), THEN collect: the agg
+    # buffer holds at most max_postings ids per (term, salt) group.
+    # The groupBy below reuses the window's (term, _s) distribution —
+    # one shuffle total for stage 1.
+    rn = F.row_number().over(
+        Window.partitionBy("term", "_s").orderBy("_id"))
     partial = (pairs
-               .groupBy("term", (F.col("_id") % n_salts).alias("_s"))
+               .withColumn("_rn", rn)
+               .groupBy("term", "_s")
                .agg(F.count("*").alias("_c"),
-                    F.slice(F.sort_array(F.collect_list("_id")),
-                            1, max_postings).alias("_p")))
+                    F.sort_array(F.collect_list(
+                        F.when(F.col("_rn") <= max_postings,
+                               F.col("_id")))).alias("_p")))
     merged = (partial.groupBy("term")
               .agg(F.sum("_c").cast("long").alias("df_count"),
                    F.slice(F.sort_array(F.flatten(F.collect_list("_p"))),

@@ -60,7 +60,16 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     (inclusive, as in DuckDB/pandas). Multiple right rows at the same
     (by, time) are resolved to the last one in (time, payload) order —
     pre-aggregate the right side if that tie-break matters.
+
+    Atomicity: the whole right payload travels as ONE struct and the
+    running ``last(ignorenulls)`` fills that struct — so every output
+    row's right columns come from the SAME matched right row. (Filling
+    each payload column independently would let a NULL in one right
+    column pull that column's value from an older right row — a torn
+    row pandas/DuckDB would never produce.)
     """
+    from pyspark.sql.types import StructField, StructType
+
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
     by = list(by)
@@ -68,25 +77,29 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
     out_payload = [c + suffix for c in payload]
     on_r = on + suffix
 
-    # common shape: left rows carry nulls for the right payload; right
-    # rows carry nulls for the left payload. _side orders right rows
-    # BEFORE left rows at equal time, so 'backward' is inclusive.
+    # common shape: left rows carry a NULL right-struct; right rows
+    # carry their (matched time + payload) packed into one struct.
+    # _side orders right rows BEFORE left rows at equal time, so
+    # 'backward' is inclusive.
+    rs_type = StructType(
+        [StructField(on_r, right.schema[on].dataType)]
+        + [StructField(c + suffix, right.schema[c].dataType)
+           for c in payload])
     lhs = left.select(
         *by, F.col(on),
         F.lit(1).alias("_side"),
         *[F.col(c) for c in left.columns if c not in by and c != on],
-        F.col(on).cast("timestamp").alias("_never"),  # placeholder slot
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c + suffix)
-          for c in payload],
-    ).drop("_never").withColumn(on_r, F.lit(None).cast(
-        right.schema[on].dataType))
+        F.lit(None).cast(rs_type).alias("_rs"),
+    )
     rhs = right.select(
         *by, F.col(on),
         F.lit(0).alias("_side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           for c in left.columns if c not in by and c != on],
-        *[F.col(c).alias(c + suffix) for c in payload],
-    ).withColumn(on_r, F.col(on))
+        F.struct(F.col(on).alias(on_r),
+                 *[F.col(c).alias(c + suffix) for c in payload])
+        .cast(rs_type).alias("_rs"),
+    )
 
     u = lhs.unionByName(rhs)
     if direction == "backward":
@@ -97,11 +110,13 @@ def asof_join(left: DataFrame, right: DataFrame, on: str = "ts",
         w = (Window.partitionBy(*by).orderBy(F.col(on).desc(),
                                              F.col("_side").asc())
              .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    filled = u.select(
-        *[F.col(c) for c in u.columns if c not in out_payload + [on_r]],
-        *[F.last(c, ignorenulls=True).over(w).alias(c)
-          for c in out_payload + [on_r]],
+    filled = (u.select(
+        *[F.col(c) for c in u.columns if c != "_rs"],
+        F.last("_rs", ignorenulls=True).over(w).alias("_rs"),
     ).filter(F.col("_side") == 1).drop("_side")
+        .select("*",
+                *[F.col("_rs")[c].alias(c) for c in out_payload + [on_r]])
+        .drop("_rs"))
 
     if tolerance_seconds is not None:
         gap = F.abs(_epoch_s(F.col(on)) - _epoch_s(F.col(on_r)))

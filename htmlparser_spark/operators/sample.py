@@ -52,7 +52,8 @@ def sample_by_hash(df: DataFrame, key_col: str = "doc_id",
 
 
 def seeded_shuffle(df: DataFrame, key_col: str = "doc_id",
-                   seed: str = "0") -> DataFrame:
+                   seed: str = "0",
+                   key_out: str | None = None) -> DataFrame:
     """Deterministic global permutation of the corpus — the epoch
     shuffle every training run needs before sharding. Rows come back
     totally ordered by (md5(key || ':' || seed), key): uniform,
@@ -60,6 +61,11 @@ def seeded_shuffle(df: DataFrame, key_col: str = "doc_id",
     portable (any engine with md5 derives the identical order —
     unlike rand(seed), whose sequence is engine- and partitioning-
     specific).
+
+    The returned schema is the INPUT schema — the internal sort key is
+    dropped after ordering (ordering survives the projection). Pass
+    ``key_out`` to keep the md5 sort key under that column name (e.g.
+    to window on it downstream).
 
     Scale shape: Spark plans orderBy as a range-partitioned sort
     (sampled boundaries → exchange → per-partition sort) — the
@@ -70,8 +76,9 @@ def seeded_shuffle(df: DataFrame, key_col: str = "doc_id",
     trailing ``key_col`` tiebreak is belt-and-braces only."""
     h = F.md5(F.encode(F.concat(F.col(key_col).cast("string"),
                                 F.lit(":" + seed)), "UTF-8"))
-    return (df.withColumn("_shuffle_key", h)
-            .orderBy("_shuffle_key", key_col))
+    name = key_out or "_shuffle_key"
+    out = df.withColumn(name, h).orderBy(name, key_col)
+    return out if key_out else out.drop(name)
 
 
 def pack_sequences(df: DataFrame, id_col: str = "doc_id",

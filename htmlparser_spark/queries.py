@@ -1340,7 +1340,8 @@ def q_seeded_shuffle(spark, sf_dir):
     UTF-8 is engine-portable, hence the exact oracle."""
     from .operators.sample import seeded_shuffle
     docs = load(spark, sf_dir, "documents").select("doc_id")
-    head = seeded_shuffle(docs, seed="7").limit(100)
+    head = seeded_shuffle(docs, seed="7",
+                          key_out="_shuffle_key").limit(100)
     w = Window.orderBy("_shuffle_key", "doc_id")
     return (head.withColumn("pos",
                             F.row_number().over(w).cast("long"))

@@ -104,3 +104,29 @@ def test_leakage_safe_split_groups_components(spark):
     from htmlparser_spark.operators.chunk import dataset_split
     plain = {r.doc_id: r.split for r in dataset_split(docs).collect()}
     assert out[50].split == plain[50]
+    # EVERY singleton agrees with dataset_split (long-cast hash paths
+    # used to diverge from dataset_split's raw-key hash)
+    for d in range(12, 40):
+        assert out[d].split == plain[d], d
+
+
+def test_leakage_safe_split_string_ids(spark):
+    """Non-numeric string doc ids: the old long-cast produced NULL
+    buckets and silently dumped every such doc into 'test'. Now the
+    hash runs on the id's own type and singletons match
+    dataset_split exactly."""
+    from htmlparser_spark.operators.chunk import (dataset_split,
+                                                  leakage_safe_split)
+    docs = spark.createDataFrame(
+        [(f"doc-{i}",) for i in range(200)], "doc_id string")
+    comp = spark.createDataFrame(
+        [("doc-1", "doc-0"), ("doc-0", "doc-0")],
+        "node string, component string")
+    out = {r.doc_id: r for r in leakage_safe_split(docs, comp).collect()}
+    plain = {r.doc_id: r.split for r in dataset_split(docs).collect()}
+    assert out["doc-0"].split == out["doc-1"].split == plain["doc-0"]
+    splits = {r.split for r in out.values()}
+    assert splits == {"train", "val", "test"}
+    # singletons must match dataset_split bit-for-bit
+    for i in range(2, 200):
+        assert out[f"doc-{i}"].split == plain[f"doc-{i}"], i

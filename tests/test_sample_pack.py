@@ -162,6 +162,21 @@ def test_seeded_shuffle_plans_as_range_sort(spark, docs):
     assert_no_python_row_udf(seeded_shuffle(docs, seed="7"))
 
 
+def test_seeded_shuffle_preserves_schema(spark, docs):
+    """The internal md5 sort key must NOT leak into the output schema
+    (round-3 advice); key_out opts in explicitly."""
+    from htmlparser_spark.operators.sample import seeded_shuffle
+
+    assert seeded_shuffle(docs, seed="7").columns == docs.columns
+    kept = seeded_shuffle(docs, seed="7", key_out="epoch_key")
+    assert kept.columns == docs.columns + ["epoch_key"]
+    # the drop does not disturb the permutation
+    a = [r.doc_id for r in seeded_shuffle(docs, seed="7")
+         .select("doc_id").collect()]
+    b = [r.doc_id for r in kept.select("doc_id").collect()]
+    assert a == b
+
+
 def test_length_quantiles_exact(spark):
     """Lower-discrete semantics on a hand-computable frame: lengths
     1..10 once each -> q(0.25)=3, q(0.5)=5, q(0.9)=9, q(0.99)=10."""
