@@ -23,6 +23,7 @@ transcripts corpus.
 
 from __future__ import annotations
 
+from html import unescape as _unescape
 from typing import List, Optional, Tuple
 
 from .constants import (
@@ -47,8 +48,18 @@ __all__ = ["extract_fused"]
 
 
 def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
-                  raw_collapse: bool = False) -> Tuple[str, Optional[str], int, int]:
-    """Returns (extracted_text, raw_html|None, n_nodes, n_errors)."""
+                  raw_collapse: bool = False,
+                  decode_entities: bool = False
+                  ) -> Tuple[str, Optional[str], int, int]:
+    """Returns (extracted_text, raw_html|None, n_nodes, n_errors).
+
+    ``decode_entities=True`` (opt-in; default OFF keeps reference
+    byte-equality) decodes HTML5 character references per text node in
+    the EXTRACTED text only — raw_html stays verbatim, and rawtext
+    (script/style) content is never decoded (the HTML5 tokenizer does
+    not decode in rawtext states). Same semantics as
+    serialize.to_text(decode_entities=True); equivalence is
+    differentially tested (tests/test_fused_equivalence.py)."""
     n = len(s)
     i = 0
     pending: List[str] = []          # data-state text accumulator
@@ -59,6 +70,7 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
     txt: List[str] = []
     is_block = False
     strip_tags = DEFAULT_STRIP_TAGS if strip else None
+    dec = _unescape if decode_entities else None
     # to_raw_html state
     raw: Optional[List[str]] = [] if want_raw else None
 
@@ -71,7 +83,10 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                 if txt:
                     txt.append("\n")
                 is_block = False
-            txt.append(content)
+            if dec is not None and not in_rawtext and "&" in content:
+                txt.append(dec(content))
+            else:
+                txt.append(content)
         if raw is not None:
             # not-isspace() short-circuits at C speed; the regex
             # fallback keeps \v-only runs (unicode-space but
@@ -161,7 +176,10 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                         if txt:
                             txt.append("\n")
                         is_block = False
-                    txt.append(t)
+                    if dec is not None and "&" in t:
+                        txt.append(dec(t))
+                    else:
+                        txt.append(t)
                     if raw is not None and (
                             not t.isspace()
                             or RE_HAS_NONSPACE.search(t)):

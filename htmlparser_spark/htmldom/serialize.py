@@ -17,6 +17,7 @@ where script/style content IS included.
 
 from __future__ import annotations
 
+from html import unescape as _unescape
 from typing import FrozenSet, Iterable, List, Optional
 
 from .constants import (
@@ -57,6 +58,7 @@ def to_text(
     raw: bool = False,
     node_id: Optional[int] = None,
     skip_tags: Optional[FrozenSet[str]] = None,
+    decode_entities: bool = False,
 ) -> str:
     """Pre-order text extraction (html.cpp:449-489).
 
@@ -68,11 +70,22 @@ def to_text(
     afterwards. ``skip_tags`` removes whole subtrees *before*
     serialization (the boilerplate-strip stage; not part of the
     reference's to_text).
+
+    ``decode_entities=True`` (opt-in, NOT reference behavior — the
+    reference never decodes, html.cpp:449-489 emits bytes verbatim)
+    decodes HTML5 character references per TEXT NODE (WHATWG named +
+    numeric forms, stdlib ``html.unescape``) — per node, so a
+    reference can never be assembled across node boundaries; rawtext
+    content (script/style) is never decoded, matching the HTML5
+    tokenizer's rawtext states. Default OFF keeps byte-equality with
+    the reference fixtures.
     """
     kind = doc.kind
     tag = doc.tag
     content = doc.content
     children = doc.children
+    parent_l = doc.parent
+    dec = _unescape if decode_entities else None
     out: List[str] = []
     is_block = False
     # stack holds (node_id, entering) — _EXIT entries carry the tag id
@@ -92,7 +105,12 @@ def to_text(
                 if out:
                     out.append("\n")
                 is_block = False
-            out.append(content[nid])
+            c = content[nid]
+            if dec is not None and "&" in c:
+                p = parent_l[nid]
+                if p < 0 or tag[p] not in RAWTEXT_TAGS:
+                    c = dec(c)
+            out.append(c)
         elif k == KIND_TAG:
             t = tag[nid]
             if skip_tags is not None and t in skip_tags:
@@ -113,10 +131,12 @@ def to_text(
 
 
 def to_text_stripped(doc: Doc, raw: bool = False,
-                     strip_tags: FrozenSet[str] = DEFAULT_STRIP_TAGS) -> str:
+                     strip_tags: FrozenSet[str] = DEFAULT_STRIP_TAGS,
+                     decode_entities: bool = False) -> str:
     """Pipeline main-content extraction: to_text after dropping
     script/style subtrees (comments already contribute nothing)."""
-    return to_text(doc, raw=raw, skip_tags=strip_tags)
+    return to_text(doc, raw=raw, skip_tags=strip_tags,
+                   decode_entities=decode_entities)
 
 
 def _attrs_serialized(attrs: Optional[dict]) -> str:

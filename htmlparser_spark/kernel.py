@@ -89,12 +89,15 @@ def extract_result_schema(passthrough: StructType,
 
 def make_extract_fn(text_col: str = "text", strip: bool = True,
                     include_raw: bool = True, raw_collapse: bool = False,
-                    drop_text: bool = False):
+                    drop_text: bool = False, decode_entities: bool = False):
     """Build the mapInPandas kernel: per Arrow batch, parse every turn
     and emit extracted_text (+ raw_html, node/error counts).
 
     ``strip`` toggles the boilerplate-strip stage (drop script/style
     subtrees) — ON for the pipeline, OFF for reference-equality runs.
+    ``decode_entities`` (opt-in, default OFF = reference byte-equality)
+    decodes HTML5 character references per text node in extracted_text
+    only (htmldom/fused.py).
     """
     from .htmldom.fused import extract_fused
 
@@ -113,7 +116,8 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
                 # the Doc path in tests/test_fused_equivalence.py)
                 ext[i], raw[i], n_nodes[i], n_errors[i] = extract_fused(
                     s, strip=strip, want_raw=include_raw,
-                    raw_collapse=raw_collapse)
+                    raw_collapse=raw_collapse,
+                    decode_entities=decode_entities)
             # dropping the source HTML here (not in a later projection)
             # keeps it out of the Arrow return transfer and every
             # downstream shuffle — at 10^12-turn scale the raw HTML is
@@ -132,17 +136,22 @@ def make_extract_fn(text_col: str = "text", strip: bool = True,
 
 def extract_text(df: DataFrame, text_col: str = "text", strip: bool = True,
                  include_raw: bool = True, raw_collapse: bool = False,
-                 drop_text: bool = False) -> DataFrame:
+                 drop_text: bool = False,
+                 decode_entities: bool = False) -> DataFrame:
     """DataFrame-level extraction: append extracted_text / raw_html /
     n_nodes / n_errors to ``df`` via one Arrow-batched stage.
     ``drop_text=True`` removes the source HTML column from the output
-    (shuffle/sink payload reduction for the pipeline hot path)."""
+    (shuffle/sink payload reduction for the pipeline hot path).
+    ``decode_entities=True`` opts in to HTML5 character-reference
+    decoding of extracted_text (default OFF = reference
+    byte-equality)."""
     schema = extract_result_schema(
         df.schema, include_raw=include_raw,
         drop_cols=(text_col,) if drop_text else ())
     fn = make_extract_fn(text_col=text_col, strip=strip,
                          include_raw=include_raw, raw_collapse=raw_collapse,
-                         drop_text=drop_text)
+                         drop_text=drop_text,
+                         decode_entities=decode_entities)
     return df.mapInPandas(fn, schema)
 
 

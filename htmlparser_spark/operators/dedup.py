@@ -19,9 +19,12 @@ unpersisting inside the builder would evict them before the caller's
 action runs. The caches are narrow by design (ids + hashes, never
 documents) and live in Spark's unified storage pool, which evicts
 LRU blocks under memory pressure — so repeated calls degrade to
-recompute, never to OOM. Long-lived sessions that want deterministic
-reclamation should either run ``spark.catalog.clearCache()`` between
-calls (what bench.py does) or pass ``cache=False`` where offered.
+recompute, never to OOM. For DETERMINISTIC reclamation (round-3
+advice), every internal cache routes through ``caching.cache_df``:
+wrap build + action in ``with scoped_caches():`` and every block is
+unpersisted at scope exit (pytest-pinned in
+tests/test_dedup_scale.py::test_scoped_caches_release_blocks).
+One-shot jobs can still rely on LRU or ``clearCache()`` (bench.py).
 """
 
 from __future__ import annotations
@@ -36,6 +39,8 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.functions import pandas_udf
+
+from .caching import cache_df
 
 __all__ = [
     "exact_dedup", "exact_dup_groups", "paragraph_dedup",
@@ -165,7 +170,7 @@ def cap_buckets(bucketed: DataFrame, keys: list[str],
     keys + id only — so neither the cache nor the joins carry
     signatures or payloads."""
     if cache:
-        bucketed = bucketed.cache()
+        bucketed = cache_df(bucketed)
     hot = (bucketed.groupBy(*keys)
            .agg(F.count("*").alias("_bsz"))
            .filter(F.col("_bsz") > max_bucket_size)
@@ -368,8 +373,8 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
     # signature frame cached ONCE (the UDF is the CPU-bound stage:
     # banding, the self-join sides, and the star fallback all derive
     # from it without re-running Python)
-    sig = src.select(F.col(id_col), udf(F.col(text_col)).alias("sig")) \
-             .cache()
+    sig = cache_df(
+        src.select(F.col(id_col), udf(F.col(text_col)).alias("sig")))
     band_cols = band_struct_cols("sig", num_perm, bands)
     # banded stays NARROW — (id, band_id, band_hash), no signature
     # payload — so the cap window's exchange and the self-join move
@@ -410,19 +415,20 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text",
     # cached: the candidate plan (UDF + self-join) feeds three
     # consumers below (two id projections + the verify join) — without
     # the cache it would execute three times
-    cand = minhash_candidates(df, text_col, id_col, num_perm, bands,
-                              shingle_k, parallelism=parallelism,
-                              max_bucket_size=max_bucket_size).cache()
+    cand = cache_df(
+        minhash_candidates(df, text_col, id_col, num_perm, bands,
+                           shingle_k, parallelism=parallelism,
+                           max_bucket_size=max_bucket_size))
     ids = (cand.select(F.col("id_a").alias(id_col))
            .unionAll(cand.select(F.col("id_b").alias(id_col)))
            .distinct())
     # shingle arrays ONLY for docs in candidate pairs (candidates ≪
     # corpus), computed once and reused by both join sides
-    sh = (df.select(F.col(id_col), F.col(text_col))
+    sh = cache_df(
+        df.select(F.col(id_col), F.col(text_col))
           .join(ids, id_col, "left_semi")
           .select(F.col(id_col),
-                  _shingle_array_expr(text_col, shingle_k).alias("sh"))
-          .cache())
+                  _shingle_array_expr(text_col, shingle_k).alias("sh")))
     joined = (cand
               .join(sh.select(F.col(id_col).alias("id_a"),
                               F.col("sh").alias("sh_a")), "id_a")
@@ -495,10 +501,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         *([F.col(bucket_col).alias("bk")] if bucket_col else []))
     if parallelism:
         src = src.repartition(parallelism, F.col(id_col))
-    base = src.select(
+    base = cache_df(src.select(
         F.col(id_col), F.length(F.col(text_col)).alias("len"),
         _shingle_array_expr(text_col, k).alias("sh"),
-        *(["bk"] if bucket_col else [])).cache()
+        *(["bk"] if bucket_col else [])))
     # Length banding makes the length constraint an EQUI-join key:
     # |len_a - len_b| <= D implies |band_a - band_b| <= 1 for
     # band = floor(len / D), so exploding one side into its three
@@ -599,7 +605,7 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
         src = src.repartition(parallelism, F.col(id_col))
     sh = src.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sh"))
     width = 64 // chunks
-    sh = sh.cache()  # self-join below reuses the signature frame
+    sh = cache_df(sh)  # self-join below reuses the signature frame
     chunk_cols = [
         F.struct(F.lit(c).alias("chunk_id"),
                  F.shiftrightunsigned(F.col("sh"), c * width)
@@ -664,8 +670,9 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
 
     buckets = multi_table_bucket_udf(n_planes=n_planes, n_tables=n_tables,
                                      seed=seed)
-    base = df.select(F.col(id_col), F.col(vec_col).alias("v"),
-                     buckets(F.col(vec_col)).alias("bks")).cache()
+    base = cache_df(
+        df.select(F.col(id_col), F.col(vec_col).alias("v"),
+                  buckets(F.col(vec_col)).alias("bks")))
     # bucket frames stay NARROW (id + keys, no vectors): the cap
     # windows and the candidate join never move embedding payloads
     tbl = base.select(
@@ -697,7 +704,7 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
         .select(id_col, "v").distinct(),
         F.xxhash64(F.col("v")), id_col)
     # cached: candidates feed the two id projections + the verify join
-    cand = quad.unionAll(star).distinct().cache()
+    cand = cache_df(quad.unionAll(star).distinct())
     # exact cosine verify: vectors only for involved ids
     ids = (cand.select(F.col("id_a").alias(id_col))
            .unionAll(cand.select(F.col("id_b").alias(id_col))).distinct())

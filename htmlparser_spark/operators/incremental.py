@@ -45,6 +45,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .caching import cache_df
 from .dedup import _shingle_array_expr, band_struct_cols, make_minhash_udf
 
 __all__ = ["build_dedup_index", "dedup_against_index",
@@ -90,8 +91,8 @@ def build_dedup_index(df: DataFrame, path: str, *,
         .groupBy("nh").agg(F.min(id_col).alias("keep_id"))
         .write.mode("overwrite").parquet(f"{path}/normset"))
 
-    sig = src.select(F.col(id_col),
-                     udf(F.col(text_col)).alias("sig")).cache()
+    sig = cache_df(src.select(F.col(id_col),
+                              udf(F.col(text_col)).alias("sig")))
     sig.write.mode("overwrite").parquet(f"{path}/sigs")
     band_cols = band_struct_cols("sig", num_perm, bands)
     (sig.select(id_col, F.explode(F.array(*band_cols)).alias("bk"))
@@ -136,7 +137,8 @@ def dedup_against_index(df: DataFrame, path: str, *,
         F.col(text_col),
         F.xxhash64(F.col(text_col)).alias("h"),
         F.length(F.col(text_col)).alias("ln"),
-        _norm_hash_expr(text_col, m["shingle_k"]).alias("nh")).cache()
+        _norm_hash_expr(text_col, m["shingle_k"]).alias("nh"))
+    keyed = cache_df(keyed)
 
     exact_idx = spark.read.parquet(f"{path}/exact")
     norm_idx = spark.read.parquet(f"{path}/normset")
@@ -151,8 +153,9 @@ def dedup_against_index(df: DataFrame, path: str, *,
     if threshold is not None:
         udf = make_minhash_udf(num_perm=m["num_perm"],
                                shingle_k=m["shingle_k"])
-        sig_new = keyed.select(F.col(id_col),
-                               udf(F.col(text_col)).alias("sig")).cache()
+        sig_new = cache_df(
+            keyed.select(F.col(id_col),
+                         udf(F.col(text_col)).alias("sig")))
         band_cols = band_struct_cols("sig", m["num_perm"], m["bands"])
         banded = (sig_new
                   .select(id_col,

@@ -26,7 +26,7 @@ from pyspark.sql.functions import pandas_udf
 __all__ = ["cosine_expr", "dot_expr", "brute_force_topk",
            "random_hyperplane_bucket_udf", "multi_table_bucket_udf",
            "lsh_topk", "train_ivf_centroids", "ivf_topk",
-           "IvfIndex", "ivf_build", "ivf_query"]
+           "IvfIndex", "ivf_build", "ivf_query", "ivf_recall_report"]
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -49,6 +49,52 @@ def cosine_expr(a: Column, b: Column) -> Column:
     return F.when(denom > 0, dot_expr(a, b) / denom).otherwise(F.lit(0.0))
 
 
+def _merge_topk(scored: DataFrame, k: int, id_col: str,
+                score_col: str = "cosine", ascending: bool = False,
+                round_score: int | None = 6) -> DataFrame:
+    """Two-stage exact top-k of (query_id, id, cosine) rows:
+
+    1. partial: a vectorized pandas stage reduces every Arrow batch to
+       ≤ k rows per query BEFORE any exchange, so the only shuffled
+       data is O(q · k · n_batches) narrow rows — a global window over
+       raw scores would instead move ALL candidate rows to q reducer
+       tasks (the single-hot-task killer when one query's candidate
+       set is huge: a hot IVF cell, a stopword-dense LSH bucket);
+    2. merge: an exact window over the tiny partial set.
+
+    Exactness: the per-batch selection uses the same total order as
+    the final rank (score, id asc), so any row dropped early is
+    dominated by ≥ k surviving rows from its own batch — the merged
+    top-k is identical to the single-window answer.
+
+    ``score_col``/``ascending`` generalize the order: cosine callers
+    rank descending and round to 6 dp; the integer-lattice recall
+    report ranks squared distance ascending with no rounding
+    (``round_score=None``)."""
+    from pyspark.sql import Window
+
+    out_schema = scored.schema
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            yield (pdf.sort_values([score_col, id_col],
+                                   ascending=[ascending, True])
+                   .groupby("query_id", sort=False).head(k))
+
+    partial = scored.mapInPandas(partial_topk, out_schema)
+    order = (F.col(score_col).asc() if ascending
+             else F.col(score_col).desc())
+    w = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
+    score_out = (F.col(score_col) if round_score is None
+                 else F.round(score_col, round_score).alias(score_col))
+    return (partial.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("query_id", id_col, "rank", score_out))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id",
                      query_id_col: str = "query_id") -> DataFrame:
@@ -65,39 +111,17 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
        10^10-row corpora;
     3. merge: an exact window over the tiny partial set.
 
-    Exactness: the per-batch selection uses the same total order as
-    the final rank (cosine desc, id asc), so any row dropped early is
-    dominated by ≥ k surviving rows from its own batch — the merged
-    top-k is identical to the single-window answer.
+    Exactness: see :func:`_merge_topk` — the two-stage reduction is
+    identical to the single-window answer.
     Output: (query_id, vec_id, rank, cosine), rank 1 = best, ties
     broken by vec_id for determinism."""
-    from pyspark.sql import Window
-
     q = queries.select(F.col(query_id_col).alias("query_id"),
                        F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"))
     scored = (c.crossJoin(F.broadcast(q))
               .withColumn("cosine", cosine_expr(F.col("cv"), F.col("qv")))
               .select("query_id", id_col, "cosine"))
-
-    out_schema = scored.schema
-
-    def partial_topk(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                yield pdf
-                continue
-            yield (pdf.sort_values(["cosine", id_col],
-                                   ascending=[False, True])
-                   .groupby("query_id", sort=False).head(k))
-
-    partial = scored.mapInPandas(partial_topk, out_schema)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (partial.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    return _merge_topk(scored, k, id_col)
 
 
 def random_hyperplane_bucket_udf(n_planes: int = 16, seed: int = 97,
@@ -195,6 +219,14 @@ class IvfIndex:
         self.id_col = id_col
         self.path = path
 
+    def unpersist(self) -> None:
+        """Release the in-memory assigned table (no-op for a
+        parquet-backed index — the files are the caller's to delete).
+        Call when the index is retired; an IvfIndex is deliberately
+        long-lived, so its cache is NOT scope-managed."""
+        if self.path is None:
+            self.assigned.unpersist()
+
 
 def ivf_build(corpus: DataFrame, n_centroids: int = 16,
               vec_col: str = "embedding", id_col: str = "vec_id",
@@ -235,9 +267,12 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 10,
     nearest cells (tiny query side explodes, corpus side never does),
     candidates come from a cell equi-join against the assigned table,
     exact cosine re-ranks them. The corpus-side plan is a scan — no
-    assignment UDF runs over it (plan-asserted in tests)."""
-    from pyspark.sql import Window
+    assignment UDF runs over it (plan-asserted in tests).
 
+    The re-rank is the two-stage :func:`_merge_topk` — a hot cell
+    (skewed corpus) reduces to ≤ k rows per query per Arrow batch
+    before the exchange instead of buffering one query's whole
+    candidate set in a single window task."""
     id_col = index.id_col
     query_cells = _ivf_assign_udf(index.centroids, n_probe)
     q = queries.select(
@@ -245,14 +280,10 @@ def ivf_query(index: IvfIndex, queries: DataFrame, k: int = 10,
         F.col(vec_col).alias("qv"),
         F.explode(query_cells(F.col(vec_col))).alias("cell"))
     cand = index.assigned.join(F.broadcast(q), "cell")
-    scored = cand.withColumn("cosine",
-                             cosine_expr(F.col("cv"), F.col("qv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    scored = (cand.withColumn("cosine",
+                              cosine_expr(F.col("cv"), F.col("qv")))
+              .select("query_id", id_col, "cosine"))
+    return _merge_topk(scored, k, id_col)
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -270,6 +301,90 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       id_col=id_col, seed=seed, centroids=centroids)
     return ivf_query(index, queries, k=k, vec_col=vec_col,
                      query_id_col=query_id_col, n_probe=n_probe)
+
+
+def ivf_recall_report(corpus: DataFrame, n_queries: int = 8,
+                      k: int = 10, n_probe: int = 4,
+                      n_centroids: int = 10, iters: int = 2,
+                      scale: int = 128,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """Recall@k audit of an IVF probe against exact brute force — the
+    number a user tunes ``n_probe`` / ``n_centroids`` by. Output one
+    row per sampled query: (query_id, n_hit, recall_ppm) where n_hit =
+    |ivf top-k ∩ brute top-k| and recall_ppm = n_hit·10⁶ // k.
+
+    Cross-engine exactness: the whole computation runs on the INTEGER
+    lattice (round(x·scale), cluster.py's quantization): centroids
+    come from the integer Lloyd fit, cell assignment / probe selection
+    / both top-k rankings use exact integer squared L2 with
+    (dist, id) total order — so a SQL oracle replays every hit count
+    bit-for-bit (float IVF recall, which no SQL engine can replay
+    seed-exactly, is pytest-covered against brute force in
+    tests/test_dedup_scale.py).
+
+    Scale shape: queries are a bounded sample (broadcast); the brute
+    side is the two-stage partial top-k over one corpus scan (the
+    exact baseline costs one full scan BY DEFINITION — this is an
+    audit you run on a sampled query set, not per production query);
+    the IVF side joins the (id, cid) assignment to the broadcast probe
+    set — candidates only. Both re-ranks reduce per Arrow batch before
+    any exchange; the recall join is k·q rows."""
+    from .cluster import kmeans_fit_quantized, quantize_vec, _sq_dist
+
+    spark = corpus.sparkSession
+    assigned, cents = kmeans_fit_quantized(
+        corpus, vec_col=vec_col, id_col=id_col, k=n_centroids,
+        iters=iters, scale=scale)
+    q = corpus.select(F.col(id_col),
+                      quantize_vec(F.col(vec_col), scale).alias("qv"))
+    queries = (q.filter(F.col(id_col) < n_queries)
+               .select(F.col(id_col).alias("query_id"),
+                       F.col("qv").alias("qqv")))
+
+    # exact baseline: one corpus scan, per-batch partial top-k
+    brute_scored = (q.crossJoin(F.broadcast(queries))
+                    .select("query_id", id_col,
+                            _sq_dist(F.col("qv"), F.col("qqv"))
+                            .alias("dist")))
+    brute = _merge_topk(brute_scored, k, id_col, score_col="dist",
+                        ascending=True, round_score=None) \
+        .select("query_id", id_col)
+
+    # probe cells: n_probe nearest centroids per query (tiny: q × k
+    # centroid rows, one window over ≤ n_centroids rows per query)
+    from pyspark.sql import Window
+    cent_df = spark.createDataFrame(
+        [(c, v) for c, v in cents], "cid long, cv array<bigint>")
+    probe_rn = F.row_number().over(
+        Window.partitionBy("query_id").orderBy("cdist", "cid"))
+    probes = (queries.crossJoin(F.broadcast(cent_df))
+              .select("query_id", "qqv", "cid",
+                      _sq_dist(F.col("qqv"), F.col("cv")).alias("cdist"))
+              .withColumn("_rn", probe_rn).filter(F.col("_rn") <= n_probe)
+              .select("query_id", "qqv", "cid"))
+
+    # IVF candidates: assignment (id, cid) ⋈ broadcast probes, then
+    # the same two-stage exact re-rank over candidates only
+    cand = (assigned.select(id_col, "cid")
+            .join(F.broadcast(probes), "cid")
+            .join(q, id_col)
+            .select("query_id", id_col,
+                    _sq_dist(F.col("qv"), F.col("qqv")).alias("dist")))
+    ivf = _merge_topk(cand, k, id_col, score_col="dist",
+                      ascending=True, round_score=None) \
+        .select("query_id", id_col)
+
+    hits = (brute.join(ivf, ["query_id", id_col])
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hit")))
+    return (queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .select("query_id",
+                    F.coalesce(F.col("n_hit"), F.lit(0)).cast("long")
+                    .alias("n_hit"))
+            .withColumn("recall_ppm",
+                        F.expr(f"CAST(n_hit * 1000000 DIV {k} AS LONG)")))
 
 
 def multi_table_bucket_udf(n_planes: int = 8, n_tables: int = 4,
@@ -309,9 +424,11 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              seed: int = 97) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane
     bucket; exact cosine re-rank on candidates only. Recall grows with
-    fewer planes / multi-probe; this is the IVF-style scale path."""
-    from pyspark.sql import Window
+    fewer planes / multi-probe; this is the IVF-style scale path.
 
+    The re-rank is the two-stage :func:`_merge_topk` (see ivf_query) —
+    a stopword-dense hot bucket cannot buffer one query's candidates
+    in a single window task."""
     bucket = random_hyperplane_bucket_udf(n_planes=n_planes, seed=seed)
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("cv"),
                       bucket(F.col(vec_col)).alias("bk"))
@@ -319,10 +436,7 @@ def lsh_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                        F.col(vec_col).alias("qv"),
                        bucket(F.col(vec_col)).alias("qbk"))
     cand = c.join(F.broadcast(q), F.col("bk") == F.col("qbk"))
-    scored = cand.withColumn("cosine", cosine_expr(F.col("cv"), F.col("qv")))
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc())
-    return (scored.withColumn("rank", F.row_number().over(w).cast("long"))
-            .filter(F.col("rank") <= k)
-            .select("query_id", id_col, "rank",
-                    F.round("cosine", 6).alias("cosine")))
+    scored = (cand.withColumn("cosine",
+                              cosine_expr(F.col("cv"), F.col("qv")))
+              .select("query_id", id_col, "cosine"))
+    return _merge_topk(scored, k, id_col)

@@ -243,6 +243,72 @@ def test_brute_force_topk_plan_shape(spark):
     assert plan.index("Window") < plan.index("MapInPandas")
 
 
+def test_scoped_caches_release_blocks(spark):
+    """Deterministic cache reclamation (round-3 verdict item): after a
+    scoped_caches block completes (build + action inside), the cache
+    manager holds ZERO cached plans — library callers no longer depend
+    on LRU eviction. Covers the minhash, simhash, n-gram, embedding
+    and fuzzy-dedup builders, which all route through cache_df."""
+    from htmlparser_spark.operators.caching import scoped_caches
+    from htmlparser_spark.operators.dedup import (embedding_near_dups,
+                                                  fuzzy_dedup_keep,
+                                                  simhash_candidates)
+
+    spark.catalog.clearCache()
+    cm = spark._jsparkSession.sharedState().cacheManager()
+    rng = np.random.RandomState(7)
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"w{rng.randint(0, 1000)}" for _ in range(12)))
+         for i in range(60)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, rng.randn(16).astype(np.float32).tolist())
+         for i in range(60)], "vec_id long, embedding array<float>")
+
+    with scoped_caches():
+        minhash_dedup_pairs(docs, threshold=0.5, parallelism=4).count()
+        assert not cm.isEmpty()          # caches live inside the scope
+        simhash_candidates(docs).count()
+        embedding_near_dups(emb, threshold=0.9, n_planes=6).count()
+        fuzzy_dedup_keep(docs, threshold=0.5).count()
+    assert cm.isEmpty()                  # ...and are all released after
+
+    # without a scope: documented LRU policy (blocks stay, clearCache
+    # reclaims) — unchanged behavior for existing callers
+    minhash_dedup_pairs(docs, threshold=0.5, parallelism=4).count()
+    assert not cm.isEmpty()
+    spark.catalog.clearCache()
+    assert cm.isEmpty()
+
+
+def test_ann_probe_rerank_is_two_stage(spark, tmp_path):
+    """Round-3 verdict item: the lsh_topk / ivf_query re-rank must use
+    the per-batch partial top-k (MapInPandas reduction BEFORE the
+    merge window's exchange), not a raw window over all of one query's
+    candidates — a hot cell/bucket must never buffer one query's whole
+    candidate set in a single task. Tree prints parents first, so the
+    partial stage must appear BELOW (after) the window."""
+    from htmlparser_spark.operators.similarity import (ivf_build,
+                                                       ivf_query,
+                                                       lsh_topk)
+    from htmlparser_spark.plans import explain_string
+
+    rng = np.random.RandomState(23)
+    n, d = 100, 16
+    M = rng.randn(n, d)
+    corpus = spark.createDataFrame(
+        [(i, M[i].astype(np.float32).tolist()) for i in range(n)],
+        "vec_id long, embedding array<float>")
+    queries = corpus.limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    index = ivf_build(corpus, n_centroids=4,
+                      path=str(tmp_path / "ivf_idx2"))
+    for out in (lsh_topk(corpus, queries, k=5, n_planes=4),
+                ivf_query(index, queries, k=5, n_probe=2)):
+        plan = explain_string(out)
+        assert "MapInPandas" in plan
+        assert plan.index("Window") < plan.index("MapInPandas"), plan
+
+
 def _py_components(edges):
     parent = {}
 
@@ -358,7 +424,8 @@ def test_ivf_index_reusable_no_corpus_udf_on_probe(spark, tmp_path):
     for _ in range(2):                      # second run = repeat probe
         out = ivf_query(index, queries, k=5, n_probe=3)
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # exactly one Python stage: the query-side probe-cell UDF
+        # the only per-ROW Python stage is the query-side probe-cell
+        # UDF (the candidate partial-topk reducer is MapInPandas)
         assert plan.count("ArrowEvalPython") == 1
         # corpus side = parquet scan of the precomputed assignment
         assert any("FileScan parquet" in ln and "cell" in ln
