@@ -46,6 +46,24 @@ from .serialize import DEFAULT_STRIP_TAGS
 
 __all__ = ["extract_fused"]
 
+import re
+
+# Structural-position dispatch (round-3 verdict item 6): ONE compiled
+# alternation classifies the next '<' in C instead of a Python
+# char-compare chain per token. Ordered alternatives:
+#   group 1: no-attribute open tag  <name>         (dominant shape)
+#   group 2: simple close tag       </name>
+#   empty:   any other '<' — falls through to the verified scanner
+#            dispatch below (attrs, comments, doctype, bogus, '</ >',
+#            self-closing '<x/>', non-alnum tag names, EOF truncation)
+# The fast branches claim EXACTLY the shapes whose semantics are a
+# name translate + fixed emission — everything else takes the same
+# code path as before, so quirk behavior is untouched (diff fuzzer +
+# goldens gate this, tests/test_fused_equivalence.py +
+# test_differential_reference.py).
+RE_DISPATCH = re.compile(
+    r"<(?:([a-zA-Z][a-zA-Z0-9]*)>|/([a-zA-Z][a-zA-Z0-9]*)>|)")
+
 
 def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                   raw_collapse: bool = False,
@@ -152,13 +170,95 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
             text_block_close(t)
         del stack[j:]
 
+    search = RE_DISPATCH.search
+    # hot-set / hot-callable locals: the loop below touches these per
+    # token, and LOAD_FAST beats LOAD_GLOBAL/LOAD_DEREF in the only
+    # Python-level loop of the pipeline
+    _void, _inline, _rawtags = VOID_TAGS, INLINE_TAGS, RAWTEXT_TAGS
+    pend_append, txt_append = pending.append, txt.append
     while i < n:
-        j = s.find("<", i)
-        if j < 0:
-            pending.append(s[i:])
+        m = search(s, i)
+        if m is None:
+            pend_append(s[i:])
             break
+        j, e = m.span()
         if j > i:
-            pending.append(s[i:j])
+            pend_append(s[i:j])
+        oname, cname = m.group(1, 2)
+        if oname is not None:
+            # fast path: no-attribute open tag <name>
+            i = e
+            if not oname.islower():
+                oname = oname.lower()
+            if pending:
+                # inline flush (same as the scanner open path below)
+                t = pending[0] if len(pending) == 1 else "".join(pending)
+                pending.clear()
+                if t:
+                    n_nodes += 1
+                    if is_block:
+                        if txt:
+                            txt.append("\n")
+                        is_block = False
+                    if dec is not None and "&" in t:
+                        txt.append(dec(t))
+                    else:
+                        txt.append(t)
+                    if raw is not None and (
+                            not t.isspace()
+                            or RE_HAS_NONSPACE.search(t)):
+                        raw.append(collapse_spaces(t))
+            n_nodes += 1
+            effective_sc = oname in _void
+            if raw is not None:
+                raw.append(f"<{oname} />" if effective_sc
+                           else f"<{oname}>")
+            stripped = (strip_tags is not None and oname in strip_tags)
+            if not stripped:
+                if oname == "br":
+                    txt_append("\n")
+                if oname not in _inline:
+                    is_block = True
+            if effective_sc:
+                continue
+            if oname in _rawtags:
+                parts: List[str] = []
+                i, closed = _scan_rawtext(s, i, n, oname, parts)
+                rawc = "".join(parts)
+                if closed:
+                    if rawc:
+                        emit_text(rawc, True, stripped)
+                    if raw is not None:
+                        raw.append(f"</{oname}>")
+                    if not stripped:
+                        text_block_close(oname)
+                else:
+                    # EOF in rawtext: content flushed, closed at EOF
+                    if rawc:
+                        emit_text(rawc, True, stripped)
+                    stack.append(oname)
+                    break
+            else:
+                stack.append(oname)
+            continue
+        elif cname is not None:
+            # fast path: simple close tag </name>
+            i = e
+            if not cname.islower():
+                cname = cname.lower()
+            if pending:
+                flush_text()
+            if stack and stack[-1] == cname:
+                if raw is not None:
+                    raw.append(f"</{cname}>")
+                if cname not in _inline:
+                    is_block = True
+                stack.pop()
+            else:
+                close_to(cname, "", False)
+            continue
+        # bare '<': the verified scanner dispatch (attrs, comments,
+        # doctype, bogus, odd names, truncation)
         i = j + 1
         if i >= n:
             break
