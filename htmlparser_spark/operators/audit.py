@@ -1,0 +1,44 @@
+"""Corpus audit reports: the per-source (domain) statistics a curation
+team reads before setting dedup/budget policy.
+
+``source_stats`` is the standard pre-training corpus report: one row
+per source/domain with document, token, character and unique-content
+counts plus an integer duplicate ratio — the numbers that drive
+per-domain sampling budgets (sample.py:take_token_budget) and flag
+boilerplate-heavy domains for paragraph dedup.
+
+Scale shape (100 TB): everything is ONE groupBy over the scan with
+map-side combine; the only per-row payload that shuffles for the
+distinct-content count is a 32-hex md5 digest (portable across
+engines, unlike xxhash64 — which keeps the report exactly
+SQL-replayable), never document text. Output is domain-cardinality
+(10⁵-10⁷ rows), trivially collectable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text_stats import token_count_col
+
+__all__ = ["source_stats"]
+
+
+def source_stats(df: DataFrame, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, n_chars, n_unique, dup_ppm) per
+    source. ``n_unique`` counts distinct document contents (md5 — the
+    portable fingerprint sample.py standardizes on); ``dup_ppm`` =
+    (n_docs - n_unique)·10⁶ // n_docs, the integer exact-duplicate
+    rate the dedup family is later measured against."""
+    g = (df.groupBy(F.col(source_col).alias("source"))
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.sum(token_count_col(F.col(text_col))).cast("long")
+              .alias("n_tokens"),
+              F.sum(F.length(text_col)).cast("long").alias("n_chars"),
+              F.countDistinct(F.md5(F.encode(F.col(text_col), "UTF-8")))
+              .cast("long").alias("n_unique")))
+    return g.withColumn(
+        "dup_ppm",
+        F.expr("CAST((n_docs - n_unique) * 1000000 DIV n_docs AS LONG)"))

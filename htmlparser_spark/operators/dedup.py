@@ -48,7 +48,7 @@ __all__ = [
     "simhash_udf", "simhash_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
     "cap_buckets", "bucket_stats", "connected_components",
-    "band_struct_cols", "fuzzy_dedup_keep",
+    "band_struct_cols", "fuzzy_dedup_keep", "dedup_lines",
 ]
 
 
@@ -766,3 +766,26 @@ def fuzzy_dedup_keep(docs: DataFrame, text_col: str = "text",
     drop = (comp.join(win, comp["node"] == win["_winner"], "left_anti")
             .select(F.col("node").alias(id_col)))
     return docs.join(drop, id_col, "left_anti")
+
+
+def dedup_lines(df: DataFrame, text_col: str = "text",
+                out_col: str = "text_deduped",
+                sep: str = "\n") -> DataFrame:
+    """In-DOCUMENT repeated-line removal: keep the first occurrence of
+    every line, preserving order — the intra-page cousin of the
+    corpus-level ``paragraph_dedup`` (which removes lines frequent
+    ACROSS documents). Web boilerplate often repeats navigation lines
+    inside one page; this is the cheap first pass before corpus-level
+    dedup ever shuffles.
+
+    Pure higher-order array expressions (split → filter on
+    first-occurrence index → join): map-only, whole-stage codegen, no
+    Python, no shuffle — embarrassingly row-parallel at any scale.
+    Per-row cost is O(L²) in the LINE count of one document (the
+    first-occurrence test is array_position), which is bounded and
+    tiny next to the parse kernel; documents are never compared to
+    each other here."""
+    lines = F.split(F.col(text_col), sep)
+    kept = F.filter(lines,
+                    lambda x, i: F.array_position(lines, x) == i + 1)
+    return df.withColumn(out_col, F.array_join(kept, sep))

@@ -804,6 +804,12 @@ def _jaccard_pairs_oracle(k: int, plant_mod: int,
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) "
         "AS n_union "
         f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id{join_extra} "
+        # lossless prefilter before the list ops: j >= 1/2 forces
+        # 2*min(|A|,|B|) >= max (|A∩B| <= min, |A∪B| >= max); the
+        # empty-vs-empty corner (0 >= 0) matches the main predicate's
+        # vacuous truth, empty-vs-nonempty is pruned by both
+        " AND 2 * least(len(a.sh), len(b.sh)) >= "
+        "greatest(len(a.sh), len(b.sh)) "
         "WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
         "len(list_distinct(list_concat(a.sh, b.sh)))")
 
@@ -1585,6 +1591,34 @@ def q_entity_decode(spark, sf_dir):
     return out.select("doc_id", "extracted_text")
 
 
+def q_source_stats(spark, sf_dir):
+    """Per-source corpus audit report: doc/token/char counts, distinct
+    contents (portable md5 fingerprint) and integer duplicate ratio —
+    the per-domain numbers that drive sampling budgets. One map-side-
+    combined groupBy; only 32-hex digests shuffle for the distinct."""
+    from .operators.audit import source_stats
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text")
+    # plant exact duplicates so dup_ppm is exercised, not trivially 0
+    # (deterministic filter, not limit() — row pick order must not
+    # matter cross-engine)
+    docs = docs.unionAll(docs.filter(F.col("doc_id") % 25 == 0))
+    return source_stats(docs.select("source", "text"))
+
+
+def q_dedup_lines(spark, sf_dir):
+    """In-document repeated-line removal (keep first occurrence,
+    preserve order) on planted 5-line documents [text, A, text, B, A]
+    → [text, A, B]. Map-only higher-order array expressions — no
+    shuffle, no Python; the oracle replays the exact string."""
+    from .operators.dedup import dedup_lines
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws("\n", F.col("text"), F.lit("A"), F.col("text"),
+                    F.lit("B"), F.lit("A")).alias("text"))
+    return dedup_lines(docs).select("doc_id", "text_deduped")
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN recall report — the number a user tunes n_probe by:
     recall@10 of a 4-probe / 10-cell IVF against exact brute force,
@@ -1629,13 +1663,14 @@ def q_leakage_safe_split(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
-    # -- never driver-checked (round-3 additions) + round-4 additions --
+    # -- never driver-checked (round-3 additions) + round-4 additions,
+    #    cheap-oracle queries first, the heavy ground-truth-closure
+    #    trio last in the block (their DuckDB oracles are the battery's
+    #    most expensive — a time-budgeted harness should bank the
+    #    cheap rows before paying for them) --
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
     "video_frames_real": q_video_frames_real,
-    "fuzzy_dedup": q_fuzzy_dedup,
-    "fuzzy_dedup_best": q_fuzzy_dedup_best,
-    "leakage_safe_split": q_leakage_safe_split,
     "hashed_features": q_hashed_features,
     "inverted_index": q_inverted_index,
     "chunk_overlap": q_chunk_overlap,
@@ -1652,8 +1687,13 @@ QUERIES = {
     "vocab_topk": q_vocab_topk,
     "bpe_pair_counts": q_bpe_pair_counts,
     "classifier_gate": q_classifier_gate,
-    "ann_recall": q_ann_recall,
     "entity_decode": q_entity_decode,
+    "source_stats": q_source_stats,
+    "dedup_lines": q_dedup_lines,
+    "ann_recall": q_ann_recall,
+    "fuzzy_dedup": q_fuzzy_dedup,
+    "fuzzy_dedup_best": q_fuzzy_dedup_best,
+    "leakage_safe_split": q_leakage_safe_split,
     # -- driver-green in CORRECTNESS_r03.json ------------------------
     "extract_text_identity": q_extract_text_identity,
     "extract_wrapped": q_extract_wrapped,
@@ -1786,6 +1826,27 @@ ORACLES["kmeans_quantized"] = (
     "  SELECT vec_id, cid, dist, row_number() OVER ("
     "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) "
     "WHERE rn = 1")
+
+ORACLES["source_stats"] = (
+    "WITH d AS (SELECT source, text FROM documents UNION ALL "
+    "  SELECT source, text FROM documents WHERE doc_id % 25 = 0), "
+    "g AS (SELECT source, count(*) AS n_docs, "
+    f"  sum({_NTOK_SQL}) AS n_tokens, "
+    "  sum(length(text)) AS n_chars, "
+    "  count(DISTINCT text) AS n_unique FROM d GROUP BY source) "
+    "SELECT source, CAST(n_docs AS BIGINT) AS n_docs, "
+    "CAST(n_tokens AS BIGINT) AS n_tokens, "
+    "CAST(n_chars AS BIGINT) AS n_chars, "
+    "CAST(n_unique AS BIGINT) AS n_unique, "
+    "CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT) AS dup_ppm "
+    "FROM g")
+
+# dedup_lines: planted [text, 'A', text, 'B', 'A'] keeps [text, A, B]
+# (documents.text is single-line by construction — repetition_stats
+# relies on the same property)
+ORACLES["dedup_lines"] = (
+    "SELECT doc_id, text || chr(10) || 'A' || chr(10) || 'B' "
+    "AS text_deduped FROM documents")
 
 # entity_decode: the planted reference zoo decodes to fixed
 # characters; '&' is sanitized out of the document text first, so the
@@ -2122,7 +2183,11 @@ def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
         f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
         "pairs AS ("
         "  SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id "
+        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+        # lossless size prefilter (see _jaccard_pairs_oracle): prunes
+        # the O(n²) list_intersect work without changing the pair set
+        "  AND 2 * least(len(a.sh), len(b.sh)) >= "
+        "      greatest(len(a.sh), len(b.sh)) "
         "  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
         "        len(list_distinct(list_concat(a.sh, b.sh)))), "
         "edges AS (SELECT id_a AS a, id_b AS b FROM pairs "

@@ -113,3 +113,38 @@ def test_paragraph_dedup_plan_no_window(spark):
     plan = explain_string(out)
     assert "Window" not in plan
     assert_no_python_row_udf(out)
+
+
+def test_dedup_lines_keeps_first_occurrence_in_order(spark):
+    from htmlparser_spark.operators.dedup import dedup_lines
+    df = spark.createDataFrame(
+        [(1, "a\nb\na\nc\nb\na"), (2, ""), (3, "solo"),
+         (4, "x\nx\nx"), (5, "a\nA\na")],
+        "doc_id long, text string")
+    got = {r.doc_id: r.text_deduped for r in dedup_lines(df).collect()}
+    assert got[1] == "a\nb\nc"
+    assert got[2] == ""                      # empty doc unchanged
+    assert got[3] == "solo"
+    assert got[4] == "x"
+    assert got[5] == "a\nA"                  # case-sensitive lines
+    # map-only, no shuffle, no Python
+    out = dedup_lines(df)
+    assert_no_python_row_udf(out)
+    assert "Exchange" not in \
+        out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_source_stats_counts_and_dup_ratio(spark):
+    from htmlparser_spark.operators.audit import source_stats
+    df = spark.createDataFrame(
+        [(1, "s1", "a b"), (2, "s1", "a b"), (3, "s1", "c d e"),
+         (4, "s2", ""), (5, "s2", "x")],
+        "doc_id long, source string, text string")
+    got = {r.source: r for r in source_stats(df).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert (s1.n_docs, s1.n_tokens, s1.n_chars, s1.n_unique) \
+        == (3, 7, 11, 2)
+    assert s1.dup_ppm == (3 - 2) * 1000000 // 3
+    assert (s2.n_docs, s2.n_tokens, s2.n_unique, s2.dup_ppm) \
+        == (2, 1, 2, 0)
+    assert_no_python_row_udf(source_stats(df))
