@@ -36,7 +36,8 @@ from pyspark.sql import DataFrame, functions as F
 
 from .dedup import _shingle_array_expr
 
-__all__ = ["benchmark_grams", "contamination_hits", "decontaminate"]
+__all__ = ["benchmark_grams", "contamination_hits", "decontaminate",
+           "decontaminate_spans"]
 
 # benchmark gram sets above this row count stop being broadcast and
 # fall back to a shuffle join (the 8 GB Spark broadcast hard cap is
@@ -84,6 +85,71 @@ def contamination_hits(corpus: DataFrame, bench_grams: DataFrame,
     return (cg.join(bg, "gram")
             .groupBy(id_col)
             .agg(F.count("*").cast("long").alias("n_hits")))
+
+
+_WS = "[ \\t\\n\\x0b\\f\\r]+"
+
+
+def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
+                        id_col: str = "doc_id", text_col: str = "text",
+                        k: int = 5, pad: int = 0,
+                        broadcast_bench: bool = True) -> DataFrame:
+    """SPAN-level decontamination: instead of dropping a document that
+    overlaps the eval suite (``decontaminate``), surgically remove the
+    matching k-gram token spans and keep the rest — the right tool
+    when a long document quotes one benchmark item. Output per doc:
+    (id, n_matched, n_removed, clean_text) where clean_text is the
+    original-case tokens outside every matched span (whitespace
+    normalized to single spaces — span removal is token surgery),
+    n_matched counts matched gram positions and n_removed the tokens
+    cut. ``pad`` widens every span by that many tokens on each side
+    (quote-boundary slack).
+
+    Matching tokenization is byte-identical to the dedup/decontam
+    family (lower(trim(text)), the explicit Java-\\s class), so the
+    whole operator is exactly SQL-replayable; a short document
+    (< k tokens) forms one whole-document gram, same as
+    ``_shingle_array_expr``.
+
+    Scale shape: the corpus side explodes one row per gram POSITION
+    (linear in corpus tokens — same order as the tokenize pass),
+    probes the broadcast gram set, and only matches survive to a
+    per-doc collect of integer start positions (bounded by the doc's
+    own token count — the rebuild is per-document work by nature).
+    The rebuild joins those bounded arrays back by id; document text
+    never shuffles."""
+    ltoks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
+    otoks = F.split(F.trim(F.col(text_col)), _WS)
+    n = F.size(ltoks)
+    count = F.greatest(n - F.lit(k - 1), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    positioned = F.transform(
+        idx, lambda i: F.struct(
+            i.alias("s"),
+            F.array_join(F.slice(ltoks, i + 1, k), " ").alias("gram")))
+    grams = (corpus
+             .select(F.col(id_col), F.explode(positioned).alias("pg"))
+             .select(id_col, F.col("pg.s").alias("s"),
+                     F.col("pg.gram").alias("gram"))
+             .filter(F.col("gram") != ""))
+    bg = benchmark_grams(benchmark, text_col=text_col, k=k) \
+        .filter(F.col("gram") != "")
+    if broadcast_bench:
+        bg = F.broadcast(bg)
+    starts = (grams.join(bg, "gram")
+              .groupBy(id_col)
+              .agg(F.sort_array(F.collect_list("s")).alias("_starts")))
+    j = corpus.join(starts, id_col, "left")
+    st = F.coalesce(F.col("_starts"),
+                    F.array().cast("array<int>"))
+    in_span = (lambda jx: F.exists(
+        st, lambda s: (jx >= s - pad) & (jx < s + k + pad)))
+    kept = F.filter(otoks, lambda x, jx: ~in_span(jx))
+    return (j.select(
+        F.col(id_col),
+        F.size(st).cast("long").alias("n_matched"),
+        (F.size(otoks) - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text")))
 
 
 def decontaminate(corpus: DataFrame, benchmark: DataFrame,

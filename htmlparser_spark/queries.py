@@ -1619,6 +1619,19 @@ def q_dedup_lines(spark, sf_dir):
     return dedup_lines(docs).select("doc_id", "text_deduped")
 
 
+def q_decontam_spans(spark, sf_dir):
+    """Span-level decontamination: every 10th document is the "eval
+    suite" (same construction as decontam_ngrams); matching 5-gram
+    token spans are surgically removed and the remainder kept —
+    benchmark members collapse to empty, clean documents pass through
+    with whitespace normalized. Exact SQL replay of the positioned-
+    gram probe and the span rebuild."""
+    from .operators.decontam import decontaminate_spans
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.filter(F.col("doc_id") % 10 == 0)
+    return decontaminate_spans(docs, bench, k=5)
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN recall report — the number a user tunes n_probe by:
     recall@10 of a 4-probe / 10-cell IVF against exact brute force,
@@ -1690,6 +1703,7 @@ QUERIES = {
     "entity_decode": q_entity_decode,
     "source_stats": q_source_stats,
     "dedup_lines": q_dedup_lines,
+    "decontam_spans": q_decontam_spans,
     "ann_recall": q_ann_recall,
     "fuzzy_dedup": q_fuzzy_dedup,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
@@ -1826,6 +1840,34 @@ ORACLES["kmeans_quantized"] = (
     "  SELECT vec_id, cid, dist, row_number() OVER ("
     "    PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM df) "
     "WHERE rn = 1")
+
+# decontam_spans: positioned 5-gram probe + span rebuild. Same
+# tokenization as the jaccard/decontam family; DuckDB lambdas are
+# 1-based, so the kept-token filter tests j-1 against [s, s+5).
+ORACLES["decontam_spans"] = (
+    "WITH bg0 AS (SELECT DISTINCT unnest(sh) AS gram FROM ("
+    f"  SELECT {_shingle_sql(5)} AS sh FROM ("
+    f"    SELECT text, {_TOKS_SQL} AS toks FROM documents "
+    "     WHERE doc_id % 10 = 0))), "
+    "bg AS (SELECT gram FROM bg0 WHERE gram != ''), "
+    "t AS (SELECT doc_id, "
+    "  string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS otoks, "
+    f"  {_TOKS_SQL} AS ltoks FROM documents), "
+    "g AS (SELECT doc_id, u.i AS s FROM t, "
+    "  unnest(range(greatest(len(ltoks) - 4, 1))) AS u(i) "
+    "  WHERE array_to_string(ltoks[u.i+1:u.i+5], ' ') IN "
+    "    (SELECT gram FROM bg) "
+    "  AND array_to_string(ltoks[u.i+1:u.i+5], ' ') != ''), "
+    "agg AS (SELECT doc_id, list_sort(list(s)) AS starts FROM g "
+    "  GROUP BY doc_id), "
+    "r AS (SELECT t.doc_id, coalesce(agg.starts, []) AS starts, "
+    "  t.otoks, list_filter(t.otoks, (x, j) -> "
+    "    len(list_filter(coalesce(agg.starts, []), "
+    "        s -> s <= j - 1 AND j - 1 < s + 5)) = 0) AS kept "
+    "  FROM t LEFT JOIN agg USING (doc_id)) "
+    "SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matched, "
+    "CAST(len(otoks) - len(kept) AS BIGINT) AS n_removed, "
+    "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM r")
 
 ORACLES["source_stats"] = (
     "WITH d AS (SELECT source, text FROM documents UNION ALL "

@@ -148,3 +148,34 @@ def test_source_stats_counts_and_dup_ratio(spark):
     assert (s2.n_docs, s2.n_tokens, s2.n_unique, s2.dup_ppm) \
         == (2, 1, 2, 0)
     assert_no_python_row_udf(source_stats(df))
+
+
+def test_decontaminate_spans_surgical_removal(spark):
+    from htmlparser_spark.operators.decontam import decontaminate_spans
+    corpus = _docs(spark, [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "no overlap here at all whatsoever friend"),
+        (3, "beta gamma delta epsilon zeta"),     # == the bench doc
+        (4, "tiny doc"),
+        (5, "Beta GAMMA delta epsilon ZETA tail"),  # case-insensitive hit
+    ])
+    bench = _docs(spark, [(100, "beta gamma delta epsilon zeta")])
+    got = {r.doc_id: r for r in
+           decontaminate_spans(corpus, bench, k=5).collect()}
+    assert (got[1].n_matched, got[1].n_removed,
+            got[1].clean_text) == (1, 5, "alpha eta theta")
+    assert got[2].n_removed == 0 and "whatsoever" in got[2].clean_text
+    assert got[3].clean_text == "" and got[3].n_removed == 5
+    assert got[4].n_matched == 0          # < k tokens, gram unmatched
+    # matching is lowercased, removal keeps ORIGINAL case outside spans
+    assert (got[5].n_matched, got[5].clean_text) == (1, "tail")
+    # pad widens the cut on both sides
+    p = {r.doc_id: r for r in
+         decontaminate_spans(corpus, bench, k=5, pad=1).collect()}
+    assert p[1].clean_text == "theta" and p[1].n_removed == 7
+    # whole-document gram: a short doc appearing in the benchmark is cut
+    bench2 = _docs(spark, [(100, "tiny doc")])
+    got2 = {r.doc_id: r for r in
+            decontaminate_spans(corpus, bench2, k=5).collect()}
+    assert got2[4].clean_text == "" and got2[4].n_matched >= 1
+    assert_no_python_row_udf(decontaminate_spans(corpus, bench, k=5))
