@@ -1632,6 +1632,33 @@ def q_decontam_spans(spark, sf_dir):
     return decontaminate_spans(docs, bench, k=5)
 
 
+_CDC_TAIL = (" Cookie Policy: we use cookies to improve your experience;"
+             " accept all cookies to continue reading our privacy terms.")
+
+
+def q_repeated_chunks(spark, sf_dir):
+    """Alignment-robust exact-substring dedup audit: every 7th doc
+    gets the same boilerplate tail at a DIFFERENT offset (each doc's
+    own length); content-defined chunking still yields identical
+    interior chunks for the shared substring, and the report surfaces
+    them with exact doc/occurrence counts + capped carrier ids. FULL
+    oracle: DuckDB replays the md5 boundary rule, the chunk rebuild,
+    and the capped aggregation bit-for-bit."""
+    from .operators.substring import repeated_chunks
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_CDC_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    rep = repeated_chunks(docs, min_docs=2, min_len=12, max_ids=5,
+                          top_k=200)
+    return rep.select(
+        "chunk", "n_docs", "n_occ",
+        F.concat_ws(",", F.transform("doc_ids",
+                                     lambda x: x.cast("string")))
+        .alias("ids_csv"))
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN recall report — the number a user tunes n_probe by:
     recall@10 of a 4-probe / 10-cell IVF against exact brute force,
@@ -1704,6 +1731,7 @@ QUERIES = {
     "source_stats": q_source_stats,
     "dedup_lines": q_dedup_lines,
     "decontam_spans": q_decontam_spans,
+    "repeated_chunks": q_repeated_chunks,
     "ann_recall": q_ann_recall,
     "fuzzy_dedup": q_fuzzy_dedup,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
@@ -1868,6 +1896,34 @@ ORACLES["decontam_spans"] = (
     "SELECT doc_id, CAST(len(starts) AS BIGINT) AS n_matched, "
     "CAST(len(otoks) - len(kept) AS BIGINT) AS n_removed, "
     "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM r")
+
+# repeated_chunks: exact replay of the CDC boundary rule (cut after
+# char i when md5 of the trailing 8 chars starts '0'), the chunk
+# rebuild, and the capped (min-5-ids) aggregation. DuckDB md5(VARCHAR)
+# hashes the UTF-8 bytes == Spark md5(encode(s,'UTF-8')).
+ORACLES["repeated_chunks"] = (
+    "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    f"  THEN text || '{_CDC_TAIL}' ELSE text END AS text FROM documents), "
+    "t AS (SELECT doc_id, text, length(text) AS n FROM d), "
+    "b AS (SELECT doc_id, text, n, list_concat(list_concat("
+    "  [CAST(0 AS BIGINT)], "
+    "  CASE WHEN n >= 8 THEN [i for i in range(8, n + 1) "
+    "    if substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'] "
+    "  ELSE CAST([] AS BIGINT[]) END), [CAST(n AS BIGINT)]) "
+    "  AS bnds FROM t), "
+    "u AS (SELECT doc_id, ch FROM (SELECT doc_id, "
+    "  unnest([substr(text, bnds[j] + 1, bnds[j+1] - bnds[j]) "
+    "    for j in range(1, len(bnds))]) AS ch FROM b) "
+    "  WHERE length(ch) >= 12), "
+    "g AS (SELECT ch, count(*) AS n_occ FROM u GROUP BY ch), "
+    "dd AS (SELECT DISTINCT ch, doc_id FROM u), "
+    "a AS (SELECT ch, count(*) AS n_docs, "
+    "  array_to_string(list_slice(list_sort(list(doc_id)), 1, 5), ',') "
+    "  AS ids_csv FROM dd GROUP BY ch) "
+    "SELECT a.ch AS chunk, CAST(a.n_docs AS BIGINT) AS n_docs, "
+    "CAST(g.n_occ AS BIGINT) AS n_occ, a.ids_csv "
+    "FROM a JOIN g USING (ch) WHERE a.n_docs >= 2 "
+    "ORDER BY a.n_docs DESC, a.ch LIMIT 200")
 
 ORACLES["source_stats"] = (
     "WITH d AS (SELECT source, text FROM documents UNION ALL "
