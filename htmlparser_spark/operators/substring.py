@@ -38,7 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["cdc_chunks_expr", "cdc_chunks", "repeated_chunks"]
+__all__ = ["cdc_chunks_expr", "cdc_chunks", "repeated_chunks",
+           "dup_chunk_stats"]
 
 
 def cdc_chunks_expr(text_col: str, w: int = 8,
@@ -114,3 +115,51 @@ def repeated_chunks(df: DataFrame, text_col: str = "text",
             .select("chunk", "n_docs", "n_occ", "doc_ids")
             .orderBy(F.col("n_docs").desc(), F.col("chunk").asc())
             .limit(top_k))
+
+
+def dup_chunk_stats(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", w: int = 8,
+                    zeros: int = 1, min_docs: int = 2) -> DataFrame:
+    """Per-document duplicated-substring metric — the curation-gate
+    number on top of the CDC audit (the "fraction of the document that
+    is substring-duplicated elsewhere" signal of the public
+    exact-substring dedup work): (id, n_chunks, n_dup_chunks,
+    dup_char_ppm) where a chunk counts as duplicated when its content
+    occurs in ≥ ``min_docs`` DISTINCT documents, and dup_char_ppm =
+    duplicated chars · 10⁶ // total chunk chars (0 for empty docs).
+    Feed the ppm into a curation gate exactly like clf_score.
+
+    Scale shape: two shuffles over (16-byte md5, id | length) rows —
+    distinct carriers → per-hash doc frequency (map-side combined),
+    then an equi-join back to the per-doc chunk rows and one per-doc
+    aggregate. Chunk text never travels beyond its length."""
+    ch = (cdc_chunks(df, text_col, id_col, w, zeros)
+          .select(F.col(id_col),
+                  F.md5(F.encode(F.col("chunk"), "UTF-8")).alias("_h"),
+                  F.length("chunk").alias("_len")))
+    freq = (ch.select("_h", id_col).distinct()
+            .groupBy("_h")
+            .agg(F.countDistinct(id_col).alias("_nd")))
+    flagged = ch.join(freq, "_h") \
+        .withColumn("_dup", (F.col("_nd") >= min_docs).cast("int"))
+    per_doc = (flagged.groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_chunks"),
+                    F.sum("_dup").cast("long").alias("n_dup_chunks"),
+                    F.sum("_len").cast("long").alias("_tot"),
+                    F.sum(F.col("_len") * F.col("_dup")).cast("long")
+                    .alias("_dupc")))
+    out = per_doc.withColumn(
+        "dup_char_ppm",
+        F.expr("CAST(CASE WHEN _tot > 0 THEN _dupc * 1000000 DIV _tot "
+               "ELSE 0 END AS LONG)")).drop("_tot", "_dupc")
+    # empty documents produce no chunks — restore them with zeros so
+    # the metric is total over the corpus
+    return (df.select(F.col(id_col)).distinct()
+            .join(out, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_chunks", F.lit(0)).cast("long")
+                    .alias("n_chunks"),
+                    F.coalesce("n_dup_chunks", F.lit(0)).cast("long")
+                    .alias("n_dup_chunks"),
+                    F.coalesce("dup_char_ppm", F.lit(0)).cast("long")
+                    .alias("dup_char_ppm")))

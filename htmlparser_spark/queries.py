@@ -1659,6 +1659,20 @@ def q_repeated_chunks(spark, sf_dir):
         .alias("ids_csv"))
 
 
+def q_dup_chunk_stats(spark, sf_dir):
+    """Per-document duplicated-substring fraction (the curation-gate
+    number on top of the CDC audit): same planted boilerplate tail as
+    repeated_chunks; tail-carrying docs read a high dup_char_ppm,
+    clean docs 0. Full replay oracle over the shared CDC CTE."""
+    from .operators.substring import dup_chunk_stats
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(_CDC_TAIL)))
+        .otherwise(F.col("text")).alias("text"))
+    return dup_chunk_stats(docs, min_docs=2)
+
+
 def q_ann_recall(spark, sf_dir):
     """ANN recall report — the number a user tunes n_probe by:
     recall@10 of a 4-probe / 10-cell IVF against exact brute force,
@@ -1732,6 +1746,7 @@ QUERIES = {
     "dedup_lines": q_dedup_lines,
     "decontam_spans": q_decontam_spans,
     "repeated_chunks": q_repeated_chunks,
+    "dup_chunk_stats": q_dup_chunk_stats,
     "ann_recall": q_ann_recall,
     "fuzzy_dedup": q_fuzzy_dedup,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
@@ -1897,11 +1912,11 @@ ORACLES["decontam_spans"] = (
     "CAST(len(otoks) - len(kept) AS BIGINT) AS n_removed, "
     "coalesce(array_to_string(kept, ' '), '') AS clean_text FROM r")
 
-# repeated_chunks: exact replay of the CDC boundary rule (cut after
-# char i when md5 of the trailing 8 chars starts '0'), the chunk
-# rebuild, and the capped (min-5-ids) aggregation. DuckDB md5(VARCHAR)
-# hashes the UTF-8 bytes == Spark md5(encode(s,'UTF-8')).
-ORACLES["repeated_chunks"] = (
+# CDC replay prefix shared by repeated_chunks / dup_chunk_stats:
+# cut after char i when md5 of the trailing 8 chars starts '0'
+# (DuckDB md5(VARCHAR) hashes the UTF-8 bytes == Spark
+# md5(encode(s,'UTF-8'))); u0 = every nonempty chunk per doc.
+_CDC_CTE = (
     "WITH d AS (SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
     f"  THEN text || '{_CDC_TAIL}' ELSE text END AS text FROM documents), "
     "t AS (SELECT doc_id, text, length(text) AS n FROM d), "
@@ -1911,10 +1926,14 @@ ORACLES["repeated_chunks"] = (
     "    if substr(md5(substr(text, i - 7, 8)), 1, 1) = '0'] "
     "  ELSE CAST([] AS BIGINT[]) END), [CAST(n AS BIGINT)]) "
     "  AS bnds FROM t), "
-    "u AS (SELECT doc_id, ch FROM (SELECT doc_id, "
+    "u0 AS (SELECT doc_id, ch FROM (SELECT doc_id, "
     "  unnest([substr(text, bnds[j] + 1, bnds[j+1] - bnds[j]) "
     "    for j in range(1, len(bnds))]) AS ch FROM b) "
-    "  WHERE length(ch) >= 12), "
+    "  WHERE length(ch) > 0)")
+
+ORACLES["repeated_chunks"] = (
+    _CDC_CTE + ", "
+    "u AS (SELECT doc_id, ch FROM u0 WHERE length(ch) >= 12), "
     "g AS (SELECT ch, count(*) AS n_occ FROM u GROUP BY ch), "
     "dd AS (SELECT DISTINCT ch, doc_id FROM u), "
     "a AS (SELECT ch, count(*) AS n_docs, "
@@ -1924,6 +1943,22 @@ ORACLES["repeated_chunks"] = (
     "CAST(g.n_occ AS BIGINT) AS n_occ, a.ids_csv "
     "FROM a JOIN g USING (ch) WHERE a.n_docs >= 2 "
     "ORDER BY a.n_docs DESC, a.ch LIMIT 200")
+
+# dup_chunk_stats: per-doc duplicated-substring fraction over the same
+# chunking; a chunk is duplicated when it occurs in >= 2 distinct docs
+ORACLES["dup_chunk_stats"] = (
+    _CDC_CTE + ", "
+    "fr AS (SELECT ch, count(DISTINCT doc_id) AS nd FROM u0 GROUP BY ch), "
+    "fl AS (SELECT u0.doc_id, length(u0.ch) AS l, "
+    "  CASE WHEN fr.nd >= 2 THEN 1 ELSE 0 END AS dup "
+    "  FROM u0 JOIN fr USING (ch)), "
+    "p AS (SELECT doc_id, count(*) AS n_chunks, sum(dup) AS n_dup, "
+    "  sum(l) AS tot, sum(l * dup) AS dupc FROM fl GROUP BY doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(p.n_chunks, 0) AS BIGINT) "
+    "AS n_chunks, CAST(coalesce(p.n_dup, 0) AS BIGINT) AS n_dup_chunks, "
+    "CAST(coalesce(CASE WHEN p.tot > 0 THEN p.dupc * 1000000 // p.tot "
+    "ELSE 0 END, 0) AS BIGINT) AS dup_char_ppm "
+    "FROM d LEFT JOIN p USING (doc_id)")
 
 ORACLES["source_stats"] = (
     "WITH d AS (SELECT source, text FROM documents UNION ALL "

@@ -76,3 +76,22 @@ def test_substring_ops_plan_hygiene(spark):
     # the ids cap is the spillable row_number shape (index.py pattern)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "row_number" in plan
+
+
+def test_dup_chunk_stats_fraction(spark):
+    from htmlparser_spark.operators.substring import dup_chunk_stats
+    rows = [(1, "unique preamble one" + TAIL),
+            (2, "very different other beginning two" + TAIL),
+            (3, "totally fresh content with nothing shared anywhere"),
+            (4, "")]
+    got = {r.doc_id: r for r in
+           dup_chunk_stats(_df(spark, rows), min_docs=2).collect()}
+    assert len(got) == 4                  # empty doc restored with zeros
+    assert got[4] and (got[4].n_chunks, got[4].dup_char_ppm) == (0, 0)
+    assert got[3].n_dup_chunks == 0 and got[3].dup_char_ppm == 0
+    # tail carriers share the tail's interior chunks
+    for d in (1, 2):
+        assert got[d].n_dup_chunks >= 1
+        assert 0 < got[d].dup_char_ppm < 1000000
+    # doc 1 has the shorter unique prefix -> higher duplicated fraction
+    assert got[1].dup_char_ppm > got[2].dup_char_ppm
