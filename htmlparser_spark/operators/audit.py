@@ -42,3 +42,41 @@ def source_stats(df: DataFrame, source_col: str = "source",
     return g.withColumn(
         "dup_ppm",
         F.expr("CAST((n_docs - n_unique) * 1000000 DIV n_docs AS LONG)"))
+
+
+def conversation_stats(extracted: DataFrame,
+                       conv_col: str = "conv_id",
+                       text_col: str = "extracted_text",
+                       role_col: str = "role", tool_col: str = "tool",
+                       ts_col: str = "ts") -> DataFrame:
+    """Per-conversation audit over the north-rule transcripts table
+    AFTER extraction: turn counts by role, tool-call counts and
+    distinct tools, extracted-character volume, and the wall-clock
+    span of the conversation in seconds — the report that sizes
+    mega-conversation skew (sources/transcripts salting) and drives
+    per-conversation packing budgets.
+
+    Takes the OUTPUT of extract_transcripts (or any frame carrying
+    the transcript keys plus an extracted-text column), so the parse
+    kernel runs once and this is a pure relational stage on top.
+
+    Scale shape: ONE map-side-combined groupBy(conv_id); the shuffle
+    carries small ints + the tool-name set (bounded: tool vocabulary,
+    not turns). Conversation count ~ corpus/50 rows out."""
+    empty_tool = (F.col(tool_col).isNull()) | (F.col(tool_col) == "")
+    g = (extracted.groupBy(F.col(conv_col).alias("conv_id"))
+         .agg(F.count("*").cast("long").alias("n_turns"),
+              F.sum((F.col(role_col) == "user").cast("long"))
+              .cast("long").alias("n_user"),
+              F.sum((F.col(role_col) == "assistant").cast("long"))
+              .cast("long").alias("n_assistant"),
+              F.sum((~empty_tool).cast("long")).cast("long")
+              .alias("n_tool_calls"),
+              F.countDistinct(F.when(~empty_tool, F.col(tool_col)))
+              .cast("long").alias("n_tools"),
+              F.sum(F.length(text_col)).cast("long")
+              .alias("chars_extracted"),
+              (F.max(F.unix_timestamp(F.col(ts_col)))
+               - F.min(F.unix_timestamp(F.col(ts_col))))
+              .cast("long").alias("span_seconds")))
+    return g

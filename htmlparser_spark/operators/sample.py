@@ -30,7 +30,7 @@ from .text_stats import token_count_col
 __all__ = ["hash_u32_col", "sample_by_hash", "pack_sequences",
            "take_token_budget", "seeded_shuffle",
            "quality_budget_select",
-           "mixture_schedule"]
+           "mixture_schedule", "dsir_weights"]
 
 
 def hash_u32_col(key: Column, salt: str = "") -> Column:
@@ -230,3 +230,63 @@ def mixture_schedule(df: DataFrame, weights: DataFrame,
         from .relational import global_rank
         out = global_rank(out, ["vt", topic_col, "k"], out="pos")
     return out
+
+
+def dsir_weights(docs: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 buckets: int = 256, salt: str = ":dsir1") -> DataFrame:
+    """DSIR-style data selection weights (arXiv:2302.03169 computes
+    hashed-n-gram importance weights between a target distribution
+    and the raw pool, then resamples the pool by weight),
+    integer-quantized for engine-portable exactness: each whitespace
+    token hashes into one of ``buckets`` md5-u32 buckets; the
+    per-bucket likelihood ratio is kept in ppm with add-one smoothing
+    (lr_ppm = (target_cnt+1) * 1e6 // (raw_cnt+1)); a document's
+    weight is the mean bucket ratio over its tokens (weight_ppm,
+    0 for token-less docs). Ratios instead of float log-ratios — the
+    quantization a rank-and-resample consumer can't tell apart, and
+    any engine replays it bit-for-bit.
+
+    Scale shape: two map-side-combined groupBys over a key space of
+    exactly ``buckets`` rows (the ratio table is tiny by construction
+    and broadcast), then explode → broadcast join → one per-doc
+    aggregate shuffling (id, small ints). The corpus text never
+    shuffles; the only corpus-sized pass is the token explode."""
+    def _buckets(df: DataFrame) -> DataFrame:
+        t = F.trim(F.col(text_col))
+        toks = F.when(t == "", F.array().cast("array<string>")) \
+            .otherwise(F.split(t, r"[ \t\n\x0b\f\r]+"))
+        return (df.select(F.explode(toks).alias("tok"))
+                .filter(F.col("tok") != "")
+                .select((hash_u32_col(F.col("tok"), salt) % buckets)
+                        .alias("bucket")))
+
+    raw_cnt = _buckets(docs).groupBy("bucket") \
+        .agg(F.count("*").cast("long").alias("raw_cnt"))
+    tgt_cnt = _buckets(target).groupBy("bucket") \
+        .agg(F.count("*").cast("long").alias("tgt_cnt"))
+    ratio = (raw_cnt.join(tgt_cnt, "bucket", "left")
+             .select("bucket",
+                     F.expr("(coalesce(tgt_cnt, 0L) + 1L) * 1000000L "
+                            "DIV (raw_cnt + 1L)").alias("lr_ppm")))
+
+    t = F.trim(F.col(text_col))
+    toks = F.when(t == "", F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"[ \t\n\x0b\f\r]+"))
+    doc_toks = (docs.select(F.col(id_col),
+                            F.explode_outer(toks).alias("tok"))
+                .select(id_col,
+                        F.when((F.col("tok").isNotNull())
+                               & (F.col("tok") != ""),
+                               hash_u32_col(F.col("tok"), salt) % buckets)
+                        .alias("bucket")))
+    agg = (doc_toks.join(F.broadcast(ratio), "bucket", "left")
+           .groupBy(id_col)
+           .agg(F.count("bucket").cast("long").alias("n_tokens"),
+                F.coalesce(F.sum("lr_ppm"), F.lit(0)).cast("long")
+                .alias("w_sum")))
+    return agg.select(
+        id_col, "n_tokens",
+        F.when(F.col("n_tokens") > 0,
+               F.expr("w_sum DIV n_tokens"))
+        .otherwise(F.lit(0)).cast("long").alias("weight_ppm"))

@@ -40,7 +40,7 @@ __all__ = [
     "vocab_topk", "bpe_pair_counts", "classifier_score_col",
     "classifier_gate",
     "CLASSIFIER_WEIGHTS", "length_quantiles", "tfidf_topk",
-    "hashed_features",
+    "hashed_features", "ngram_lm_familiarity",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -566,3 +566,57 @@ def hashed_features(docs: DataFrame, text_col: str = "text",
     return (docs.select(id_col).join(out, id_col, "left")
             .select(id_col, F.coalesce("features", zeros)
                     .alias("features")))
+
+
+def _char_ngrams(text: Column, n: int) -> Column:
+    """array<string> of all character n-grams of ``text`` (empty array
+    when the text is shorter than n). Pure codegen: sequence +
+    transform + substring — both Spark and DuckDB index characters,
+    not bytes, so the replica is exact on multibyte text too."""
+    starts = F.sequence(F.lit(1), F.length(text) - (n - 1))
+    return F.when(F.length(text) >= n,
+                  F.transform(starts, lambda i: text.substr(i, F.lit(n)))) \
+        .otherwise(F.array().cast("array<string>"))
+
+
+def ngram_lm_familiarity(docs: DataFrame, target: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         n: int = 3, min_count: int = 2) -> DataFrame:
+    """CCNet-style LM quality scoring (arXiv:1911.00359 trains a
+    KenLM on a trusted corpus and filters web text by perplexity),
+    re-expressed integer-exact: the "model" is the character-n-gram
+    count table of ``target`` (the trusted slice), and each document
+    is scored by how familiar its n-grams are under that model.
+    Integer sums instead of float log-probabilities so any engine
+    reproduces the numbers bit-for-bit; the score is monotone in the
+    unnormalized likelihood under the count model, which is all a
+    rank-and-threshold quality gate consumes.
+
+    Output per document: n_grams, n_oov (grams unseen in the model),
+    score (sum of model counts over the doc's grams) and avg_cnt
+    (score // n_grams — the mean familiarity a threshold is applied
+    to; 0 for gram-less docs).
+
+    Scale shape: the model is a groupBy over a key space bounded by
+    charset**n (a few million entries at web scale — broadcastable by
+    construction, no top-k sort needed; ``min_count`` trims the
+    long tail). Scoring is explode → broadcast hash join against the
+    model → one map-side-combined per-doc aggregate; the only shuffle
+    carries (id, small ints). The corpus text never shuffles."""
+    gram = F.explode_outer(_char_ngrams(F.col(text_col), n)).alias("gram")
+    model = (target.select(F.explode(_char_ngrams(F.col(text_col), n))
+                           .alias("gram"))
+             .groupBy("gram").agg(F.count("*").cast("long").alias("cnt"))
+             .filter(F.col("cnt") >= min_count))
+    scored = (docs.select(F.col(id_col), gram)
+              .join(F.broadcast(model), "gram", "left")
+              .groupBy(id_col)
+              .agg(F.count("gram").cast("long").alias("n_grams"),
+                   (F.count("gram") - F.count("cnt")).cast("long")
+                   .alias("n_oov"),
+                   F.coalesce(F.sum("cnt"), F.lit(0)).cast("long")
+                   .alias("score")))
+    return scored.select(
+        id_col, "n_grams", "n_oov", "score",
+        F.when(F.col("n_grams") > 0, F.expr("score DIV n_grams"))
+        .otherwise(F.lit(0)).cast("long").alias("avg_cnt"))

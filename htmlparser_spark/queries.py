@@ -1709,6 +1709,66 @@ def q_leakage_safe_split(spark, sf_dir):
         .select("doc_id", "root", "split")
 
 
+def q_turn_stats(spark, sf_dir):
+    """Per-conversation transcript audit: synthesize the north-rule
+    transcripts table (roles cycling user/assistant/tool, tool names
+    on tool turns, deterministic timestamps), run the extraction
+    kernel once, then one groupBy(conv_id) → role/tool/volume/span
+    report. Oracle replays the role cycle, the tool vocabulary and
+    the timestamp arithmetic exactly (extraction is the wrapped-HTML
+    identity, so chars_extracted == length(text) sums)."""
+    from .operators.audit import conversation_stats
+    docs = load(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    tr = docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        _wrapped_html().alias("text"),
+        F.when(F.col("doc_id") % 3 == 2,
+               F.concat(F.lit("tool-"), (F.col("doc_id") % 4)
+                        .cast("string")))
+        .otherwise(F.lit("")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1767225600).cast("long")
+            + (F.col("doc_id") / 50).cast("long") * 60).alias("ts"),
+    )
+    out = extract_transcripts(tr, strip=True, include_raw=False,
+                              order=False)
+    return conversation_stats(out)
+
+
+def q_lm_familiarity(spark, sf_dir):
+    """CCNet-style LM quality gate (arXiv:1911.00359), integer-exact:
+    char-trigram count model trained on the lang='en' slice, every
+    document scored by gram familiarity (n_grams, OOV count, count
+    sum, mean). Model bounded by charset³ → broadcast; FULL SQL
+    replay of the gram extraction, the min-count trim and the
+    scoring."""
+    from .operators.text_stats import ngram_lm_familiarity
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (load(spark, sf_dir, "documents")
+              .filter(F.col("lang") == "en").select("text"))
+    return ngram_lm_familiarity(docs, target, n=3, min_count=2)
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR-style importance-resampling weights (arXiv:2302.03169),
+    integer-quantized: whitespace tokens hash into 256 md5-u32
+    buckets; per-bucket add-one likelihood ratios (target = lang='en'
+    slice vs the raw pool) in ppm; per-doc weight = mean bucket ratio.
+    The ratio table is 256 rows by construction → broadcast. FULL SQL
+    replay via the portable-hash replica."""
+    from .operators.sample import dsir_weights
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    target = (load(spark, sf_dir, "documents")
+              .filter(F.col("lang") == "en").select("text"))
+    return dsir_weights(docs, target, buckets=256)
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1722,6 +1782,9 @@ QUERIES = {
     #    trio last in the block (their DuckDB oracles are the battery's
     #    most expensive — a time-budgeted harness should bank the
     #    cheap rows before paying for them) --
+    "turn_stats": q_turn_stats,
+    "lm_familiarity": q_lm_familiarity,
+    "dsir_weights": q_dsir_weights,
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
     "video_frames_real": q_video_frames_real,
@@ -2387,3 +2450,75 @@ ORACLES["quality_budget"] = (
     "  ROWS UNBOUNDED PRECEDING) AS cum FROM t) "
     "SELECT doc_id, clf_score, n_tokens, CAST(cum AS BIGINT) "
     "AS cum_tokens FROM c WHERE cum <= 8000")
+
+
+# turn_stats: replay the role cycle (doc_id%3 -> user/assistant/tool),
+# the tool vocabulary (tool-(doc_id%4) on tool turns) and the
+# timestamp arithmetic (ts = 1767225600 + turn_idx*60 -> span =
+# (max-min turn_idx)*60); extraction is the wrapped-HTML identity so
+# chars_extracted is a plain length(text) sum
+ORACLES["turn_stats"] = (
+    "WITH t AS (SELECT doc_id % 50 AS conv, doc_id // 50 AS turn_idx, "
+    "  doc_id % 3 AS r, CASE WHEN doc_id % 3 = 2 THEN 'tool-' || "
+    "  CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS tool, "
+    "  length(text) AS n FROM documents) "
+    "SELECT 'conv-' || CAST(conv AS VARCHAR) AS conv_id, "
+    "count(*) AS n_turns, "
+    "CAST(sum(CASE WHEN r = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_user, "
+    "CAST(sum(CASE WHEN r = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_assistant, "
+    "CAST(sum(CASE WHEN r = 2 THEN 1 ELSE 0 END) AS BIGINT) "
+    "AS n_tool_calls, "
+    "CAST(count(DISTINCT CASE WHEN tool != '' THEN tool END) AS BIGINT) "
+    "AS n_tools, "
+    "CAST(sum(n) AS BIGINT) AS chars_extracted, "
+    "CAST((max(turn_idx) - min(turn_idx)) * 60 AS BIGINT) "
+    "AS span_seconds FROM t GROUP BY conv")
+
+# lm_familiarity: full replay — char trigrams via range+substr (both
+# engines index characters), model = lang='en' gram counts with
+# count >= 2, score = left join + integer division
+ORACLES["lm_familiarity"] = (
+    "WITH g AS (SELECT doc_id, substr(text, CAST(t.i AS INT), 3) "
+    "  AS gram FROM documents, "
+    "  UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i)), "
+    "tg AS (SELECT substr(text, CAST(t.i AS INT), 3) AS gram "
+    "  FROM documents, "
+    "  UNNEST(range(1, greatest(length(text) - 1, 1))) AS t(i) "
+    "  WHERE lang = 'en'), "
+    "m AS (SELECT gram, count(*) AS cnt FROM tg GROUP BY gram "
+    "  HAVING count(*) >= 2), "
+    "s AS (SELECT g.doc_id, count(*) AS n_grams, "
+    "  count(*) - count(m.cnt) AS n_oov, "
+    "  coalesce(sum(m.cnt), 0) AS score "
+    "  FROM g LEFT JOIN m USING (gram) GROUP BY g.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(s.n_grams, 0) AS BIGINT) "
+    "AS n_grams, CAST(coalesce(s.n_oov, 0) AS BIGINT) AS n_oov, "
+    "CAST(coalesce(s.score, 0) AS BIGINT) AS score, "
+    "CAST(coalesce(CASE WHEN s.n_grams > 0 THEN s.score // s.n_grams "
+    "END, 0) AS BIGINT) AS avg_cnt "
+    "FROM documents d LEFT JOIN s USING (doc_id)")
+
+# dsir_weights: full replay — tokens via the shared whitespace class,
+# buckets via the md5-u32 portable-hash replica with the ':dsir1'
+# salt, add-one ppm ratios, per-doc mean
+ORACLES["dsir_weights"] = (
+    "WITH p AS (SELECT doc_id, lang, t.tok FROM "
+    "  (SELECT doc_id, lang, string_split_regex(trim(text), "
+    "   '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents), "
+    "  unnest(toks) AS t(tok) WHERE t.tok != ''), "
+    "b AS (SELECT doc_id, lang, "
+    + _md5_u32_of("tok || ':dsir1'")
+    + " % 256 AS bucket FROM p), "
+    "raw AS (SELECT bucket, count(*) AS raw_cnt FROM b GROUP BY bucket), "
+    "tgt AS (SELECT bucket, count(*) AS tgt_cnt FROM b "
+    "  WHERE lang = 'en' GROUP BY bucket), "
+    "r AS (SELECT raw.bucket, (coalesce(tgt.tgt_cnt, 0) + 1) * 1000000 "
+    "  // (raw.raw_cnt + 1) AS lr_ppm FROM raw LEFT JOIN tgt "
+    "  USING (bucket)), "
+    "s AS (SELECT b.doc_id, count(*) AS n_tokens, sum(r.lr_ppm) "
+    "  AS w_sum FROM b JOIN r USING (bucket) GROUP BY b.doc_id) "
+    "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
+    "AS n_tokens, CAST(coalesce(CASE WHEN s.n_tokens > 0 "
+    "THEN s.w_sum // s.n_tokens END, 0) AS BIGINT) AS weight_ppm "
+    "FROM documents d LEFT JOIN s USING (doc_id)")

@@ -179,3 +179,83 @@ def test_decontaminate_spans_surgical_removal(spark):
             decontaminate_spans(corpus, bench2, k=5).collect()}
     assert got2[4].clean_text == "" and got2[4].n_matched >= 1
     assert_no_python_row_udf(decontaminate_spans(corpus, bench, k=5))
+
+
+def test_lm_familiarity_scores_and_edges(spark):
+    from htmlparser_spark.operators.text_stats import ngram_lm_familiarity
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="ababab"),      # in-distribution
+        Row(doc_id=1, text="zzzzq"),       # all-OOV
+        Row(doc_id=2, text="ab"),          # shorter than n -> 0 grams
+        Row(doc_id=3, text=""),            # empty -> 0 grams
+    ])
+    target = spark.createDataFrame(
+        [Row(text="abababab"), Row(text="abab")])
+    out = {r["doc_id"]: r for r in
+           ngram_lm_familiarity(docs, target, n=3, min_count=2)
+           .collect()}
+    # "abababab" -> aba,bab,aba,bab,aba,bab ; "abab" -> aba,bab
+    # model: aba=4, bab=4 (both >= 2)
+    r0 = out[0]  # grams: aba,bab,aba,bab -> score 4*4=16
+    assert (r0["n_grams"], r0["n_oov"], r0["score"], r0["avg_cnt"]) \
+        == (4, 0, 16, 4)
+    r1 = out[1]  # zzz,zzq,zqx? "zzzzq" -> zzz,zzz,zzq : all OOV
+    assert (r1["n_grams"], r1["n_oov"], r1["score"], r1["avg_cnt"]) \
+        == (3, 3, 0, 0)
+    assert (out[2]["n_grams"], out[2]["avg_cnt"]) == (0, 0)
+    assert (out[3]["n_grams"], out[3]["score"]) == (0, 0)
+
+
+def test_lm_familiarity_model_broadcast(spark):
+    from htmlparser_spark.operators.text_stats import ngram_lm_familiarity
+    docs = spark.createDataFrame([Row(doc_id=0, text="abcabc")])
+    plan = explain_string(ngram_lm_familiarity(docs, docs, n=3))
+    assert "BroadcastHashJoin" in plan  # model side must broadcast
+    assert_no_python_row_udf(ngram_lm_familiarity(docs, docs, n=3))
+
+
+def test_dsir_weights_favors_target_like_docs(spark):
+    from htmlparser_spark.operators.sample import dsir_weights
+    # target distribution = 'good' tokens; raw pool adds 'bad' ones
+    docs = spark.createDataFrame([
+        Row(doc_id=0, text="good good good"),
+        Row(doc_id=1, text="bad bad bad"),
+        Row(doc_id=2, text=""),            # token-less
+    ])
+    target = spark.createDataFrame([Row(text="good good")])
+    out = {r["doc_id"]: r for r in
+           dsir_weights(docs, target, buckets=16).collect()}
+    assert out[0]["weight_ppm"] > out[1]["weight_ppm"]
+    assert out[2]["n_tokens"] == 0 and out[2]["weight_ppm"] == 0
+    # exact integer replay: good bucket raw=3+..., do the arithmetic
+    # generically instead: weight of an all-one-token doc is the
+    # bucket's own ratio
+    # raw counts: good=3, bad=3 (separate buckets w.h.p. at 16? not
+    # guaranteed) -> only invariants asserted above
+
+
+def test_conversation_stats_report(spark):
+    from htmlparser_spark.operators.audit import conversation_stats
+    rows = [
+        Row(conv_id="c1", role="user", tool="", extracted_text="hi",
+            ts="2026-01-01 00:00:00"),
+        Row(conv_id="c1", role="assistant", tool="", extracted_text="yo!",
+            ts="2026-01-01 00:01:00"),
+        Row(conv_id="c1", role="tool", tool="grep", extracted_text="x",
+            ts="2026-01-01 00:02:30"),
+        Row(conv_id="c1", role="tool", tool="grep", extracted_text="y",
+            ts="2026-01-01 00:03:00"),
+        Row(conv_id="c2", role="user", tool=None, extracted_text="solo",
+            ts="2026-01-01 01:00:00"),
+    ]
+    df = spark.createDataFrame(rows).withColumn(
+        "ts", F.to_timestamp("ts"))
+    out = {r["conv_id"]: r for r in conversation_stats(df).collect()}
+    c1 = out["c1"]
+    assert (c1["n_turns"], c1["n_user"], c1["n_assistant"],
+            c1["n_tool_calls"], c1["n_tools"]) == (4, 1, 1, 2, 1)
+    assert c1["chars_extracted"] == len("hi") + len("yo!") + 2
+    assert c1["span_seconds"] == 180
+    c2 = out["c2"]
+    assert (c2["n_turns"], c2["n_tool_calls"], c2["span_seconds"]) \
+        == (1, 0, 0)
