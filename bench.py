@@ -197,6 +197,8 @@ def main() -> int:
         ("paragraph_dedup", Q.q_paragraph_dedup),
         ("chunk_overlap", Q.q_chunk_overlap),
         ("inverted_index", Q.q_inverted_index),
+        ("lm_familiarity", Q.q_lm_familiarity),
+        ("dsir_weights", Q.q_dsir_weights),
     ]
     for name, fn in aux:
         best = float("inf")

@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["quantize_vec", "kmeans_assign", "kmeans_fit_quantized",
-           "topic_mix"]
+           "topic_mix", "perceptron_train"]
 
 
 def quantize_vec(col: Column, scale: int = 128) -> Column:
@@ -175,3 +175,48 @@ def topic_mix(assigned: DataFrame, tokens: DataFrame,
             .select("cid", "n_docs", "n_tokens",
                     F.expr(f"CAST(n_tokens * {ppm_scale} DIV _tot "
                            "AS LONG)").alias("weight_ppm")))
+
+
+def perceptron_train(df: DataFrame, feat_col: str = "features",
+                     label_col: str = "label", id_col: str = "doc_id",
+                     dim: int = 32, iters: int = 2) -> DataFrame:
+    """Train the linear quality gate distributedly: integer batch
+    perceptron over hashed-feature vectors (text_stats.py:
+    hashed_features produces them; text_stats.py:classifier_gate is
+    the inference side this closes the loop for). Labels are ±1;
+    weights start at zero; per iteration every misclassified document
+    (label·margin ≤ 0) contributes label·features to the weight
+    update. All-integer arithmetic with a fixed iteration count — any
+    engine replays training bit-for-bit (same contract as the
+    quantized k-means above).
+
+    Returns the learned weight vector as (pos, weight) rows — ``dim``
+    of them.
+
+    Scale shape (100 TB): per iteration ONE corpus pass — margins are
+    a codegen zip_with/aggregate against the closure-captured weight
+    vector (dim longs, no join), the update a map-side-combined
+    posexplode → groupBy(pos) whose shuffle is dim·partitions partial
+    rows, independent of corpus size; the driver step collects dim
+    longs. Documents never shuffle."""
+    w = [0] * dim
+    for _ in range(max(1, int(iters))):
+        w_lit = F.array(*[F.lit(int(v)).cast("long") for v in w])
+        margin = F.aggregate(
+            F.zip_with(F.col(feat_col), w_lit, lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        upd = (df.select(F.col(label_col).cast("long").alias("y"),
+                         F.col(feat_col).alias("x"),
+                         margin.alias("m"))
+               .filter(F.col("y") * F.col("m") <= 0)
+               .select("y", F.posexplode("x").alias("pos", "v"))
+               .groupBy("pos")
+               .agg(F.sum(F.col("y") * F.col("v")).cast("long")
+                    .alias("dw"))
+               .collect())
+        for r in upd:
+            w[int(r["pos"])] += int(r["dw"])
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        [(int(i), int(v)) for i, v in enumerate(w)],
+        "pos long, weight long")

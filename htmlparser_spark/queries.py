@@ -1769,6 +1769,38 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target, buckets=256)
 
 
+def q_bpe_learn(spark, sf_dir):
+    """BPE tokenizer training: ONE distributed word-count pass +
+    driver merge loop over the bounded vocab (the SentencePiece/HF
+    trainer shape). Iterative and driver-finished → no SQL oracle
+    (rows-only check, like the streaming entries); merge semantics
+    are pinned by hand goldens + determinism-under-repartitioning
+    tests in test_tokenizer_train.py."""
+    from .operators.tokenizer import bpe_learn
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return bpe_learn(docs, n_merges=12)
+
+
+def q_train_quality_gate(spark, sf_dir):
+    """Distributed training of the linear quality gate: integer batch
+    perceptron (2 iterations, zero init) over the 32-bucket hashed
+    features, labels +1 for lang='en' docs and -1 otherwise. FULL SQL
+    replay: iteration 1 collapses to sum(y·x) (zero weights
+    misclassify everything), iteration 2 re-scores under w1 and adds
+    the misclassified mass — all integer joins over the portable-hash
+    feature replica."""
+    from .operators.cluster import perceptron_train
+    from .operators.text_stats import hashed_features
+    docs = load(spark, sf_dir, "documents")
+    feats = hashed_features(docs.select("doc_id", "text"), dim=32)
+    labeled = feats.join(
+        docs.select("doc_id",
+                    F.when(F.col("lang") == "en", F.lit(1))
+                    .otherwise(F.lit(-1)).cast("long").alias("label")),
+        "doc_id")
+    return perceptron_train(labeled, dim=32, iters=2)
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1785,6 +1817,8 @@ QUERIES = {
     "turn_stats": q_turn_stats,
     "lm_familiarity": q_lm_familiarity,
     "dsir_weights": q_dsir_weights,
+    "train_quality_gate": q_train_quality_gate,
+    "bpe_learn": q_bpe_learn,
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
     "video_frames_real": q_video_frames_real,
@@ -2522,3 +2556,34 @@ ORACLES["dsir_weights"] = (
     "AS n_tokens, CAST(coalesce(CASE WHEN s.n_tokens > 0 "
     "THEN s.w_sum // s.n_tokens END, 0) AS BIGINT) AS weight_ppm "
     "FROM documents d LEFT JOIN s USING (doc_id)")
+
+
+# train_quality_gate: exact integer replay of the 2-iteration batch
+# perceptron. feats = the hashed_features replica in sparse rows;
+# iteration 1: w0 = 0 -> every doc misclassified -> w1 = sum(y*cnt)
+# per bucket; iteration 2: margins under w1, misclassified mass added.
+# Docs with no tokens have no feature rows: margin 0, update
+# contribution 0 — identical on both sides.
+ORACLES["train_quality_gate"] = (
+    "WITH p AS (SELECT doc_id, t.tok FROM "
+    "  (SELECT doc_id, string_split_regex(trim(text), "
+    "   '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents), "
+    "  unnest(toks) AS t(tok) WHERE t.tok != ''), "
+    "f AS (SELECT doc_id, "
+    + _md5_u32_of("tok || ':feat1'")
+    + " % 32 AS bucket, count(*) AS cnt FROM p GROUP BY doc_id, "
+    "  bucket), "
+    "lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE -1 END "
+    "  AS y FROM documents), "
+    "w1 AS (SELECT bucket, sum(y * cnt) AS w FROM f JOIN lab "
+    "  USING (doc_id) GROUP BY bucket), "
+    "m1 AS (SELECT doc_id, sum(w1.w * f.cnt) AS margin FROM f "
+    "  JOIN w1 USING (bucket) GROUP BY doc_id), "
+    "u2 AS (SELECT bucket, sum(y * cnt) AS dw FROM f "
+    "  JOIN lab USING (doc_id) JOIN m1 USING (doc_id) "
+    "  WHERE y * margin <= 0 GROUP BY bucket), "
+    "w2 AS (SELECT w1.bucket, w1.w + coalesce(u2.dw, 0) AS w "
+    "  FROM w1 LEFT JOIN u2 USING (bucket)) "
+    "SELECT CAST(r.i AS BIGINT) AS pos, CAST(coalesce(w2.w, 0) "
+    "AS BIGINT) AS weight FROM (SELECT unnest(range(0, 32)) AS i) r "
+    "LEFT JOIN w2 ON w2.bucket = r.i")
