@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["quantize_vec", "kmeans_assign", "kmeans_fit_quantized",
-           "topic_mix", "perceptron_train"]
+           "topic_mix", "perceptron_train", "semantic_dedup"]
 
 
 def quantize_vec(col: Column, scale: int = 128) -> Column:
@@ -220,3 +220,63 @@ def perceptron_train(df: DataFrame, feat_col: str = "features",
     return spark.createDataFrame(
         [(int(i), int(v)) for i, v in enumerate(w)],
         "pos long, weight long")
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def semantic_dedup(vecs: DataFrame, k: int = 10, iters: int = 2,
+                   scale: int = 128, thr_ppm: int = 950_000,
+                   vec_col: str = "embedding",
+                   id_col: str = "vec_id") -> DataFrame:
+    """SemDeDup (arXiv:2303.09540): k-means cluster the embedding
+    space, then compare pairs only WITHIN each cluster and drop every
+    vector that has a near-duplicate (cosine ≥ thr_ppm/1e6) with a
+    smaller id — keep-smallest is our deterministic stand-in for the
+    paper's keep-one-per-group. Returns (id, cid, kept 0/1).
+
+    Exactness: vectors live on the integer lattice (quantize_vec),
+    and the cosine test is the cross-multiplied integer comparison
+    (dot·1e6)² ≥ thr²·|a|²·|b|² evaluated in 128-bit decimals — no
+    floats anywhere, so the full pipeline (k-means fit included)
+    replays bit-for-bit in SQL.
+
+    Scale shape (100 TB): the quadratic work is confined to clusters —
+    k must grow with the corpus so n/k stays bounded (the paper runs
+    50k clusters for LAION); a skewed hot cluster concentrates one
+    join key and should be sub-split (re-cluster within, or cap like
+    the LSH buckets in dedup.py:cap_buckets). Pairs carry ids +
+    quantized vectors; the join key is the cluster id."""
+    assigned, _cents = kmeans_fit_quantized(
+        vecs, k=k, iters=iters, scale=scale,
+        vec_col=vec_col, id_col=id_col)
+    q = (vecs.select(F.col(id_col).alias("_id"),
+                     quantize_vec(F.col(vec_col), scale).alias("qv"))
+         .join(assigned.select(F.col(id_col).alias("_id"), "cid"), "_id")
+         .withColumn("n2", _dot(F.col("qv"), F.col("qv"))))
+    a = q.select(F.col("_id").alias("ida"), "cid",
+                 F.col("qv").alias("qa"), F.col("n2").alias("na2"))
+    b = q.select(F.col("_id").alias("idb"), "cid",
+                 F.col("qv").alias("qb"), F.col("n2").alias("nb2"))
+    t2 = int(thr_ppm) * int(thr_ppm)
+    pairs = (a.join(b, "cid")
+             .filter(F.col("ida") < F.col("idb"))
+             .withColumn("_dot", _dot(F.col("qa"), F.col("qb")))
+             .filter(F.col("_dot") > 0)
+             # (dot·1e6)² ≥ thr²·na2·nb2, exact: dot·1e6 ≤ ~1e12 fits
+             # DECIMAL(15); products stay ≤ DECIMAL(37) — no overflow,
+             # no rounding
+             .filter(F.expr(
+                 "CAST(_dot * 1000000 AS DECIMAL(15,0)) "
+                 "* CAST(_dot * 1000000 AS DECIMAL(15,0)) "
+                 f">= CAST({t2} AS DECIMAL(15,0)) "
+                 "* CAST(na2 AS DECIMAL(10,0)) "
+                 "* CAST(nb2 AS DECIMAL(10,0))")))
+    drops = pairs.select(F.col("idb").alias("_id")).distinct() \
+        .withColumn("_drop", F.lit(1))
+    return (q.join(drops, "_id", "left")
+            .select(F.col("_id").alias(id_col), "cid",
+                    F.when(F.col("_drop").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).cast("long").alias("kept")))

@@ -1769,6 +1769,21 @@ def q_dsir_weights(spark, sf_dir):
     return dsir_weights(docs, target, buckets=256)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup over the embeddings table with planted exact copies
+    (every 25th vector re-appears under id+100000 → cosine 1 with its
+    source, same cluster): k-means (k=10, 2 iterations, scale 128)
+    then within-cluster integer-cosine pruning at 0.95, keep-smallest.
+    FULL SQL replay: the k-means CTE machinery + HUGEINT
+    cross-multiplied cosine test."""
+    from .operators.cluster import semantic_dedup
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    return semantic_dedup(emb.unionAll(planted), k=10, iters=2,
+                          scale=128, thr_ppm=950_000)
+
+
 def q_bpe_learn(spark, sf_dir):
     """BPE tokenizer training: ONE distributed word-count pass +
     driver merge loop over the bounded vocab (the SentencePiece/HF
@@ -1818,6 +1833,7 @@ QUERIES = {
     "lm_familiarity": q_lm_familiarity,
     "dsir_weights": q_dsir_weights,
     "train_quality_gate": q_train_quality_gate,
+    "semantic_dedup": q_semantic_dedup,
     "bpe_learn": q_bpe_learn,
     "pdf_extract": q_pdf_extract,
     "audio_decode_real": q_audio_decode_real,
@@ -2587,3 +2603,39 @@ ORACLES["train_quality_gate"] = (
     "SELECT CAST(r.i AS BIGINT) AS pos, CAST(coalesce(w2.w, 0) "
     "AS BIGINT) AS weight FROM (SELECT unnest(range(0, 32)) AS i) r "
     "LEFT JOIN w2 ON w2.bucket = r.i")
+
+
+# semantic_dedup: FULL replay — quantized union-with-planted corpus
+# through the same k-means CTEs, then within-cluster pairs with the
+# exact cross-multiplied cosine test in HUGEINT:
+# (dot·1e6)² >= thr²·|a|²·|b|², thr = 950000 -> thr² = 902500000000.
+_SD_QV = ("list_transform(embedding, x -> "
+          "CAST(round(CAST(x AS DOUBLE) * 128) AS BIGINT))")
+ORACLES["semantic_dedup"] = (
+    "WITH q AS MATERIALIZED ("
+    f"  SELECT vec_id, {_SD_QV} AS qv FROM embeddings "
+    "  UNION ALL "
+    f"  SELECT vec_id + 100000, {_SD_QV} AS qv FROM embeddings "
+    "  WHERE vec_id % 25 = 0), "
+    + _KM_INIT + ", "
+    "c0 AS (SELECT cid, cv FROM s10), "
+    + _KM_STEP.format(n=0, m=1) + ", "
+    + _KM_STEP.format(n=1, m=2) + ", "
+    "fdf AS (SELECT q.vec_id, c.cid, " + _KM_DIST +
+    "  AS dist FROM q CROSS JOIN c2 c), "
+    "asg AS (SELECT vec_id, cid FROM (SELECT vec_id, cid, dist, "
+    "  row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) "
+    "  AS rn FROM fdf) WHERE rn = 1), "
+    "qa AS MATERIALIZED (SELECT q.vec_id, q.qv, asg.cid, "
+    "  list_sum(list_transform(range(1, 65), "
+    "  i -> q.qv[i] * q.qv[i])) AS n2 FROM q JOIN asg USING (vec_id)), "
+    "pr AS (SELECT a.vec_id AS ida, b.vec_id AS idb, "
+    "  list_sum(list_transform(range(1, 65), "
+    "  i -> a.qv[i] * b.qv[i])) AS dot, a.n2 AS na2, b.n2 AS nb2 "
+    "  FROM qa a JOIN qa b ON a.cid = b.cid AND a.vec_id < b.vec_id), "
+    "dr AS (SELECT DISTINCT idb FROM pr WHERE dot > 0 AND "
+    "  CAST(dot * 1000000 AS HUGEINT) * CAST(dot * 1000000 AS HUGEINT) "
+    "  >= CAST(902500000000 AS HUGEINT) * na2 * nb2) "
+    "SELECT qa.vec_id, CAST(qa.cid AS BIGINT) AS cid, "
+    "CAST(CASE WHEN dr.idb IS NULL THEN 1 ELSE 0 END AS BIGINT) "
+    "AS kept FROM qa LEFT JOIN dr ON dr.idb = qa.vec_id")

@@ -133,3 +133,28 @@ def test_perceptron_train_separates_planted_labels(spark):
         .collect()
     acc = sum(1 for r in margins if r["label"] * r["m"] > 0) / len(margins)
     assert acc == 1.0  # linearly separable by construction
+
+
+def test_semantic_dedup_drops_planted_copies(spark):
+    from htmlparser_spark.operators.cluster import semantic_dedup
+    from pyspark.sql import functions as F
+    emb = spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet") \
+        .select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding")
+    out = semantic_dedup(emb.unionAll(planted), k=10, iters=2,
+                         scale=128, thr_ppm=950_000)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    n_planted = planted.count()
+    assert n_planted > 0
+    for r in rows.values():
+        if r["vec_id"] >= 100000:
+            orig = rows[r["vec_id"] - 100000]
+            # exact copy: same cluster; the larger id is dropped
+            assert r["cid"] == orig["cid"]
+            assert r["kept"] == 0
+    # keep-smallest: every cluster retains at least one member
+    kept_cids = {r["cid"] for r in rows.values() if r["kept"] == 1}
+    all_cids = {r["cid"] for r in rows.values()}
+    assert kept_cids == all_cids
