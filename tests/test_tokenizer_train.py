@@ -158,3 +158,28 @@ def test_semantic_dedup_drops_planted_copies(spark):
     kept_cids = {r["cid"] for r in rows.values() if r["kept"] == 1}
     all_cids = {r["cid"] for r in rows.values()}
     assert kept_cids == all_cids
+
+
+def test_new_ops_plan_hygiene(spark):
+    """No row-at-a-time Python UDF in any of the round-4 additions;
+    the DSIR ratio table (256 rows by construction) broadcasts."""
+    from pyspark.sql import functions as F
+    from htmlparser_spark.operators.cluster import semantic_dedup
+    from htmlparser_spark.operators.sample import dsir_weights
+    from htmlparser_spark.operators.audit import conversation_stats
+    from htmlparser_spark.plans import (assert_no_python_row_udf,
+                                        explain_string)
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=f"alpha beta w{i}") for i in range(8)])
+    d = dsir_weights(docs, docs.filter(F.col("doc_id") % 2 == 0))
+    assert_no_python_row_udf(d)
+    assert "BroadcastHashJoin" in explain_string(d)
+    emb = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(i % 3)] * 64) for i in range(12)])
+    s = semantic_dedup(emb, k=2, iters=1)
+    assert_no_python_row_udf(s)
+    tr = spark.createDataFrame(
+        [Row(conv_id="c", role="user", tool="", extracted_text="x",
+             ts="2026-01-01 00:00:00")]).withColumn(
+        "ts", F.to_timestamp("ts"))
+    assert_no_python_row_udf(conversation_stats(tr))
