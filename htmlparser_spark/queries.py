@@ -1816,6 +1816,56 @@ def q_train_quality_gate(spark, sf_dir):
     return perceptron_train(labeled, dim=32, iters=2)
 
 
+# Deterministic page wrapper for the main-content queries: nav chrome
+# (pure link lists), an article div with one clean paragraph (the doc
+# text, always >= 44 chars at every SF => always kept) and one mixed
+# paragraph whose link density flips with doc_id%9 padding, and a
+# footer. Node ids are structural constants of the wrapper (text is
+# one node because documents.text is markup-free and non-empty).
+def _content_page(spark, sf_dir):
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    html = F.concat(
+        F.lit('<html><body><nav><ul><li><a href="/h">Home</a></li>'
+              '<li><a href="/p">Pricing</a></li></ul></nav><div><p>'),
+        F.col("text"),
+        F.lit('</p><p>See <a href="/m">ref '),
+        F.col("doc_id").cast("string"),
+        F.lit('</a>.'),
+        F.repeat(F.lit("x"), ((F.col("doc_id") % 9) * 4).cast("int")),
+        F.lit('</p></div><footer><p>(c) 2026</p></footer>'
+              '</body></html>'))
+    return docs.select("doc_id", html.alias("text"))
+
+
+def q_main_content(spark, sf_dir):
+    """DOM-heuristic main-content extraction (boilerpipe/readability
+    link-density family, htmldom/content.py): nav/footer chrome
+    dropped, innermost blocks classified by the integer rule
+    100·anchor_chars <= 33·text_chars AND text_chars >= 20. Oracle
+    replays both block decisions and the '\\n'-joined concatenation
+    exactly (the padding flips the mixed paragraph's keep bit across
+    doc_id%9)."""
+    from .operators.content import extract_main_content
+    out = extract_main_content(_content_page(spark, sf_dir),
+                               drop_text=True)
+    return out.select(
+        "doc_id", "main_text",
+        F.col("n_kept_blocks").cast("long").alias("n_kept_blocks"),
+        F.col("n_candidate_blocks").cast("long")
+        .alias("n_candidate_blocks"))
+
+
+def q_content_blocks(spark, sf_dir):
+    """Element-span surface of the main-content pass: one row per
+    innermost candidate block with its integer density counters and
+    keep bit. Node ids are wrapper constants (p@11 = article text,
+    p@13 = mixed link paragraph); the oracle states both rows in
+    closed form."""
+    from .operators.content import content_blocks
+    return content_blocks(_content_page(spark, sf_dir),
+                          key_cols=("doc_id",))
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1829,6 +1879,8 @@ QUERIES = {
     #    trio last in the block (their DuckDB oracles are the battery's
     #    most expensive — a time-budgeted harness should bank the
     #    cheap rows before paying for them) --
+    "main_content": q_main_content,
+    "content_blocks": q_content_blocks,
     "turn_stats": q_turn_stats,
     "lm_familiarity": q_lm_familiarity,
     "dsir_weights": q_dsir_weights,
@@ -1915,6 +1967,42 @@ QUERIES = {
     "tfidf_topk": q_tfidf_topk,
     "kmeans_quantized": q_kmeans_quantized,
 }
+
+# main-content oracles: closed-form replay of the wrapper's two
+# candidate blocks. p@11 holds the raw doc text (>= 44 chars at every
+# SF, zero anchors => always kept); p@13 is 'See ' + 'ref {id}' (the
+# anchor) + '.' + 4*(doc_id%9) pad chars => text = 9+idl+pad chars,
+# anchor = 4+idl, kept iff text>=20 AND 100*anchor <= 33*text.
+_CONTENT_T = (
+    "WITH t AS (SELECT doc_id, text, "
+    "  LENGTH(CAST(doc_id AS VARCHAR)) AS idl, "
+    "  CAST(doc_id % 9 AS BIGINT) * 4 AS pad, "
+    "  CAST(LENGTH(text) AS BIGINT) AS tc1 FROM documents) ")
+
+ORACLES["main_content"] = (
+    _CONTENT_T +
+    ", s AS (SELECT doc_id, text, "
+    "  'See ref ' || CAST(doc_id AS VARCHAR) || '.' "
+    "    || repeat('x', CAST(pad AS INT)) AS p2, "
+    "  (tc1 >= 20) AS k1, "
+    "  (9 + idl + pad >= 20 "
+    "   AND 100 * (4 + idl) <= 33 * (9 + idl + pad)) AS k2 FROM t) "
+    "SELECT doc_id, "
+    "CASE WHEN k1 AND k2 THEN text || chr(10) || p2 "
+    "     WHEN k1 THEN text WHEN k2 THEN p2 ELSE '' END AS main_text, "
+    "CAST(CASE WHEN k1 THEN 1 ELSE 0 END "
+    "   + CASE WHEN k2 THEN 1 ELSE 0 END AS BIGINT) AS n_kept_blocks, "
+    "CAST(2 AS BIGINT) AS n_candidate_blocks FROM s")
+
+ORACLES["content_blocks"] = (
+    _CONTENT_T +
+    "SELECT doc_id, CAST(11 AS INTEGER) AS node_id, 'p' AS tag_name, "
+    "  tc1 AS text_chars, CAST(0 AS BIGINT) AS anchor_chars, "
+    "  (tc1 >= 20) AS kept FROM t "
+    "UNION ALL "
+    "SELECT doc_id, CAST(13 AS INTEGER), 'p', 9 + idl + pad, "
+    "  4 + idl, (9 + idl + pad >= 20 "
+    "    AND 100 * (4 + idl) <= 33 * (9 + idl + pad)) FROM t")
 
 # oracles for the round-3 additions ------------------------------- #
 
