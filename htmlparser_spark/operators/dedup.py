@@ -49,6 +49,7 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_near_dups",
     "cap_buckets", "bucket_stats", "connected_components",
     "band_struct_cols", "fuzzy_dedup_keep", "dedup_lines",
+    "span_dedup",
 ]
 
 
@@ -789,3 +790,78 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     kept = F.filter(lines,
                     lambda x, i: F.array_position(lines, x) == i + 1)
     return df.withColumn(out_col, F.array_join(kept, sep))
+
+
+def span_dedup(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", span: int = 3,
+               sent_sep: str = ". ",
+               out_col: str = "text_deduped",
+               pos_bound: int = 1_000_000) -> DataFrame:
+    """C4's corpus-level span dedup (Raffel et al., arXiv:1910.10683
+    §2.2: "we removed all but one of any three-sentence span occurring
+    more than once in the data set"). Splits each document into
+    sentences on ``sent_sep``, hashes every consecutive ``span``-gram
+    of sentences, keeps the globally FIRST occurrence of each span
+    (minimum ``(id, position)``), deletes the sentences covered by
+    every later occurrence, and rejoins the survivors in order.
+    Returns ``df`` plus ``out_col`` (empty string when every sentence
+    of a document was removed).
+
+    Scale shape: the only corpus-wide state is the span-hash
+    aggregate — 16-byte md5-prefix keys with map-side combine, never
+    sentence text; the keeper choice is ``min(id·B + pos)`` (``B`` =
+    ``pos_bound``, asserted > every position), an agg not a window,
+    so a boilerplate span duplicated across 10^9 pages reduces on the
+    combiners instead of buffering anywhere. Rebuild is one shuffle
+    keyed on ``id_col`` with an in-group ``sort_array`` — the same
+    bounded per-document pattern as conv_assemble. The md5 span
+    hashing makes the whole computation engine-portable (the DuckDB
+    oracle replays it verbatim).
+    """
+    sents = F.split(F.col(text_col), re.escape(sent_sep))
+    base = cache_df(df.select(F.col(id_col), sents.alias("_s")))
+
+    span_src = base.filter(F.size("_s") >= span)
+    us = "\x1f"
+    span_hash = F.transform(
+        F.sequence(F.lit(0), F.size("_s") - span),
+        lambda i: F.md5(F.encode(
+            F.concat_ws(us, F.slice(F.col("_s"), i + 1, span)), "UTF-8")))
+    spans = cache_df(
+        span_src.select(
+            F.col(id_col),
+            F.posexplode(span_hash).alias("_pos", "_h"))
+        .withColumn("_pos", F.col("_pos").cast("long")))
+
+    # global first occurrence per span hash: an AGGREGATE (map-side
+    # combinable), not a window — hot spans never concentrate
+    pos_ok = F.when(F.col("_pos") < pos_bound, F.col("_pos")).otherwise(
+        F.expr(f"raise_error('span_dedup: sentence position >= "
+               f"pos_bound={pos_bound}; raise pos_bound')").cast("long"))
+    rank = F.col(id_col) * pos_bound + pos_ok
+    keepers = (spans.groupBy("_h")
+               .agg(F.min(rank).alias("_keep_rank")))
+    removed = (spans.join(keepers, "_h")
+               .filter(rank != F.col("_keep_rank"))
+               .select(id_col, "_pos"))
+
+    covered = (removed
+               .select(id_col,
+                       F.explode(F.sequence(
+                           F.col("_pos"),
+                           F.col("_pos") + span - 1)).alias("_pos"))
+               .distinct())
+
+    sent = base.select(
+        F.col(id_col), F.posexplode("_s").alias("_pos", "_st")) \
+        .withColumn("_pos", F.col("_pos").cast("long"))
+    kept = sent.join(covered, [id_col, "_pos"], "left_anti")
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "_st"))),
+                       lambda x: x["_st"]),
+                   sent_sep).alias(out_col)))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))

@@ -1866,6 +1866,95 @@ def q_content_blocks(spark, sf_dir):
                           key_cols=("doc_id",))
 
 
+# ------------------------------------------------------------------ #
+# web-corpus heuristic filters (C4 / RefinedWeb cleaning family)     #
+# ------------------------------------------------------------------ #
+
+def q_c4_filters(spark, sf_dir):
+    """C4 page-quality signals (arXiv:1910.10683 §2.2) on documents
+    with planted variety: a second sentence everywhere, a third for
+    doc_id%2, 'Lorem Ipsum' for doc_id%3, a curly brace for doc_id%5,
+    plus a short line and a terminal-punctuation line. Pure codegen
+    (split/filter/rlike); the oracle replays every signal with the
+    same list lambdas in DuckDB."""
+    from .operators.webfilter import c4_quality_flags
+    d = F.col("doc_id")
+    text = F.concat(
+        F.col("text"), F.lit(". Second sentence ends here."),
+        F.when(d % 2 == 0, F.lit(" Third one follows!"))
+        .otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(" Lorem Ipsum dolor"))
+        .otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.lit(" {code}")).otherwise(F.lit("")),
+        F.lit("\nshort line\nThis trailing line ends well."))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"))
+    return c4_quality_flags(docs).select(
+        "doc_id", "n_lines", "n_terminal_lines", "n_short_lines",
+        "n_sentences", "has_lorem", "has_brace", "c4_keep")
+
+
+def q_line_filter(spark, sf_dir):
+    """RefinedWeb-style line-wise correction (arXiv:2306.01116 §3.1)
+    on documents with planted navigation chrome ('Home', 'click
+    here'), a too-short line ('ab cd'), and a surviving long line.
+    Map-only higher-order array ops; the oracle replays the filter
+    lambda verbatim."""
+    from .operators.webfilter import line_filter
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n", F.lit("Home"), F.lit("click here"), F.col("text"),
+            F.lit("ab cd"),
+            F.lit("A line with plenty of words kept.")).alias("text"))
+    out = line_filter(docs, min_words=3)
+    return out.select("doc_id", "text_filtered", "n_lines_removed")
+
+
+def q_url_dedup(spark, sf_dir):
+    """URL canonicalization + keep-one-per-canonical-URL (the crawl
+    pipeline's cheapest dedup pass): synthetic URLs with upper-case
+    scheme/host, www., default port, utm_* tracking params and
+    fragments collide onto shared canonical forms; keeper = min
+    doc_id, n_dups counted. Six regexp passes + one groupBy on the
+    canonical string — (url, id) pairs shuffle, never payloads."""
+    from .operators.webfilter import url_dedup
+    d = F.col("doc_id")
+    url = F.concat(
+        F.lit("HTTP://WWW.Src"), (d % 3).cast("string"),
+        F.lit(".COM:80/p/"), (d % 40).cast("string"),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("/?utm_source=feed&ref="),
+                        (d % 4).cast("string")))
+        .otherwise(F.concat(F.lit("?id="), (d % 4).cast("string"),
+                            F.lit("&utm_campaign=x"))),
+        F.lit("#frag"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    return url_dedup(docs)
+
+
+def q_span_dedup(spark, sf_dir):
+    """C4's three-sentence-span corpus dedup (arXiv:1910.10683 §2.2):
+    each doc opens with a 3-sentence span shared by its doc_id%4
+    class and continues with doc-unique sentences (doc_id embedded,
+    so no accidental span collisions even between byte-equal base
+    texts). The first doc of each class keeps the span; every later
+    class member loses exactly sentences 0-2 — a closed-form oracle.
+    Span hashes aggregate map-side (16 B md5-prefix keys); no window
+    anywhere."""
+    from .operators.dedup import span_dedup
+    d = F.col("doc_id")
+    m = (d % 4).cast("string")
+    text = F.concat(
+        F.lit("S"), m, F.lit("a. S"), m, F.lit("b. S"), m,
+        F.lit("c. u"), d.cast("string"), F.lit(" "), F.col("text"),
+        F.lit(". tail "), (d % 5).cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", text.alias("text"))
+    return span_dedup(docs).select("doc_id", "text_deduped")
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1874,6 +1963,11 @@ def q_content_blocks(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
+    # -- round-4 late additions (no driver row yet) --
+    "c4_filters": q_c4_filters,
+    "line_filter": q_line_filter,
+    "url_dedup": q_url_dedup,
+    "span_dedup": q_span_dedup,
     # -- never driver-checked (round-3 additions) + round-4 additions,
     #    cheap-oracle queries first, the heavy ground-truth-closure
     #    trio last in the block (their DuckDB oracles are the battery's
@@ -2727,3 +2821,89 @@ ORACLES["semantic_dedup"] = (
     "SELECT qa.vec_id, CAST(qa.cid AS BIGINT) AS cid, "
     "CAST(CASE WHEN dr.idb IS NULL THEN 1 ELSE 0 END AS BIGINT) "
     "AS kept FROM qa LEFT JOIN dr ON dr.idb = qa.vec_id")
+
+
+# web-filter oracles: replay the exact signal lambdas in DuckDB (the
+# operators are codegen string/array expressions, so the replay is
+# function-for-function, not a reimplementation)
+_C4_T = (
+    "WITH t AS (SELECT doc_id, text || '. Second sentence ends here.' "
+    "|| CASE WHEN doc_id % 2 = 0 THEN ' Third one follows!' ELSE '' END "
+    "|| CASE WHEN doc_id % 3 = 0 THEN ' Lorem Ipsum dolor' ELSE '' END "
+    "|| CASE WHEN doc_id % 5 = 0 THEN ' {code}' ELSE '' END "
+    "|| chr(10) || 'short line' || chr(10) "
+    "|| 'This trailing line ends well.' AS text FROM documents) ")
+
+ORACLES["c4_filters"] = (
+    _C4_T +
+    ", s AS (SELECT doc_id, text, str_split(text, chr(10)) AS lines, "
+    "  len(list_filter(regexp_split_to_array(text, '[.!?]'), "
+    "      x -> len(trim(x)) > 0)) AS ns, "
+    "  contains(lower(text), 'lorem ipsum') AS hl, "
+    "  contains(text, '{') AS hb FROM t) "
+    "SELECT doc_id, "
+    "CAST(len(lines) AS BIGINT) AS n_lines, "
+    "CAST(len(list_filter(lines, l -> "
+    "  regexp_matches(l, '[.!?\"]\\s*$'))) AS BIGINT) "
+    "  AS n_terminal_lines, "
+    "CAST(len(list_filter(lines, l -> "
+    "  len(regexp_split_to_array(trim(l), ' +')) < 5)) AS BIGINT) "
+    "  AS n_short_lines, "
+    "CAST(ns AS BIGINT) AS n_sentences, "
+    "hl AS has_lorem, hb AS has_brace, "
+    "(NOT hl) AND (NOT hb) AND ns >= 3 AS c4_keep FROM s")
+
+_LF_BLOCK = ("['home','about','contact','menu','search','click here',"
+             "'sign in','log in','register','subscribe']")
+
+ORACLES["line_filter"] = (
+    "WITH t AS (SELECT doc_id, 'Home' || chr(10) || 'click here' "
+    "|| chr(10) || text || chr(10) || 'ab cd' || chr(10) "
+    "|| 'A line with plenty of words kept.' AS text FROM documents), "
+    "s AS (SELECT doc_id, str_split(text, chr(10)) AS lines FROM t), "
+    "k AS (SELECT doc_id, lines, list_filter(lines, l -> "
+    f"  (NOT list_contains({_LF_BLOCK}, lower(trim(l)))) "
+    "  AND len(regexp_split_to_array(trim(l), ' +')) >= 3) AS kept "
+    "FROM s) "
+    "SELECT doc_id, array_to_string(kept, chr(10)) AS text_filtered, "
+    "CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_removed FROM k")
+
+ORACLES["url_dedup"] = (
+    "WITH t AS (SELECT doc_id, 'HTTP://WWW.Src' "
+    "|| CAST(doc_id % 3 AS VARCHAR) || '.COM:80/p/' "
+    "|| CAST(doc_id % 40 AS VARCHAR) "
+    "|| CASE WHEN doc_id % 2 = 0 THEN "
+    "     '/?utm_source=feed&ref=' || CAST(doc_id % 4 AS VARCHAR) "
+    "   ELSE '?id=' || CAST(doc_id % 4 AS VARCHAR) || '&utm_campaign=x' "
+    "   END || '#frag' AS url FROM documents), "
+    "u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM t), "
+    "p AS (SELECT doc_id, regexp_extract(u, '^[^/]*//[^/?]*') AS pre, "
+    "  substr(u, length(regexp_extract(u, '^[^/]*//[^/?]*')) + 1) "
+    "  AS rest FROM u1), "
+    "c AS (SELECT doc_id, regexp_replace(regexp_replace(lower(pre), "
+    "  ':(80|443)$', ''), '^([a-z]+://)www\\.', '\\1') "
+    "  || regexp_replace(regexp_replace(regexp_replace(rest, "
+    "  'utm_[^&]*&', '', 'g'), '[?&]utm_[^&]*$', ''), '\\?$', '') "
+    "  AS cu FROM p), "
+    "c2 AS (SELECT doc_id, regexp_replace(cu, '/$', '') "
+    "  AS canonical_url FROM c) "
+    "SELECT canonical_url, CAST(min(doc_id) AS BIGINT) AS doc_id, "
+    "CAST(count(*) - 1 AS BIGINT) AS n_dups FROM c2 GROUP BY 1")
+
+# span_dedup closed form: sentences = [S{m}a, S{m}b, S{m}c,
+# 'u{id} {text}', 'tail {id%5}']; the only duplicated span is pos 0
+# within each doc_id%4 class (the u{id} sentence makes pos 1-2 spans
+# globally unique even for byte-equal base texts), so every
+# non-keeper loses exactly sentences 0-2
+ORACLES["span_dedup"] = (
+    "WITH k AS (SELECT doc_id % 4 AS m, min(doc_id) AS keeper "
+    "FROM documents GROUP BY 1), "
+    "t AS (SELECT doc_id, doc_id % 4 AS m, "
+    "  'S' || CAST(doc_id % 4 AS VARCHAR) || 'a. S' "
+    "  || CAST(doc_id % 4 AS VARCHAR) || 'b. S' "
+    "  || CAST(doc_id % 4 AS VARCHAR) || 'c. ' AS head, "
+    "  'u' || CAST(doc_id AS VARCHAR) || ' ' || text || '. tail ' "
+    "  || CAST(doc_id % 5 AS VARCHAR) AS rest FROM documents) "
+    "SELECT t.doc_id, CASE WHEN t.doc_id = k.keeper "
+    "THEN t.head || t.rest ELSE t.rest END AS text_deduped "
+    "FROM t JOIN k ON t.m = k.m")

@@ -109,3 +109,35 @@ def test_relational_ops_stay_in_codegen(spark):
         assert_no_python_row_udf(df)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def test_webfilter_pure_codegen_no_shuffle(spark, docs):
+    """The C4/RefinedWeb filters are map-only codegen: no Python at
+    all (not even pandas UDFs), no exchange in the plan, scan pruned
+    to the used columns."""
+    from htmlparser_spark.operators.webfilter import (
+        c4_quality_flags, line_filter, url_canonicalize)
+
+    for build in (
+            lambda d: c4_quality_flags(d.select("doc_id", "text")),
+            lambda d: line_filter(d.select("doc_id", "text")),
+            lambda d: url_canonicalize(
+                d.select("doc_id", F.col("source").alias("url")))):
+        out = build(docs)
+        plan = explain_string(out)
+        assert_no_python_row_udf(out)
+        assert "Python" not in plan and "MapInPandas" not in plan
+        assert "Exchange" not in plan
+
+
+def test_span_dedup_no_window_no_python(spark, docs):
+    """C4 span dedup: the keeper choice is an aggregate (map-side
+    combinable), never a window over a span-hash partition; no
+    Python anywhere (md5 spans are codegen)."""
+    from htmlparser_spark.operators.dedup import span_dedup
+
+    out = span_dedup(docs.select("doc_id", "text"))
+    plan = explain_string(out)
+    assert_no_python_row_udf(out)
+    assert "Python" not in plan
+    assert "Window" not in plan
