@@ -34,7 +34,7 @@ from pyspark.sql.types import (
 from ..htmldom.content import main_content, score_blocks
 from ..htmldom.parse import parse
 
-__all__ = ["extract_main_content", "content_blocks"]
+__all__ = ["extract_main_content", "content_blocks", "extract_markdown"]
 
 _MAIN_FIELDS = [
     StructField("main_text", StringType(), True),
@@ -122,3 +122,39 @@ def content_blocks(df: DataFrame, key_cols: Tuple[str, ...] = ("doc_id",),
             yield out
 
     return df.select(*keys, text_col).mapInPandas(fn, schema=schema)
+
+
+_MD_FIELDS = [StructField("markdown", StringType(), True)]
+
+
+def extract_markdown(df: DataFrame, text_col: str = "text",
+                     drop_text: bool = False,
+                     decode_entities: bool = False) -> DataFrame:
+    """Per-row HTML → Markdown rendering (htmldom/markdown.py): the
+    structure-preserving sibling of extract_main_content — headings,
+    lists, links, emphasis and code fences survive as CommonMark
+    markup instead of flattening to plain text.
+
+    Same scale shape as the other extraction surfaces: one map-only
+    Arrow stage over (passthrough cols, text), no shuffle, no state;
+    composes with the pipeline checkpoint contract like the parse
+    kernel. ``drop_text`` removes the source HTML before the Arrow
+    return transfer."""
+    from ..htmldom.markdown import to_markdown
+
+    fields = [f for f in df.schema.fields
+              if not (drop_text and f.name == text_col)]
+    schema = StructType(fields + _MD_FIELDS)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts = pdf[text_col]
+            md = [None if s is None else
+                  to_markdown(parse(s), decode_entities=decode_entities)
+                  for s in texts]
+            out = (pdf.drop(columns=[text_col]) if drop_text
+                   else pdf.copy())
+            out["markdown"] = pd.Series(md, dtype="object")
+            yield out
+
+    return df.mapInPandas(fn, schema=schema)

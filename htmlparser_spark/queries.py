@@ -1955,6 +1955,28 @@ def q_span_dedup(spark, sf_dir):
     return span_dedup(docs).select("doc_id", "text_deduped")
 
 
+def q_to_markdown(spark, sf_dir):
+    """HTML → Markdown structured extraction (htmldom/markdown.py):
+    heading, paragraph, list items with bold + link, fenced code
+    block; script boilerplate dropped. The wrapper is deterministic,
+    so the expected markdown is a closed-form string the oracle
+    constructs directly."""
+    from .operators.content import extract_markdown
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<html><body><h1>Title "), (d % 7).cast("string"),
+        F.lit("</h1><p>"), F.col("text"),
+        F.lit("</p><ul><li>item <b>"), (d % 3).cast("string"),
+        F.lit('</b></li><li><a href="/d/'), d.cast("string"),
+        F.lit('">link</a></li></ul><pre><code>x='),
+        (d % 5).cast("string"),
+        F.lit("</code></pre><script>junk</script></body></html>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    out = extract_markdown(docs, drop_text=True)
+    return out.select("doc_id", "markdown")
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1964,6 +1986,7 @@ def q_span_dedup(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "to_markdown": q_to_markdown,
     "c4_filters": q_c4_filters,
     "line_filter": q_line_filter,
     "url_dedup": q_url_dedup,
@@ -2907,3 +2930,16 @@ ORACLES["span_dedup"] = (
     "SELECT t.doc_id, CASE WHEN t.doc_id = k.keeper "
     "THEN t.head || t.rest ELSE t.rest END AS text_deduped "
     "FROM t JOIN k ON t.m = k.m")
+
+
+# to_markdown closed form: the wrapper renders to
+# '# Title m7\n\n{text}\n\n- item **m3**\n- [link](/d/id)\n\n```\nx=m5\n```'
+ORACLES["to_markdown"] = (
+    "SELECT doc_id, "
+    "'# Title ' || CAST(doc_id % 7 AS VARCHAR) || chr(10) || chr(10) "
+    "|| text || chr(10) || chr(10) "
+    "|| '- item **' || CAST(doc_id % 3 AS VARCHAR) || '**' || chr(10) "
+    "|| '- [link](/d/' || CAST(doc_id AS VARCHAR) || ')' "
+    "|| chr(10) || chr(10) "
+    "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
+    "|| chr(10) || '```' AS markdown FROM documents")
