@@ -1977,6 +1977,30 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_extract_tables(spark, sf_dir):
+    """HTML <table> → per-cell structured rows (htmldom/tables.py):
+    thead/tbody transparency, th header marking, document-order
+    table/row/col numbering, to_text(raw) cell flattening with the
+    script strip. The wrapper is deterministic (two tables, seven
+    cells per doc, one cell carrying the document text, one with
+    inline markup, one script to strip), so the oracle states all
+    seven cells in closed form."""
+    from .operators.tables import extract_table_cells
+    d = F.col("doc_id")
+    html = F.concat(
+        F.lit("<table><thead><tr><th>k</th><th>v</th></tr></thead>"
+              "<tbody><tr><td>"), F.col("text"),
+        F.lit("</td><td>"), (d % 7).cast("string"),
+        F.lit("</td></tr><tr><td>b "), d.cast("string"),
+        F.lit("</td><td><b>x</b> "), (d % 3).cast("string"),
+        F.lit("</td></tr></tbody></table><table><tr><td>solo "),
+        (d % 5).cast("string"),
+        F.lit("<script>junk</script></td></tr></table>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    return extract_table_cells(docs)
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -1986,6 +2010,7 @@ def q_to_markdown(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "extract_tables": q_extract_tables,
     "to_markdown": q_to_markdown,
     "c4_filters": q_c4_filters,
     "line_filter": q_line_filter,
@@ -2943,3 +2968,24 @@ ORACLES["to_markdown"] = (
     "|| chr(10) || chr(10) "
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
+
+
+# extract_tables closed form: the wrapper always yields the same two
+# tables / seven cells per doc (header pair, text + m7, 'b id' +
+# 'x m3', 'solo m5' with the script stripped).
+ORACLES["extract_tables"] = (
+    "SELECT doc_id, CAST(t AS INTEGER) AS table_idx, "
+    "CAST(r AS INTEGER) AS row_idx, CAST(c AS INTEGER) AS col_idx, "
+    "h AS is_header, x AS cell_text FROM ("
+    "SELECT doc_id, 0 t, 0 r, 0 c, TRUE h, 'k' x FROM documents "
+    "UNION ALL SELECT doc_id, 0, 0, 1, TRUE, 'v' FROM documents "
+    "UNION ALL SELECT doc_id, 0, 1, 0, FALSE, trim(text) "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id, 0, 1, 1, FALSE, "
+    "  CAST(doc_id % 7 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT doc_id, 0, 2, 0, FALSE, "
+    "  'b ' || CAST(doc_id AS VARCHAR) FROM documents "
+    "UNION ALL SELECT doc_id, 0, 2, 1, FALSE, "
+    "  'x ' || CAST(doc_id % 3 AS VARCHAR) FROM documents "
+    "UNION ALL SELECT doc_id, 1, 0, 0, FALSE, "
+    "  'solo ' || CAST(doc_id % 5 AS VARCHAR) FROM documents)")
