@@ -1977,6 +1977,78 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_page_meta(spark, sf_dir):
+    """Page-metadata extraction (htmldom/meta.py): title, base href,
+    canonical link, meta description/robots (first-wins, noindex
+    token bit), og:title, html lang, charset. The deterministic head
+    wrapper makes every field a closed-form expression of doc_id;
+    docs with doc_id%4==0 carry a noindex robots meta."""
+    from .operators.pagemeta import extract_page_metadata
+    d = F.col("doc_id")
+    langs = F.array(*[F.lit(x) for x in ("en", "de", "fr", "es", "ja")])
+    robots = F.when(d % 4 == 0,
+                    F.lit('<meta name=robots content="noindex,follow">')
+                    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit("<html lang="), F.element_at(langs, (d % 5 + 1).cast("int")),
+        F.lit("><head><title>Doc "), (d % 7).cast("string"),
+        F.lit('</title><base href="https://b'), (d % 2).cast("string"),
+        F.lit('.example/"><link rel=canonical href="https://ex.com/d/'),
+        d.cast("string"),
+        F.lit('"><meta charset=utf-8><meta name=description '
+              'content="desc '), (d % 9).cast("string"),
+        F.lit('">'), robots,
+        F.lit('<meta property="og:title" content="OG '),
+        (d % 3).cast("string"),
+        F.lit('"></head><body><p>x</p></body></html>'))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    out = extract_page_metadata(docs, drop_text=True)
+    return out.select(
+        "doc_id", "title", "base_href", "canonical_url",
+        "meta_description", "meta_robots", "robots_noindex",
+        "og_title", "lang", "charset")
+
+
+def q_extract_links(spark, sf_dir):
+    """Per-page outlink extraction (htmldom/links.py): document-order
+    numbering, RFC-3986 resolution against a per-doc base URL,
+    nofollow token bit, to_text anchor flattening. Three wrapper
+    anchors (root-relative, absolute+nofollow, fragment-only for
+    doc_id%3==0) — each resolution a closed-form string."""
+    from .operators.webgraph import extract_doc_links
+    d = F.col("doc_id")
+    frag = F.when(d % 3 == 0, F.lit('<a href="#frag">frag</a>')) \
+        .otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<body><a href="/d/'), d.cast("string"),
+        F.lit('">first <b>'), (d % 7).cast("string"),
+        F.lit('</b></a><a href="https://other.com/'),
+        (d % 5).cast("string"),
+        F.lit('" rel=nofollow>ext</a>'), frag, F.lit("</body>"))
+    base = F.concat(F.lit("https://ex"), (d % 2).cast("string"),
+                    F.lit(".com/a/b"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"), base.alias("url"))
+    return extract_doc_links(docs, text_col="text", base_col="url")
+
+
+def q_link_pagerank(spark, sf_dir):
+    """Integer-lattice PageRank (operators/webgraph.py) over a
+    deterministic synthetic link graph (three arithmetic edge
+    families per doc, parallel edges collapsing). Fixed 3 iterations
+    on the 10^6 lattice with floor division everywhere — the oracle
+    unrolls the iterations as SQL CTEs and matches bit-for-bit."""
+    from .operators.webgraph import pagerank
+    d = F.col("doc_id")
+    docs = load(spark, sf_dir, "documents")
+    edges = (docs.select(d.alias("src"), (d % 97 + 1).alias("dst"))
+             .union(docs.select(d.alias("src"), (d % 31 + 1).alias("dst")))
+             .union(docs.select((d % 53 + 1).alias("src"),
+                                d.alias("dst"))))
+    return pagerank(edges, iterations=3)
+
+
 def q_extract_tables(spark, sf_dir):
     """HTML <table> → per-cell structured rows (htmldom/tables.py):
     thead/tbody transparency, th header marking, document-order
@@ -2010,6 +2082,9 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "page_meta": q_page_meta,
+    "extract_links": q_extract_links,
+    "link_pagerank": q_link_pagerank,
     "extract_tables": q_extract_tables,
     "to_markdown": q_to_markdown,
     "c4_filters": q_c4_filters,
@@ -2969,6 +3044,60 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# page_meta closed form: every field is an expression of doc_id.
+ORACLES["page_meta"] = (
+    "SELECT doc_id, "
+    "'Doc ' || CAST(doc_id % 7 AS VARCHAR) AS title, "
+    "'https://b' || CAST(doc_id % 2 AS VARCHAR) || '.example/' "
+    "  AS base_href, "
+    "'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS canonical_url, "
+    "'desc ' || CAST(doc_id % 9 AS VARCHAR) AS meta_description, "
+    "CASE WHEN doc_id % 4 = 0 THEN 'noindex,follow' END AS meta_robots, "
+    "(doc_id % 4 = 0) AS robots_noindex, "
+    "'OG ' || CAST(doc_id % 3 AS VARCHAR) AS og_title, "
+    "(['en','de','fr','es','ja'])[CAST(doc_id % 5 AS INT) + 1] AS lang, "
+    "'utf-8' AS charset FROM documents")
+
+# extract_links closed form: three wrapper anchors, the third only
+# for doc_id%3==0; resolutions are string concatenations.
+ORACLES["extract_links"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS link_idx, href, href_abs, "
+    "anchor_text, nofollow FROM ("
+    "SELECT doc_id, 0 i, '/d/' || CAST(doc_id AS VARCHAR) href, "
+    "  'https://ex' || CAST(doc_id % 2 AS VARCHAR) || '.com/d/' "
+    "    || CAST(doc_id AS VARCHAR) href_abs, "
+    "  'first ' || CAST(doc_id % 7 AS VARCHAR) anchor_text, "
+    "  FALSE nofollow FROM documents "
+    "UNION ALL SELECT doc_id, 1, "
+    "  'https://other.com/' || CAST(doc_id % 5 AS VARCHAR), "
+    "  'https://other.com/' || CAST(doc_id % 5 AS VARCHAR), "
+    "  'ext', TRUE FROM documents "
+    "UNION ALL SELECT doc_id, 2, '#frag', "
+    "  'https://ex' || CAST(doc_id % 2 AS VARCHAR) || '.com/a/b#frag', "
+    "  'frag', FALSE FROM documents WHERE doc_id % 3 = 0)")
+
+# link_pagerank: exact replay of the integer-lattice fixpoint —
+# distinct edges, uniform 10^6 init, floor shares, three unrolled
+# (join + sum + teleport) rounds. '//' is DuckDB integer floor div.
+_PR_STEP = (
+    "s{n} AS (SELECT e.v u, sum(r{p}.r // od.deg) s FROM e "
+    "  JOIN r{p} ON e.u = r{p}.u JOIN od ON e.u = od.u GROUP BY e.v), "
+    "r{n} AS (SELECT n.u, (15000000 + 85 * coalesce(s{n}.s, 0)) // 100 r "
+    "  FROM n LEFT JOIN s{n} ON n.u = s{n}.u), ")
+
+ORACLES["link_pagerank"] = (
+    "WITH e AS (SELECT DISTINCT u, v FROM ("
+    "  SELECT doc_id u, doc_id % 97 + 1 v FROM documents "
+    "  UNION ALL SELECT doc_id, doc_id % 31 + 1 FROM documents "
+    "  UNION ALL SELECT doc_id % 53 + 1, doc_id FROM documents)), "
+    "n AS (SELECT DISTINCT u FROM "
+    "  (SELECT u FROM e UNION ALL SELECT v FROM e)), "
+    "od AS (SELECT u, count(*) deg FROM e GROUP BY u), "
+    "r0 AS (SELECT u, CAST(1000000 AS BIGINT) r FROM n), "
+    + _PR_STEP.format(n=1, p=0) + _PR_STEP.format(n=2, p=1)
+    + _PR_STEP.format(n=3, p=2).rstrip(", ") + " "
+    "SELECT u AS node, CAST(r AS BIGINT) AS rank FROM r3")
 
 # extract_tables closed form: the wrapper always yields the same two
 # tables / seven cells per doc (header pair, text + m7, 'b id' +
