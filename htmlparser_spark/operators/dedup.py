@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import re
 import zlib
+from typing import Optional
 
 import numpy as np
 import pandas as pd
@@ -49,7 +50,7 @@ __all__ = [
     "ngram_jaccard_pairs", "embedding_near_dups",
     "cap_buckets", "bucket_stats", "connected_components",
     "band_struct_cols", "fuzzy_dedup_keep", "dedup_lines",
-    "span_dedup",
+    "span_dedup", "template_line_dedup",
 ]
 
 
@@ -790,6 +791,67 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     kept = F.filter(lines,
                     lambda x, i: F.array_position(lines, x) == i + 1)
     return df.withColumn(out_col, F.array_join(kept, sep))
+
+
+def template_line_dedup(df: DataFrame, id_col: str = "doc_id",
+                        domain_col: str = "domain",
+                        text_col: str = "text", sep: str = "\n",
+                        min_docs: int = 2,
+                        min_frac_pct: Optional[int] = None) -> DataFrame:
+    """Per-DOMAIN template-line removal — the site-boilerplate strip
+    between ``dedup_lines`` (in-document) and ``paragraph_dedup``
+    (corpus-global): a line is template chrome (nav, footer, cookie
+    banner) when DISTINCT DOCUMENTS of the SAME domain repeat it, so
+    the drop decision counts distinct docs per (domain, line) and is
+    scoped to the domain — the same sentence on two different sites
+    is content, on fifty pages of one site it is template. Returns
+    (id, domain, text) with survivors reassembled in original order
+    (all-dropped docs survive with ``''``).
+
+    Thresholds: drop when n_docs ≥ ``min_docs`` AND (if
+    ``min_frac_pct`` is set) 100·n_docs ≥ pct·domain_doc_count —
+    integer arithmetic only, exactly SQL-replayable.
+
+    Scale shape: lines key as (domain, xxhash64(trim(line)), length)
+    — 16 B + domain, never the text; the distinct-doc count is a
+    two-stage hash aggregate; the domain doc-count side is one
+    aggregate of (domain, id) pairs; the drop-set arrives at the
+    anti-join aggregated (AQE broadcasts it when small). Reassembly
+    is the same per-doc array_sort groupBy as paragraph_dedup — no
+    corpus window anywhere."""
+    tkey = F.trim(F.col("_line"))
+    lines = df.select(
+        F.col(id_col), F.col(domain_col),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_line"))
+    keyed = lines.select(
+        id_col, domain_col, "_pos", "_line",
+        F.xxhash64(tkey).alias("_lh"), F.length(tkey).alias("_ll"))
+    per_line = (keyed.select(domain_col, "_lh", "_ll", id_col)
+                .distinct()
+                .groupBy(domain_col, "_lh", "_ll")
+                .agg(F.count("*").alias("_nd")))
+    drop = per_line.filter(F.col("_nd") >= min_docs)
+    if min_frac_pct is not None:
+        ddocs = (df.select(domain_col, id_col).distinct()
+                 .groupBy(domain_col).agg(F.count("*").alias("_dd")))
+        drop = (drop.join(ddocs, domain_col)
+                .filter(100 * F.col("_nd")
+                        >= int(min_frac_pct) * F.col("_dd")))
+    drop = drop.select(domain_col, "_lh", "_ll")
+    kept = keyed.join(drop, [domain_col, "_lh", "_ll"], "left_anti")
+    rebuilt = (kept.groupBy(id_col, domain_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "_line"))),
+                       lambda st: st["_line"]),
+                   sep).alias(text_col)))
+    ids = df.select(id_col, domain_col).distinct()
+    return (ids.join(rebuilt, [id_col, domain_col], "left")
+            .select(id_col, domain_col,
+                    F.coalesce(F.col(text_col), F.lit(""))
+                    .alias(text_col)))
 
 
 def span_dedup(df: DataFrame, id_col: str = "doc_id",

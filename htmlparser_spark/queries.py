@@ -1977,6 +1977,28 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_template_lines(spark, sf_dir):
+    """Per-domain template-line removal (dedup.py:template_line_dedup):
+    NAV/footer lines planted in every doc of a domain class (doc_id%7)
+    are dropped; the body line (doc-unique by prefix), the pair line
+    (shared by two docs of DIFFERENT domains — the domain scoping
+    discriminator vs paragraph_dedup), and the unique line survive in
+    order. Closed-form oracle."""
+    from .operators.dedup import template_line_dedup
+    d = F.col("doc_id")
+    m = (d % 7).cast("string")
+    text = F.concat(
+        F.lit("NAV menu "), m, F.lit("\nb"), d.cast("string"),
+        F.lit(" "), F.col("text"),
+        F.lit("\npair "), F.floor(d / 2).cast("string"),
+        F.lit("\nfooter "), m, F.lit(" (c) site\nunique "),
+        d.cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.concat(F.lit("d"), m).alias("domain"),
+        text.alias("text"))
+    return template_line_dedup(docs)
+
+
 def q_page_meta(spark, sf_dir):
     """Page-metadata extraction (htmldom/meta.py): title, base href,
     canonical link, meta description/robots (first-wins, noindex
@@ -2082,6 +2104,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "template_lines": q_template_lines,
     "page_meta": q_page_meta,
     "extract_links": q_extract_links,
     "link_pagerank": q_link_pagerank,
@@ -3044,6 +3067,16 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# template_lines closed form: NAV/footer drop in every domain class
+# (each has >=2 docs at any SF), the pair line's two docs are always
+# in different domains (|d1-d2|=1 vs domain stride 7), body/unique
+# lines are doc-unique by construction.
+ORACLES["template_lines"] = (
+    "SELECT doc_id, 'd' || CAST(doc_id % 7 AS VARCHAR) AS domain, "
+    "'b' || CAST(doc_id AS VARCHAR) || ' ' || text || chr(10) || "
+    "'pair ' || CAST(doc_id // 2 AS VARCHAR) || chr(10) || "
+    "'unique ' || CAST(doc_id AS VARCHAR) AS text FROM documents")
 
 # page_meta closed form: every field is an expression of doc_id.
 ORACLES["page_meta"] = (

@@ -259,3 +259,57 @@ def test_conversation_stats_report(spark):
     c2 = out["c2"]
     assert (c2["n_turns"], c2["n_tool_calls"], c2["span_seconds"]) \
         == (1, 0, 0)
+
+
+def test_template_line_dedup_domain_scoped(spark):
+    from htmlparser_spark.operators.dedup import template_line_dedup
+    rows = [
+        # site A: NAV is template (2 docs), SHARED crosses sites
+        (1, "a.com", "NAV\nbody one\nSHARED"),
+        (2, "a.com", "NAV\nbody two"),
+        # site B: SHARED appears in ONE doc here -> content, kept
+        (3, "b.com", "SHARED\nbody three"),
+        # in-doc repetition does NOT make a template (distinct docs=1)
+        (4, "b.com", "rep\nrep\nbody four"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in template_line_dedup(df).collect()}
+    assert out == {
+        1: "body one\nSHARED",
+        2: "body two",
+        3: "SHARED\nbody three",
+        4: "rep\nrep\nbody four",
+    }
+
+
+def test_template_line_dedup_frac_threshold(spark):
+    from htmlparser_spark.operators.dedup import template_line_dedup
+    # 'semi' is in 2 of 5 docs (40%): dropped at pct=40, kept at 50
+    rows = [(i, "a.com",
+             ("semi\n" if i < 2 else "") + f"body {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, domain string, text string")
+    at40 = {r["doc_id"]: r["text"] for r in
+            template_line_dedup(df, min_frac_pct=40).collect()}
+    at50 = {r["doc_id"]: r["text"] for r in
+            template_line_dedup(df, min_frac_pct=50).collect()}
+    assert at40[0] == "body 0" and at40[1] == "body 1"
+    assert at50[0] == "semi\nbody 0" and at50[1] == "semi\nbody 1"
+    # all-dropped doc survives as ''
+    df2 = spark.createDataFrame(
+        [(1, "c.com", "only"), (2, "c.com", "only")],
+        "doc_id long, domain string, text string")
+    out = {r["doc_id"]: r["text"]
+           for r in template_line_dedup(df2).collect()}
+    assert out == {1: "", 2: ""}
+
+
+def test_template_line_dedup_plan_no_window(spark):
+    from htmlparser_spark.operators.dedup import template_line_dedup
+    df = spark.createDataFrame(
+        [(1, "a.com", "x\ny")], "doc_id long, domain string, text string")
+    out = template_line_dedup(df)
+    plan = explain_string(out, "formatted")
+    assert "Window" not in plan
+    assert_no_python_row_udf(out)
