@@ -35,6 +35,8 @@ __all__ = [
     "line_filter",
     "url_canonicalize",
     "url_dedup",
+    "url_features",
+    "crawl_gate",
     "DEFAULT_LINE_BLOCKLIST",
 ]
 
@@ -168,5 +170,69 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     """
     c = url_canonicalize(df.select(id_col, url_col), url_col=url_col)
     return (c.groupBy("canonical_url")
+            .agg(F.min(id_col).cast("long").alias(id_col),
+                 (F.count("*") - 1).cast("long").alias("n_dups")))
+
+
+def url_features(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Append structural URL features — the columns crawl schedulers
+    and domain-mixture samplers key on before any content work:
+
+    - ``scheme`` / ``host`` / ``is_https``
+    - ``registered_domain`` — the last two dot-labels of the host
+      (heuristic: a production pipeline substitutes the public-suffix
+      list here; the two-label rule is exact for .com/.org/.net-style
+      corpora and documented as approximate for ccSLDs like .co.uk)
+    - ``path_depth`` — count of non-empty path segments
+    - ``n_query_params`` — ``&``-separated entries of the query string
+
+    Pure regexp/array codegen — no UDF, no shuffle, safe in the scan
+    stage at any corpus size."""
+    u = F.col(url_col)
+    scheme = F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    host = F.regexp_extract(u, r"^[^/]*//([^/:?#]*)", 1)
+    path = F.regexp_extract(u, r"^[^/]*//[^/?#]*(/[^?#]*)", 1)
+    query = F.regexp_extract(u, r"\?([^#]*)", 1)
+    return (df
+            .withColumn("scheme", scheme)
+            .withColumn("host", host)
+            .withColumn("registered_domain",
+                        F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1))
+            .withColumn("path_depth",
+                        F.size(F.filter(F.split(path, "/"),
+                                        lambda x: x != ""))
+                        .cast("long"))
+            .withColumn("n_query_params",
+                        F.when(query == "", F.lit(0)).otherwise(
+                            F.size(F.split(query, "&"))).cast("long"))
+            .withColumn("is_https", F.lower(scheme) == "https"))
+
+
+def crawl_gate(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text") -> DataFrame:
+    """The crawl-side admission gate, composing the metadata pass with
+    URL-level dedup: parse page metadata, drop pages whose robots meta
+    carries the ``noindex`` token, then keep ONE page per canonical
+    URL (pages without a canonical link stand alone). Returns
+    (canonical_url, ``id_col`` = keeper = min id, n_dups).
+
+    Policy pins: ``robots_noindex`` NULL (unparseable html) drops —
+    a page we could not read robots policy for must not enter the
+    corpus; the keep-one group key for canonical-less pages is a
+    per-doc sentinel so they can never collapse together.
+
+    Scale: the metadata pass is the map-only Arrow stage of
+    operators/pagemeta.py; the gate is a filter in the same stage;
+    only (canonical, id) pairs shuffle for the keep-one groupBy."""
+    from .pagemeta import extract_page_metadata
+
+    meta = extract_page_metadata(
+        df.select(id_col, text_col), text_col=text_col, drop_text=True)
+    live = meta.filter(F.col("robots_noindex") == F.lit(False))
+    key = F.coalesce(
+        F.col("canonical_url"),
+        F.concat(F.lit("_self:"), F.col(id_col).cast("string")))
+    return (live.select(key.alias("canonical_url"), id_col)
+            .groupBy("canonical_url")
             .agg(F.min(id_col).cast("long").alias(id_col),
                  (F.count("*") - 1).cast("long").alias("n_dups")))

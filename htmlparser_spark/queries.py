@@ -1977,6 +1977,49 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_url_features(spark, sf_dir):
+    """Structural URL features (webfilter.py:url_features): scheme /
+    host / two-label registered domain / path depth / query-param
+    count / https bit, pure regexp+array codegen. The wrapper URL is
+    a deterministic function of doc_id, so every feature is
+    closed-form."""
+    from .operators.webfilter import url_features
+    d = F.col("doc_id")
+    scheme = F.when(d % 3 == 0, F.lit("http")).otherwise(F.lit("https"))
+    www = F.when(d % 2 == 0, F.lit("www.")).otherwise(F.lit(""))
+    query = (F.when(d % 3 == 1, F.lit("?k0=v"))
+             .when(d % 3 == 2, F.lit("?k0=v&k1=v"))
+             .otherwise(F.lit("")))
+    url = F.concat(
+        scheme, F.lit("://"), www, F.lit("site"),
+        (d % 7).cast("string"), F.lit(".com"),
+        F.expr("repeat('/s', cast(doc_id % 4 as int))"), query)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"))
+    return url_features(docs).select(
+        "doc_id", "scheme", "host", "registered_domain",
+        "path_depth", "n_query_params", "is_https")
+
+
+def q_crawl_gate(spark, sf_dir):
+    """Crawl admission gate (webfilter.py:crawl_gate): page-metadata
+    parse → drop robots-noindex pages (doc_id%4==0) → keep one page
+    per canonical URL (50 canonical groups, keeper = min id). The
+    oracle replays the group/min/count over the surviving ids."""
+    from .operators.webfilter import crawl_gate
+    d = F.col("doc_id")
+    robots = F.when(d % 4 == 0,
+                    F.lit('<meta name=robots content="noindex">')
+                    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel=canonical href="https://ex.com/p/'),
+        (d % 50).cast("string"), F.lit('">'), robots,
+        F.lit("</head><body>x</body></html>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    return crawl_gate(docs)
+
+
 def q_template_lines(spark, sf_dir):
     """Per-domain template-line removal (dedup.py:template_line_dedup):
     NAV/footer lines planted in every doc of a domain class (doc_id%7)
@@ -2104,6 +2147,8 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "url_features": q_url_features,
+    "crawl_gate": q_crawl_gate,
     "template_lines": q_template_lines,
     "page_meta": q_page_meta,
     "extract_links": q_extract_links,
@@ -3067,6 +3112,27 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# url_features closed form: every feature is an expression of doc_id.
+ORACLES["url_features"] = (
+    "SELECT doc_id, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'http' ELSE 'https' END AS scheme, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END "
+    "  || 'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' AS host, "
+    "'site' || CAST(doc_id % 7 AS VARCHAR) || '.com' "
+    "  AS registered_domain, "
+    "CAST(doc_id % 4 AS BIGINT) AS path_depth, "
+    "CAST(doc_id % 3 AS BIGINT) AS n_query_params, "
+    "(doc_id % 3 <> 0) AS is_https FROM documents")
+
+# crawl_gate: replay the admission set (noindex d%4==0 dropped) and
+# the canonical keep-one group/min/count.
+ORACLES["crawl_gate"] = (
+    "SELECT 'https://ex.com/p/' || CAST(doc_id % 50 AS VARCHAR) "
+    "  AS canonical_url, "
+    "CAST(min(doc_id) AS BIGINT) AS doc_id, "
+    "CAST(count(*) - 1 AS BIGINT) AS n_dups "
+    "FROM documents WHERE doc_id % 4 <> 0 GROUP BY doc_id % 50")
 
 # template_lines closed form: NAV/footer drop in every domain class
 # (each has >=2 docs at any SF), the pair line's two docs are always

@@ -172,3 +172,51 @@ def test_span_dedup_custom_span_length(spark):
     got = _sd(spark, [(1, "A. B. u1"), (2, "A. B. u2")], span=2)
     assert got[1] == "A. B. u1"
     assert got[2] == "u2"
+
+
+def test_url_features(spark):
+    from htmlparser_spark.operators.webfilter import url_features
+    rows = [
+        (1, "https://www.Site.com/a/b/c?x=1&y=2#frag"),
+        (2, "http://ex.org"),
+        (3, "https://one.two.three.net/p"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["doc_id"]: r for r in url_features(df).collect()}
+    r = got[1]
+    assert (r["scheme"], r["host"], r["registered_domain"]) == \
+        ("https", "www.Site.com", "Site.com")
+    assert (r["path_depth"], r["n_query_params"], r["is_https"]) == \
+        (3, 2, True)
+    r = got[2]
+    assert (r["scheme"], r["registered_domain"], r["path_depth"],
+            r["n_query_params"], r["is_https"]) == \
+        ("http", "ex.org", 0, 0, False)
+    assert got[3]["registered_domain"] == "three.net"
+    assert got[3]["path_depth"] == 1
+
+
+def test_crawl_gate(spark):
+    from htmlparser_spark.operators.webfilter import crawl_gate
+
+    def page(canon=None, robots=None):
+        head = ""
+        if canon:
+            head += f'<link rel=canonical href="{canon}">'
+        if robots:
+            head += f'<meta name=robots content="{robots}">'
+        return f"<html><head>{head}</head><body>x</body></html>"
+
+    rows = [
+        (1, page("https://ex.com/a", "index,follow")),
+        (2, page("https://ex.com/a")),            # dup canonical
+        (3, page("https://ex.com/b", "noindex")),  # gated out
+        (4, page()),                               # no canonical
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["canonical_url"]: (r["doc_id"], r["n_dups"])
+           for r in crawl_gate(df).collect()}
+    assert got == {
+        "https://ex.com/a": (1, 1),
+        "_self:4": (4, 0),
+    }
