@@ -43,7 +43,7 @@ from pyspark.sql.types import (
 from ..htmldom.links import extract_links
 from ..htmldom.parse import parse
 
-__all__ = ["extract_doc_links", "pagerank"]
+__all__ = ["extract_doc_links", "pagerank", "anchor_text_index"]
 
 _LINK_FIELDS = [
     StructField("link_idx", IntegerType(), False),
@@ -144,3 +144,46 @@ def pagerank(edges: DataFrame, src: str = "src", dst: str = "dst",
     e.unpersist()
     return ranks.select(F.col("u").alias("node"),
                         F.col("r").cast("long").alias("rank"))
+
+
+def anchor_text_index(links: DataFrame, target_col: str = "href_abs",
+                      anchor_col: str = "anchor_text",
+                      nofollow_col: str = "nofollow",
+                      top_k: int = 5) -> DataFrame:
+    """Per-target anchor-text aggregation — the classic web-search /
+    crawl-prioritization signal (what the web calls a page): one row
+    per link target with (n_links, n_nofollow, top_anchors) where
+    top_anchors = the ``top_k`` most frequent anchor strings, ties by
+    anchor asc — a total order, hence exactly SQL-replayable.
+
+    Scale shape: stage 1 aggregates (target, anchor) counts map-side
+    (no raw link rows shuffle twice); the top-k cut is a row_number
+    over the PRE-AGGREGATED distinct-anchor rows ordered by
+    (count desc, anchor asc) — a spillable sort, and the collect_list
+    after it only ever sees ≤ top_k survivors per target, the same
+    bounded-buffer discipline as operators/index.py. A mega-target
+    (everyone links the same home page) therefore costs a sort of its
+    DISTINCT anchors, never an unbounded aggregation buffer."""
+    from pyspark.sql import Window
+
+    t = F.col(target_col)
+    per_anchor = (links
+                  .filter(t.isNotNull())
+                  .groupBy(t.alias("target"),
+                           F.col(anchor_col).alias("anchor"))
+                  .agg(F.count("*").alias("_c"),
+                       F.sum(F.col(nofollow_col).cast("long"))
+                       .alias("_nf")))
+    rn = F.row_number().over(
+        Window.partitionBy("target")
+        .orderBy(F.col("_c").desc(), F.col("anchor").asc()))
+    cut = per_anchor.withColumn("_rn", rn)
+    return (cut.groupBy("target")
+            .agg(F.sum("_c").cast("long").alias("n_links"),
+                 F.sum("_nf").cast("long").alias("n_nofollow"),
+                 F.transform(
+                     F.array_sort(F.collect_list(
+                         F.when(F.col("_rn") <= top_k,
+                                F.struct((-F.col("_c")).alias("nc"),
+                                         F.col("anchor"))))),
+                     lambda st: st["anchor"]).alias("top_anchors")))

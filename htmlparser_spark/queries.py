@@ -2098,6 +2098,17 @@ def q_extract_links(spark, sf_dir):
     return extract_doc_links(docs, text_col="text", base_col="url")
 
 
+def q_anchor_index(spark, sf_dir):
+    """Per-target anchor-text aggregation (webgraph.py:
+    anchor_text_index) over the extract_links wrapper corpus:
+    n_links / n_nofollow / top-5 anchors (count desc, anchor asc).
+    The oracle wraps the extract_links oracle in a CTE and replays
+    the group/sum/ordered-list — the two stay in sync by
+    construction."""
+    from .operators.webgraph import anchor_text_index
+    return anchor_text_index(q_extract_links(spark, sf_dir))
+
+
 def q_link_pagerank(spark, sf_dir):
     """Integer-lattice PageRank (operators/webgraph.py) over a
     deterministic synthetic link graph (three arithmetic edge
@@ -2152,6 +2163,7 @@ QUERIES = {
     "template_lines": q_template_lines,
     "page_meta": q_page_meta,
     "extract_links": q_extract_links,
+    "anchor_index": q_anchor_index,
     "link_pagerank": q_link_pagerank,
     "extract_tables": q_extract_tables,
     "to_markdown": q_to_markdown,
@@ -3176,6 +3188,10 @@ ORACLES["extract_links"] = (
     "  'https://ex' || CAST(doc_id % 2 AS VARCHAR) || '.com/a/b#frag', "
     "  'frag', FALSE FROM documents WHERE doc_id % 3 = 0)")
 
+# anchor_index: replay over the extract_links oracle as a CTE —
+# per-(target,anchor) counts, then group/sum + ordered top-5 list.
+ORACLES["anchor_index"] = None  # filled below, needs extract_links
+
 # link_pagerank: exact replay of the integer-lattice fixpoint —
 # distinct edges, uniform 10^6 init, floor shares, three unrolled
 # (join + sum + teleport) rounds. '//' is DuckDB integer floor div.
@@ -3197,6 +3213,16 @@ ORACLES["link_pagerank"] = (
     + _PR_STEP.format(n=1, p=0) + _PR_STEP.format(n=2, p=1)
     + _PR_STEP.format(n=3, p=2).rstrip(", ") + " "
     "SELECT u AS node, CAST(r AS BIGINT) AS rank FROM r3")
+
+ORACLES["anchor_index"] = (
+    "WITH l AS (" + ORACLES["extract_links"] + "), "
+    "a AS (SELECT href_abs target, anchor_text anchor, count(*) c, "
+    "  sum(CASE WHEN nofollow THEN 1 ELSE 0 END) nf FROM l "
+    "  GROUP BY 1, 2) "
+    "SELECT target, CAST(sum(c) AS BIGINT) AS n_links, "
+    "CAST(sum(nf) AS BIGINT) AS n_nofollow, "
+    "(list(anchor ORDER BY c DESC, anchor ASC))[1:5] AS top_anchors "
+    "FROM a GROUP BY target")
 
 # extract_tables closed form: the wrapper always yields the same two
 # tables / seven cells per doc (header pair, text + m7, 'b id' +

@@ -126,3 +126,25 @@ def test_pagerank_dangling_and_isolated(spark):
     got = {r["node"]: r["rank"]
            for r in pagerank(edges, iterations=1, scale=1000).collect()}
     assert got == {1: 1000, 2: 575, 3: 575}
+
+
+def test_anchor_text_index(spark):
+    from htmlparser_spark.operators.webgraph import anchor_text_index
+
+    rows = [
+        # hot target: 'buy' x2, 'shop' x2 (tie -> anchor asc), 'z' x1
+        ("t1", "buy", False), ("t1", "buy", True),
+        ("t1", "shop", False), ("t1", "shop", False),
+        ("t1", "z", False),
+        ("t2", "only", False),
+        (None, "dropped", False),        # NULL target rows drop
+    ]
+    df = spark.createDataFrame(
+        rows, "href_abs string, anchor_text string, nofollow boolean")
+    got = {r["target"]: r for r in
+           anchor_text_index(df, top_k=2).collect()}
+    assert set(got) == {"t1", "t2"}
+    assert (got["t1"]["n_links"], got["t1"]["n_nofollow"]) == (5, 1)
+    # count desc, then anchor asc: buy(2) before shop(2); z cut at k=2
+    assert got["t1"]["top_anchors"] == ["buy", "shop"]
+    assert got["t2"]["top_anchors"] == ["only"]
