@@ -79,21 +79,27 @@ def completed_ids(spark: SparkSession, path: str) -> Optional[list]:
 ROW_HASH_COL = "row_hash"
 
 
-def row_hash_expr():
+def row_hash_expr(extra_cols=()):
     """The per-row lineage hash: xxhash64 over the identifying key and
     the extracted payload. ONE definition shared by both lineage modes
     and the streaming pipeline, so manifests are byte-comparable
-    across all of them."""
-    return F.xxhash64("conv_id", "turn_idx", "extracted_text")
+    across all of them. ``extra_cols`` extends the key for modes whose
+    output has several rows per turn (table cells, links) — without
+    them two identical items in one turn would XOR-cancel in the
+    bucket hash and a doubled/dropped pair would go unnoticed."""
+    return F.xxhash64("conv_id", "turn_idx", *extra_cols,
+                      "extracted_text")
 
 
 def lineage_rows(out: DataFrame, run_id: str,
-                 from_hash_col: bool = False) -> DataFrame:
+                 from_hash_col: bool = False,
+                 extra_cols=()) -> DataFrame:
     """(partition_id, n_rows, content_hash, run_id) per bucket.
     content_hash: order-insensitive XOR of per-row content hashes —
     recomputed from the text (default) or read from a precomputed
     ``row_hash`` column (hash_col lineage mode)."""
-    row_hash = (F.col(ROW_HASH_COL) if from_hash_col else row_hash_expr())
+    row_hash = (F.col(ROW_HASH_COL) if from_hash_col
+                else row_hash_expr(extra_cols))
     return (out.groupBy("partition_id")
             .agg(F.count("*").cast("long").alias("n_rows"),
                  F.bit_xor(row_hash).alias("content_hash"))
@@ -138,7 +144,9 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
                      extract_kwargs: Optional[dict] = None,
                      cluster_write: bool = True,
                      max_buckets: Optional[int] = None,
-                     lineage_mode: str = "full") -> list:
+                     lineage_mode: str = "full",
+                     transform=None,
+                     extra_hash_cols: tuple = ()) -> list:
     """Full checkpointed pipeline: bucket → resume-filter → extract →
     write(partitionBy bucket, dynamic overwrite) → lineage append.
     Returns the lineage rows of THIS run as a driver-side list of Rows
@@ -171,7 +179,17 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
       corruption of the payload itself.
 
     Both modes XOR the SAME per-row hash (``row_hash_expr``), so their
-    manifests are byte-identical on identical data — pinned by test."""
+    manifests are byte-identical on identical data — pinned by test.
+
+    ``transform`` swaps the per-bucket extraction: a callable
+    (bucketed DataFrame with ``partition_id``) → DataFrame that must
+    keep ``partition_id``/``conv_id``/``turn_idx`` and produce
+    ``extracted_text`` — every other stage (resume filter, clustered
+    write, lineage certify, manifest commit) is mode-independent.
+    Modes whose output is several rows per turn pass the item-key
+    columns as ``extra_hash_cols`` so the lineage hash stays
+    row-unique (see row_hash_expr). The ordering fusion only applies
+    to the default kernel path (a transform orders its own output)."""
     import time
 
     from .extract import extract_transcripts
@@ -202,7 +220,8 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
     # ranking within (partition_id, conv_id) == ranking within
     # conv_id because conv_id determines partition_id.
     ek = dict(extract_kwargs or {})
-    fuse_order = (cluster_write and ek.get("order", True)
+    fuse_order = (transform is None
+                  and cluster_write and ek.get("order", True)
                   and ek.get("order_impl", "window") == "window"
                   and key_col == "conv_id")
     if fuse_order:
@@ -228,7 +247,8 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
     if todo.isEmpty():
         return []
     mark("resume")
-    out = extract_transcripts(todo, **ek)
+    out = (transform(todo) if transform is not None
+           else extract_transcripts(todo, **ek))
     if cluster_write:
         # cluster by bucket before the partitioned write: file count
         # becomes ~n_buckets instead of write_tasks × n_buckets, and
@@ -243,7 +263,8 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
         out = out.repartition(n_buckets, "partition_id")
         if os.environ.get("HTMLPARSER_SORT_BUCKETS", "1") != "0":
             out = out.sortWithinPartitions(
-                "partition_id", "conv_id", "turn_idx")
+                "partition_id", "conv_id", "turn_idx",
+                *extra_hash_cols)
         if fuse_order:
             from pyspark.sql import Window
             w = (Window.partitionBy("partition_id", "conv_id")
@@ -251,7 +272,7 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
             out = out.withColumn("turn_seq",
                                  F.row_number().over(w))
     if lineage_mode == "hash_col":
-        out = out.withColumn(ROW_HASH_COL, row_hash_expr())
+        out = out.withColumn(ROW_HASH_COL, row_hash_expr(extra_hash_cols))
     out.write.mode("overwrite").partitionBy("partition_id") \
         .parquet(output_path)
     mark("extract+write")
@@ -266,11 +287,12 @@ def run_checkpointed(spark: SparkSession, df: DataFrame, output_path: str,
     else:
         written = spark.read.parquet(output_path) \
             .select("partition_id", "conv_id", "turn_idx",
-                    "extracted_text")
+                    *extra_hash_cols, "extracted_text")
     if done:
         written = written.filter(~F.col("partition_id").isin(done))
     rows = lineage_rows(written, run_id,
-                        from_hash_col=lineage_mode == "hash_col") \
+                        from_hash_col=lineage_mode == "hash_col",
+                        extra_cols=extra_hash_cols) \
         .collect()
     mark("lineage")
     append_manifest_rows(rows, manifest_path)

@@ -5,7 +5,8 @@ Usage:
     spark-submit --py-files htmlparser_spark.zip jobs/extract.py \
         --input /path/transcripts --output /path/out \
         --checkpoint /path/manifest [--format parquet|iceberg] \
-        [--buckets 64] [--no-resume] [--synthetic N_TURNS]
+        [--buckets 64] [--no-resume] [--synthetic N_TURNS] \
+        [--mode text|markdown|main_content|tables|links|meta]
 
 Reads the transcripts table (conv_id, turn_idx, role, text, tool, ts),
 runs salted-repartition → fused parse/extract kernel → stable turn
@@ -13,6 +14,17 @@ ordering, writes bucket-partitioned output plus per-bucket lineage
 (partition_id, n_rows, content_hash) to the checkpoint manifest, and
 resumes idempotently: re-running after a partial failure re-processes
 only uncommitted buckets.
+
+``--mode`` swaps the per-turn extraction while keeping every other
+stage (bucketing, resume, clustered write, lineage certify) the same:
+  text         plain-text extraction (default; reference to_text parity)
+  markdown     structure-preserving HTML → Markdown
+  main_content DOM-heuristic boilerplate strip (link-density blocks)
+  tables       one row per <table> cell (conv, turn, table/row/col, text)
+  links        one row per href-bearing anchor (conv, turn, link_idx, href)
+  meta         one JSON metadata record per turn (title/canonical/robots/…)
+Multi-row modes key their lineage hash on the item columns too, so a
+doubled or dropped cell/link flips the bucket hash.
 """
 
 from __future__ import annotations
@@ -42,6 +54,70 @@ def read_input(spark, args):
         # production path: needs iceberg-spark-runtime on the cluster
         return spark.read.format("iceberg").load(args.input)
     return spark.read.parquet(args.input)
+
+
+_KEYS = ("partition_id", "conv_id", "turn_idx")
+
+
+def make_transform(mode: str):
+    """(transform, extra_hash_cols) for run_checkpointed — None for
+    the default kernel text path. Every transform keeps the bucket /
+    conversation / turn keys and emits ``extracted_text``."""
+    from pyspark.sql import functions as F
+
+    if mode == "text":
+        return None, ()
+
+    if mode == "markdown":
+        def t(df):
+            from htmlparser_spark.operators.content import extract_markdown
+            out = extract_markdown(df.select(*_KEYS, "text"),
+                                   drop_text=True)
+            return out.withColumnRenamed("markdown", "extracted_text")
+        return t, ()
+
+    if mode == "main_content":
+        def t(df):
+            from htmlparser_spark.operators.content import (
+                extract_main_content)
+            out = extract_main_content(df.select(*_KEYS, "text"),
+                                       drop_text=True)
+            return out.withColumnRenamed("main_text", "extracted_text")
+        return t, ()
+
+    if mode == "tables":
+        def t(df):
+            from htmlparser_spark.operators.tables import (
+                extract_table_cells)
+            out = extract_table_cells(df.select(*_KEYS, "text"),
+                                      key_cols=_KEYS)
+            return out.withColumnRenamed("cell_text", "extracted_text")
+        return t, ("table_idx", "row_idx", "col_idx")
+
+    if mode == "links":
+        def t(df):
+            from htmlparser_spark.operators.webgraph import (
+                extract_doc_links)
+            out = extract_doc_links(df.select(*_KEYS, "text"),
+                                    key_cols=_KEYS)
+            # frontier payload = the href; anchor/nofollow ride along
+            return out.withColumnRenamed("href", "extracted_text")
+        return t, ("link_idx",)
+
+    if mode == "meta":
+        def t(df):
+            from htmlparser_spark.htmldom.meta import META_FIELDS
+            from htmlparser_spark.operators.pagemeta import (
+                extract_page_metadata)
+            out = extract_page_metadata(df.select(*_KEYS, "text"),
+                                        drop_text=True)
+            return out.select(
+                *_KEYS,
+                F.to_json(F.struct(*META_FIELDS))
+                .alias("extracted_text"))
+        return t, ()
+
+    raise ValueError(f"unknown mode {mode!r}")
 
 
 def main(argv=None) -> int:
@@ -80,6 +156,11 @@ def main(argv=None) -> int:
                          " killed right after the manifest commit; a"
                          " plain re-run must resume the remaining"
                          " buckets")
+    ap.add_argument("--mode", default="text",
+                    choices=["text", "markdown", "main_content",
+                             "tables", "links", "meta"],
+                    help="per-turn extraction to run under the same "
+                         "checkpoint/lineage machinery")
     ap.add_argument("--run-id", default=None)
     args = ap.parse_args(argv)
     if not args.input and not args.synthetic:
@@ -120,12 +201,14 @@ def main(argv=None) -> int:
         .format("noop").mode("overwrite").save()
     if os.environ.get("HTMLPARSER_TRACE") == "1":
         print(f"[trace] warmup: {time.time() - t_setup:.1f}s", flush=True)
+    transform, extra = make_transform(args.mode)
     t0 = time.time()
     lineage = run_checkpointed(
         spark, df, args.output, args.checkpoint,
         n_buckets=args.buckets, run_id=run_id,
         max_buckets=args.kill_after_bucket,
         lineage_mode=args.lineage_mode,
+        transform=transform, extra_hash_cols=extra,
         extract_kwargs={"include_raw": not args.no_raw,
                         "num_partitions": args.partitions,
                         "order_impl": args.order_impl})

@@ -277,3 +277,94 @@ def test_lineage_hash_col_manifest_equals_full(spark, tmp_path):
     pruned = back.select("partition_id", "row_hash")
     schemas = " ".join(i.get("ReadSchema", "") for i in scan_info(pruned))
     assert "extracted_text" not in schemas
+
+
+def _load_job_module():
+    import importlib.util
+    from pathlib import Path
+    p = Path(__file__).resolve().parent.parent / "jobs" / "extract.py"
+    spec = importlib.util.spec_from_file_location("job_extract", p)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _structured_input(spark, n=40):
+    d = F.col("id")
+    html = F.concat(
+        F.lit('<html><head><title>T</title>'
+              '<link rel=canonical href="/c/'), d.cast("string"),
+        F.lit('"></head><body><h1>H</h1><p>body '), d.cast("string"),
+        F.lit('</p><table><tr><th>k</th></tr><tr><td>v'),
+        (d % 3).cast("string"),
+        F.lit('</td></tr></table><a href="/l/'), (d % 5).cast("string"),
+        F.lit('">go</a><script>junk</script></body></html>'))
+    return spark.range(n).select(
+        F.concat(F.lit("c"), (d % 16).cast("string")).alias("conv_id"),
+        d.cast("int").alias("turn_idx"), html.alias("text"))
+
+
+def test_checkpointed_structured_modes(spark, tmp_path):
+    """--mode swaps the extraction under the SAME checkpoint/lineage
+    machinery: every structured mode writes rows that byte-match the
+    operator applied directly, and the multi-row tables mode resumes
+    from a partial manifest to the identical final table."""
+    job = _load_job_module()
+    df = _structured_input(spark)
+
+    expected_rows = {"markdown": 40, "main_content": 40,
+                     "tables": 80, "links": 40, "meta": 40}
+    for mode in ("markdown", "main_content", "tables", "links", "meta"):
+        transform, extra = job.make_transform(mode)
+        out_dir = str(tmp_path / f"out_{mode}")
+        man_dir = str(tmp_path / f"man_{mode}")
+        lin = run_checkpointed(spark, df, out_dir, man_dir, n_buckets=4,
+                               run_id="r1", transform=transform,
+                               extra_hash_cols=extra)
+        assert sum(r.n_rows for r in lin) == expected_rows[mode], mode
+        got = spark.read.parquet(out_dir)
+        direct = transform(with_partition_id(df, 4))
+        a = sorted(map(tuple, got.select(*direct.columns).collect()))
+        b = sorted(map(tuple, direct.collect()))
+        assert a == b, mode
+
+    # spot-check payloads
+    md = spark.read.parquet(str(tmp_path / "out_markdown"))
+    one = md.filter((F.col("conv_id") == "c0")
+                    & (F.col("turn_idx") == 0)).collect()[0]
+    # title text renders as a leading text block, then the heading
+    assert one["extracted_text"].startswith("T\n\n# H\n\nbody 0")
+    meta = spark.read.parquet(str(tmp_path / "out_meta"))
+    assert '"canonical_url":"/c/1"' in \
+        meta.filter(F.col("turn_idx") == 1).collect()[0]["extracted_text"]
+
+
+def test_checkpointed_tables_mode_kill_resume(spark, tmp_path):
+    """Kill after 2 of 4 buckets in the multi-row tables mode; a plain
+    re-run completes only the rest and the manifest byte-matches an
+    uninterrupted run."""
+    job = _load_job_module()
+    transform, extra = job.make_transform("tables")
+    df = _structured_input(spark)
+
+    ref_out, ref_man = str(tmp_path / "ro"), str(tmp_path / "rm")
+    ref = run_checkpointed(spark, df, ref_out, ref_man, n_buckets=4,
+                           run_id="ref", transform=transform,
+                           extra_hash_cols=extra)
+    out, man = str(tmp_path / "o"), str(tmp_path / "m")
+    part1 = run_checkpointed(spark, df, out, man, n_buckets=4,
+                             run_id="k1", transform=transform,
+                             extra_hash_cols=extra, max_buckets=2)
+    assert len(part1) == 2
+    part2 = run_checkpointed(spark, df, out, man, n_buckets=4,
+                             run_id="k2", transform=transform,
+                             extra_hash_cols=extra)
+    assert {r.partition_id for r in part1} | \
+        {r.partition_id for r in part2} == {0, 1, 2, 3}
+    refm = {r.partition_id: (r.n_rows, r.content_hash) for r in ref}
+    gotm = {r.partition_id: (r.n_rows, r.content_hash)
+            for r in list(part1) + list(part2)}
+    assert refm == gotm
+    a = sorted(map(tuple, spark.read.parquet(out).collect()))
+    b = sorted(map(tuple, spark.read.parquet(ref_out).collect()))
+    assert a == b
