@@ -1977,6 +1977,17 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_readability(spark, sf_dir):
+    """Integer Flesch / Flesch-Kincaid readability (text_stats.py:
+    readability_scores) over the REAL documents text — word /
+    sentence / vowel-group syllable counts and both x1000 lattice
+    scores; the oracle replays the same regexes and floor divisions
+    in DuckDB."""
+    from .operators.text_stats import readability_scores
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return readability_scores(docs).drop("text")
+
+
 def q_url_features(spark, sf_dir):
     """Structural URL features (webfilter.py:url_features): scheme /
     host / two-label registered domain / path depth / query-param
@@ -2158,6 +2169,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "readability": q_readability,
     "url_features": q_url_features,
     "crawl_gate": q_crawl_gate,
     "template_lines": q_template_lines,
@@ -3124,6 +3136,23 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# readability: replay of the same regexes + floor divisions.
+ORACLES["readability"] = (
+    "WITH t AS (SELECT doc_id, "
+    "  regexp_extract_all(lower(text), '\\S+') words, "
+    "  CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) "
+    "    AS BIGINT) s FROM documents), "
+    "u AS (SELECT doc_id, CAST(len(words) AS BIGINT) w, s, "
+    "  CAST(coalesce(list_sum(list_transform(words, "
+    "    x -> greatest(len(regexp_extract_all(x, '[aeiouy]+')), 1))), "
+    "    0) AS BIGINT) syl FROM t) "
+    "SELECT doc_id, w AS n_words, s AS n_sentences, "
+    "syl AS n_syllables, "
+    "CASE WHEN w > 0 THEN 206835 - (1015 * w) // s "
+    "  - (84600 * syl) // w END AS flesch_x1000, "
+    "CASE WHEN w > 0 THEN (390 * w) // s + (11800 * syl) // w "
+    "  - 15590 END AS fk_grade_x1000 FROM u")
 
 # url_features closed form: every feature is an expression of doc_id.
 ORACLES["url_features"] = (

@@ -306,3 +306,30 @@ def test_mixture_schedule_interleaves_by_weight(spark):
     assert "Window" not in plan or "partitionBy" in plan.lower() or True
     a = sorted(tuple(r) for r in b.collect())
     assert a == sorted((r.doc_id, r.topic, r.k, r.vt) for r in out)
+
+
+def test_readability_scores_hand_golden(spark):
+    from htmlparser_spark.operators.text_stats import readability_scores
+    from htmlparser_spark.plans import assert_no_python_row_udf
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. It was happy!"),
+         (2, ""), (3, "   "),
+         (4, "word")],          # no terminal punct -> 1 sentence
+        "doc_id long, text string")
+    out = readability_scores(df)
+    assert_no_python_row_udf(out)
+    got = {r["doc_id"]: (r["n_words"], r["n_sentences"],
+                         r["n_syllables"], r["flesch_x1000"],
+                         r["fk_grade_x1000"])
+           for r in out.collect()}
+    # 6 words, 2 sentences, 7 syllables ('happy!' has a+y groups):
+    # flesch = 206835 - (1015*6)//2 - (84600*7)//6 = 105090
+    # fk     = (390*6)//2 + (11800*7)//6 - 15590 = -654
+    assert got[1] == (6, 2, 7, 105090, -654)
+    # empty / whitespace-only: counts zero, scores NULL
+    assert got[2] == (0, 1, 0, None, None)
+    assert got[3] == (0, 1, 0, None, None)
+    # 'word' = 1 word, 1 sentence (min), 1 syllable:
+    # flesch = 206835 - 1015 - 84600 = 121220; fk = 390+11800-15590
+    assert got[4] == (1, 1, 1, 121220, -3400)
