@@ -1977,6 +1977,36 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_web_pipeline(spark, sf_dir):
+    """The composed crawl funnel, end to end in ONE lazy plan:
+    crawl_gate (robots-noindex drop + canonical keep-one) → join the
+    surviving page ids back to the raw pages → DOM-heuristic
+    main-content extraction (nav/footer chrome dropped, the article
+    paragraph kept iff its length clears the integer density gates).
+    The wrapper makes every stage decision closed-form: noindex for
+    doc_id%4==0, 40 canonical groups (keeper = min id), article text
+    = the document text (kept iff length ≥ 20, no anchors inside)."""
+    from .operators.content import extract_main_content
+    from .operators.webfilter import crawl_gate
+    d = F.col("doc_id")
+    robots = F.when(d % 4 == 0,
+                    F.lit('<meta name=robots content="noindex">')
+                    ).otherwise(F.lit(""))
+    html = F.concat(
+        F.lit('<html><head><link rel=canonical href="https://ex.com/p/'),
+        (d % 40).cast("string"), F.lit('">'), robots,
+        F.lit('</head><body><nav><a href="/">Home</a></nav>'
+              "<article><p>"), F.col("text"),
+        F.lit("</p></article><footer>(c) site</footer>"
+              "</body></html>"))
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    keepers = crawl_gate(pages).select("doc_id")
+    survivors = pages.join(keepers, "doc_id")
+    out = extract_main_content(survivors, drop_text=True)
+    return out.select("doc_id", "main_text")
+
+
 def q_readability(spark, sf_dir):
     """Integer Flesch / Flesch-Kincaid readability (text_stats.py:
     readability_scores) over the REAL documents text — word /
@@ -2169,6 +2199,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "web_pipeline": q_web_pipeline,
     "readability": q_readability,
     "url_features": q_url_features,
     "crawl_gate": q_crawl_gate,
@@ -3136,6 +3167,16 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# web_pipeline: replay the funnel — admission set (d%4<>0), keep-one
+# per canonical group (min id), then the main-content keep rule on
+# the article paragraph (length >= 20, zero anchors inside).
+ORACLES["web_pipeline"] = (
+    "WITH keep AS (SELECT min(doc_id) AS k FROM documents "
+    "  WHERE doc_id % 4 <> 0 GROUP BY doc_id % 40) "
+    "SELECT d.doc_id, CASE WHEN length(d.text) >= 20 "
+    "THEN d.text ELSE '' END AS main_text "
+    "FROM documents d JOIN keep ON d.doc_id = keep.k")
 
 # readability: replay of the same regexes + floor divisions.
 ORACLES["readability"] = (
