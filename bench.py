@@ -128,13 +128,17 @@ def main() -> int:
     extract_transcripts(tr.limit(CPUS * 4), include_raw=False,
                         order=False).write.format("noop") \
         .mode("overwrite").save()
-    # The two headline numbers are best-of-2: this VM has multi-minute
-    # degraded windows (±30%), and a single sample recorded during one
-    # misstates the engine by that much (same policy as the scaling
-    # harness's interleaved best-of reps; see BASELINE.md).
+    # All numbers are best-of-N with reps INTERLEAVED across the
+    # whole suite (headline + aux once, then again): this VM has
+    # multi-minute degraded windows (±30%), so back-to-back samples
+    # of one query land in the same window and best-of rejects
+    # nothing — samples a full suite apart are far more independent
+    # (same policy as the scaling harness's interleaved reps; see
+    # BASELINE.md).
     reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
-    t_extract = float("inf")
-    for _ in range(reps):
+    from htmlparser_spark.kernel import extract_text
+
+    def headline_extract():
         t0 = time.time()
         # input already spread over CPUS*2 partitions above — the parse
         # kernel is row-independent, so no salt shuffle needed here
@@ -142,23 +146,18 @@ def main() -> int:
                                   order=True)
         agg = out.agg(F.count("*"), F.sum(F.length("extracted_text")),
                       F.sum("n_nodes"), F.sum("n_errors")).collect()[0]
-        t_extract = min(t_extract, time.time() - t0)
         assert agg[0] == n_turns
-    results["extract_pipeline"] = round(t_extract, 3)
+        return time.time() - t0
 
-    # kernel-only: parse + to_text, no raw/ordering/shuffle — the
-    # apples-to-apples unit the reference's single-thread anchor
-    # measures (BASELINE.md)
-    from htmlparser_spark.kernel import extract_text
-    t_kernel = float("inf")
-    for _ in range(reps):
+    def headline_kernel():
+        # kernel-only: parse + to_text, no raw/ordering/shuffle — the
+        # apples-to-apples unit the reference's single-thread anchor
+        # measures (BASELINE.md)
         t0 = time.time()
         extract_text(tr, strip=False, include_raw=False) \
             .select("conv_id", F.length("extracted_text")) \
             .write.format("noop").mode("overwrite").save()
-        t_kernel = min(t_kernel, time.time() - t0)
-    results["extract_kernel_only"] = round(t_kernel, 3)
-    tr.unpersist()
+        return time.time() - t0
 
     def bench_minhash(s, d):
         # same planted corpus as the oracle query, but at the operator
@@ -213,7 +212,12 @@ def main() -> int:
     # same window and best-of rejects nothing — samples a full suite
     # apart are far more independent (same policy as the scaling
     # harness's interleaved reps).
+    t_extract = t_kernel = float("inf")
     for _ in range(reps):
+        t_extract = min(t_extract, headline_extract())
+        results["extract_pipeline"] = round(t_extract, 3)
+        t_kernel = min(t_kernel, headline_kernel())
+        results["extract_kernel_only"] = round(t_kernel, 3)
         for name, fn in aux:
             # identical plans would reuse the previous rep's internal
             # .cache()s (dedup signature/candidate frames) — clear so
@@ -225,6 +229,7 @@ def main() -> int:
             dt = time.time() - t0
             results[name] = round(min(results.get(name, dt), dt), 3)
 
+    tr.unpersist()
     total = round(sum(results.values()), 3)
     probe_after = vm_health_probe()
     line = {
@@ -246,8 +251,8 @@ def main() -> int:
         # healthy reference values recorded in BASELINE.md)
         "ceiling_probe": {"before": probe_before, "after": probe_after},
         "reps": reps,
-        "policy": "best-of-%d, cold (clearCache before every sample)"
-                  % reps,
+        "policy": "best-of-%d, reps interleaved across the suite, "
+                  "cold (clearCache before every sample)" % reps,
     }
     spark.stop()
     print(json.dumps(line))
