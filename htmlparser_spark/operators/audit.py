@@ -22,7 +22,8 @@ from pyspark.sql import functions as F
 
 from .text_stats import token_count_col
 
-__all__ = ["source_stats"]
+__all__ = [
+    "conversation_integrity","source_stats"]
 
 
 def source_stats(df: DataFrame, source_col: str = "source",
@@ -80,3 +81,53 @@ def conversation_stats(extracted: DataFrame,
                - F.min(F.unix_timestamp(F.col(ts_col))))
               .cast("long").alias("span_seconds")))
     return g
+
+
+def conversation_integrity(df: DataFrame, conv_col: str = "conv_id",
+                           idx_col: str = "turn_idx",
+                           role_col: str = "role",
+                           text_col: str = "text",
+                           user_role: str = "user") -> DataFrame:
+    """Per-conversation structural validation — the gate a transcript
+    corpus passes before assembly into training documents: one row per
+    conversation with
+
+    - ``n_turns``
+    - ``n_role_violations`` — adjacent turns (in turn order) with the
+      SAME role (broken user/assistant alternation)
+    - ``starts_with_user`` — first turn's role == ``user_role``
+    - ``contiguous_turns`` — turn_idx values form an unbroken integer
+      run (no gaps, no duplicates)
+    - ``n_empty_turns`` — NULL or whitespace-only text
+
+    Same scale shape as assemble_conversations: ONE keyed shuffle
+    (groupBy conv) with map-side partial collect, the per-task memory
+    bound = one conversation's (idx, role, empty-bit) triples — a few
+    bytes per turn, far lighter than assembly's full text. All the
+    per-conversation logic is higher-order array expressions
+    (codegen), no UDF."""
+    s = F.struct(F.col(idx_col).cast("long").alias("i"),
+                 F.col(role_col).alias("r"),
+                 (F.col(text_col).isNull()
+                  | (F.trim(F.col(text_col)) == "")).alias("e"))
+    g = (df.select(F.col(conv_col), s.alias("_s"))
+         .groupBy(conv_col)
+         .agg(F.array_sort(F.collect_list("_s")).alias("_a")))
+    a = F.col("_a")
+    n = F.size(a)
+    viol = F.size(F.filter(
+        F.zip_with(a, F.slice(a, 2, F.greatest(n - 1, F.lit(0))),
+                   lambda x, y: x["r"] == y["r"]),
+        lambda b: b))
+    idxs = F.transform(a, lambda x: x["i"])
+    contiguous = (
+        (F.size(F.array_distinct(idxs)) == n)
+        & (F.element_at(idxs, -1) - F.element_at(idxs, 1) + 1 == n))
+    return g.select(
+        conv_col,
+        n.cast("long").alias("n_turns"),
+        viol.cast("long").alias("n_role_violations"),
+        (F.element_at(a, 1)["r"] == user_role).alias("starts_with_user"),
+        contiguous.alias("contiguous_turns"),
+        F.size(F.filter(a, lambda x: x["e"])).cast("long")
+        .alias("n_empty_turns"))

@@ -1977,6 +1977,27 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_conv_integrity(spark, sf_dir):
+    """Per-conversation structural validation (audit.py:
+    conversation_integrity): alternation violations (planted for
+    doc_id%7==0), turn-idx gaps AND duplicates (the %13 shift creates
+    both), empty turns (%11), starts-with-user under the (idx, role)
+    sort tie-break. The oracle replays the same windows in DuckDB."""
+    from .operators.audit import conversation_integrity
+    d = F.col("doc_id")
+    tidx = F.floor(d / 50)
+    role = F.when((d % 7 == 0) | (tidx % 2 == 0), F.lit("user")) \
+        .otherwise(F.lit("assistant"))
+    turns = load(spark, sf_dir, "documents").select(
+        F.concat(F.lit("c"), (d % 50).cast("string")).alias("conv_id"),
+        (tidx + F.when(d % 13 == 0, 1).otherwise(0))
+        .cast("int").alias("turn_idx"),
+        role.alias("role"),
+        F.when(d % 11 == 0, F.lit("  ")).otherwise(F.col("text"))
+        .alias("text"))
+    return conversation_integrity(turns)
+
+
 def q_web_pipeline(spark, sf_dir):
     """The composed crawl funnel, end to end in ONE lazy plan:
     crawl_gate (robots-noindex drop + canonical keep-one) → join the
@@ -2199,6 +2220,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "conv_integrity": q_conv_integrity,
     "web_pipeline": q_web_pipeline,
     "readability": q_readability,
     "url_features": q_url_features,
@@ -3167,6 +3189,27 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# conv_integrity: replay the same (idx, role) windows in DuckDB.
+ORACLES["conv_integrity"] = (
+    "WITH t AS (SELECT "
+    "  'c' || CAST(doc_id % 50 AS VARCHAR) conv_id, "
+    "  CAST(doc_id // 50 + CASE WHEN doc_id % 13 = 0 THEN 1 ELSE 0 END "
+    "    AS BIGINT) i, "
+    "  CASE WHEN doc_id % 7 = 0 OR (doc_id // 50) % 2 = 0 "
+    "    THEN 'user' ELSE 'assistant' END r, "
+    "  (doc_id % 11 = 0) e FROM documents), "
+    "o AS (SELECT conv_id, i, r, e, lag(r) OVER w pr, "
+    "  row_number() OVER w rn FROM t "
+    "  WINDOW w AS (PARTITION BY conv_id ORDER BY i, r)) "
+    "SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+    "CAST(sum(CASE WHEN r = pr THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_role_violations, "
+    "bool_or(rn = 1 AND r = 'user') AS starts_with_user, "
+    "(count(DISTINCT i) = count(*) "
+    " AND max(i) - min(i) + 1 = count(*)) AS contiguous_turns, "
+    "CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) "
+    "  AS n_empty_turns FROM o GROUP BY conv_id")
 
 # web_pipeline: replay the funnel — admission set (d%4<>0), keep-one
 # per canonical group (min id), then the main-content keep rule on
