@@ -148,3 +148,20 @@ def test_anchor_text_index(spark):
     # count desc, then anchor asc: buy(2) before shop(2); z cut at k=2
     assert got["t1"]["top_anchors"] == ["buy", "shop"]
     assert got["t2"]["top_anchors"] == ["only"]
+
+
+def test_map_only_plans_no_exchange(spark):
+    """The four new extraction surfaces are map-only Arrow stages —
+    no Exchange may appear anywhere in their plans."""
+    from htmlparser_spark.operators.pagemeta import extract_page_metadata
+    from htmlparser_spark.operators.tables import extract_table_cells
+    from htmlparser_spark.operators.webgraph import extract_doc_links
+    from htmlparser_spark.plans import explain_string
+
+    df = spark.createDataFrame(
+        [(1, "<p>x</p>", "https://e.com/")],
+        "doc_id long, text string, url string")
+    for out in (extract_page_metadata(df, drop_text=True),
+                extract_table_cells(df),
+                extract_doc_links(df, base_col="url")):
+        assert "Exchange" not in explain_string(out)
