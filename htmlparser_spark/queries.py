@@ -1977,6 +1977,38 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_warc_extract(spark, sf_dir):
+    """WARC ingest end to end (sources/warc.py): a synthetic WARC/1.0
+    response record per doc (HTTP/1.1 framing built with
+    octet_length so Content-Length is byte-exact), split by the
+    lib-free record parser, body fed to the extraction kernel
+    (script stripped). Every output field is closed-form."""
+    from .kernel import extract_text
+    from .sources.warc import warc_records
+    d = F.col("doc_id")
+    body = F.concat(F.lit("<p>"), F.col("text"),
+                    F.lit("</p><script>j</script>"))
+    http = F.concat(
+        F.lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+              "Content-Length: "),
+        F.octet_length(body).cast("string"), F.lit("\r\n\r\n"), body)
+    warc = F.concat(
+        F.lit("WARC/1.0\r\nWARC-Type: response\r\n"
+              "WARC-Target-URI: https://ex.com/d/"), d.cast("string"),
+        F.lit("\r\nWARC-Date: 2024-01-01T00:00:00Z\r\n"
+              "Content-Type: application/http;msgtype=response\r\n"
+              "Content-Length: "),
+        F.octet_length(http).cast("string"),
+        F.lit("\r\n\r\n"), http, F.lit("\r\n\r\n"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", warc.alias("blob"))
+    recs = warc_records(docs, blob_col="blob", key_cols=("doc_id",))
+    out = extract_text(recs, text_col="body", strip=True,
+                       include_raw=False, drop_text=True)
+    return out.select("doc_id", "target_uri", "http_status",
+                      "content_type", "extracted_text")
+
+
 def q_conv_integrity(spark, sf_dir):
     """Per-conversation structural validation (audit.py:
     conversation_integrity): alternation violations (planted for
@@ -2220,6 +2252,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
     "web_pipeline": q_web_pipeline,
     "readability": q_readability,
@@ -3189,6 +3222,15 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# warc_extract closed form: one 200 response per doc, kernel text
+# of '<p>{text}</p><script>j</script>' with strip = the text itself.
+ORACLES["warc_extract"] = (
+    "SELECT doc_id, "
+    "'https://ex.com/d/' || CAST(doc_id AS VARCHAR) AS target_uri, "
+    "CAST(200 AS INTEGER) AS http_status, "
+    "'text/html' AS content_type, "
+    "text AS extracted_text FROM documents")
 
 # conv_integrity: replay the same (idx, role) windows in DuckDB.
 ORACLES["conv_integrity"] = (
