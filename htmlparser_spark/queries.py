@@ -1977,6 +1977,25 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_robots_rules(spark, sf_dir):
+    """robots.txt parsing (operators/robots.py, RFC 9309): group
+    attachment, per-agent fan-out, group-independent Sitemap. The
+    wrapper file is deterministic, so all three rule rows per doc are
+    closed-form. (The longest-match/anchor matching semantics are
+    pinned by tests/test_robots.py.)"""
+    from .operators.robots import robots_rules
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("User-agent: bot"), (d % 3).cast("string"),
+        F.lit("\nDisallow: /p/"), d.cast("string"),
+        F.lit("\nAllow: /p/"), d.cast("string"),
+        F.lit("/ok\nSitemap: https://s"), (d % 2).cast("string"),
+        F.lit(".ex.com/map.xml\n"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("robots_txt"))
+    return robots_rules(docs, key_cols=("doc_id",))
+
+
 def q_warc_extract(spark, sf_dir):
     """WARC ingest end to end (sources/warc.py): a synthetic WARC/1.0
     response record per doc (HTTP/1.1 framing built with
@@ -2252,6 +2271,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "robots_rules": q_robots_rules,
     "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
     "web_pipeline": q_web_pipeline,
@@ -3222,6 +3242,20 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# robots_rules closed form: three rows per doc.
+ORACLES["robots_rules"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS rule_idx, agent, "
+    "directive, val AS \"value\" FROM ("
+    "SELECT doc_id, 0 i, 'bot' || CAST(doc_id % 3 AS VARCHAR) agent, "
+    "  'disallow' directive, '/p/' || CAST(doc_id AS VARCHAR) val "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id, 1, 'bot' || CAST(doc_id % 3 AS VARCHAR), "
+    "  'allow', '/p/' || CAST(doc_id AS VARCHAR) || '/ok' "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id, 2, '', 'sitemap', "
+    "  'https://s' || CAST(doc_id % 2 AS VARCHAR) || '.ex.com/map.xml' "
+    "  FROM documents)")
 
 # warc_extract closed form: one 200 response per doc, kernel text
 # of '<p>{text}</p><script>j</script>' with strip = the text itself.
