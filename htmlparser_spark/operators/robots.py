@@ -33,13 +33,15 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql.types import (
+    BooleanType,
     IntegerType,
     StringType,
     StructField,
     StructType,
 )
 
-__all__ = ["parse_robots_txt", "is_allowed", "robots_rules"]
+__all__ = ["parse_robots_txt", "is_allowed", "robots_rules",
+           "parse_sitemap", "sitemap_urls"]
 
 Rule = Tuple[int, str, str, str]  # rule_idx, agent, directive, value
 
@@ -154,6 +156,83 @@ def robots_rules(df: DataFrame, text_col: str = "robots_txt",
             out = pd.DataFrame(
                 rows, columns=keys + [f.name for f in _RULE_FIELDS])
             out = out.astype({"rule_idx": "int32"})
+            yield out
+
+    return df.select(*keys, text_col).mapInPandas(fn, schema=schema)
+
+
+# ------------------------------------------------------------------ #
+# sitemaps (sitemaps.org protocol, public spec) — crawl discovery    #
+# ------------------------------------------------------------------ #
+
+def parse_sitemap(text: str) -> List[Tuple[int, str, Optional[str],
+                                           Optional[str], Optional[str],
+                                           bool]]:
+    """(url_idx, loc, lastmod, changefreq, priority, is_index) rows
+    from one sitemap body — both ``<urlset>`` (page entries,
+    is_index=False) and ``<sitemapindex>`` (child sitemap entries,
+    is_index=True). Parsed with the SAME DOM kernel as the HTML path
+    (htmldom/parse.py handles the XML fine: explicit closes, text
+    nodes); entries without a ``<loc>`` are skipped per the spec."""
+    from ..htmldom.constants import KIND_TAG
+    from ..htmldom.parse import parse
+    from ..htmldom.serialize import to_text
+
+    doc = parse(text)
+    rows = []
+    idx = 0
+    for nid in range(len(doc)):
+        if doc.kind[nid] != KIND_TAG or doc.tag[nid] not in (
+                "url", "sitemap"):
+            continue
+        fields = {}
+        for c in doc.children[nid]:
+            if doc.kind[c] != KIND_TAG:
+                continue
+            t = doc.tag[c]
+            if t in ("loc", "lastmod", "changefreq", "priority") \
+                    and t not in fields:
+                fields[t] = to_text(doc, raw=True, node_id=c).strip()
+        if "loc" not in fields or not fields["loc"]:
+            continue
+        rows.append((idx, fields["loc"], fields.get("lastmod"),
+                     fields.get("changefreq"), fields.get("priority"),
+                     doc.tag[nid] == "sitemap"))
+        idx += 1
+    return rows
+
+
+_SITEMAP_FIELDS = [
+    StructField("url_idx", IntegerType(), False),
+    StructField("loc", StringType(), False),
+    StructField("lastmod", StringType(), True),
+    StructField("changefreq", StringType(), True),
+    StructField("priority", StringType(), True),
+    StructField("is_index", BooleanType(), False),
+]
+
+
+def sitemap_urls(df: DataFrame, text_col: str = "sitemap_xml",
+                 key_cols: Tuple[str, ...] = ("host",)) -> DataFrame:
+    """One row per sitemap entry: (key_cols…, url_idx, loc, lastmod,
+    changefreq, priority, is_index). Map-only Arrow stage; NULL
+    bodies contribute no rows."""
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    schema = StructType(key_fields + _SITEMAP_FIELDS)
+    keys = list(key_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf[keys + [text_col]].itertuples(index=False):
+                *kv, body = tup
+                if body is None:
+                    continue
+                for rec in parse_sitemap(body):
+                    rows.append((*kv, *rec))
+            out = pd.DataFrame(
+                rows, columns=keys + [f.name for f in _SITEMAP_FIELDS])
+            out = out.astype({"url_idx": "int32", "is_index": "bool"})
             yield out
 
     return df.select(*keys, text_col).mapInPandas(fn, schema=schema)

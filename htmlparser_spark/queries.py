@@ -1977,6 +1977,26 @@ def q_to_markdown(spark, sf_dir):
     return out.select("doc_id", "markdown")
 
 
+def q_sitemap_parse(spark, sf_dir):
+    """Sitemap parsing (operators/robots.py:parse_sitemap,
+    sitemaps.org protocol) through the SAME DOM kernel as the HTML
+    path: two wrapper url entries per doc (one with lastmod +
+    priority), closed-form oracle."""
+    from .operators.robots import sitemap_urls
+    d = F.col("doc_id")
+    xml = F.concat(
+        F.lit('<?xml version="1.0"?><urlset><url><loc>'
+              'https://ex.com/p/'), d.cast("string"),
+        F.lit("</loc><lastmod>2024-0"), (d % 9 + 1).cast("string"),
+        F.lit("-01</lastmod><priority>0."), (d % 10).cast("string"),
+        F.lit("</priority></url><url><loc>https://ex.com/q/"),
+        (d % 5).cast("string"),
+        F.lit("</loc></url></urlset>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", xml.alias("sitemap_xml"))
+    return sitemap_urls(docs, key_cols=("doc_id",))
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing (operators/robots.py, RFC 9309): group
     attachment, per-agent fan-out, group-independent Sitemap. The
@@ -2271,6 +2291,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "sitemap_parse": q_sitemap_parse,
     "robots_rules": q_robots_rules,
     "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
@@ -3242,6 +3263,19 @@ ORACLES["to_markdown"] = (
     "|| '```' || chr(10) || 'x=' || CAST(doc_id % 5 AS VARCHAR) "
     "|| chr(10) || '```' AS markdown FROM documents")
 
+
+# sitemap_parse closed form: two url rows per doc.
+ORACLES["sitemap_parse"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS url_idx, loc, lastmod, "
+    "CAST(NULL AS VARCHAR) AS changefreq, priority, "
+    "FALSE AS is_index FROM ("
+    "SELECT doc_id, 0 i, "
+    "  'https://ex.com/p/' || CAST(doc_id AS VARCHAR) loc, "
+    "  '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-01' lastmod, "
+    "  '0.' || CAST(doc_id % 10 AS VARCHAR) priority FROM documents "
+    "UNION ALL SELECT doc_id, 1, "
+    "  'https://ex.com/q/' || CAST(doc_id % 5 AS VARCHAR), "
+    "  NULL, NULL FROM documents)")
 
 # robots_rules closed form: three rows per doc.
 ORACLES["robots_rules"] = (

@@ -74,3 +74,35 @@ def test_robots_rules_spark_surface(spark):
            for r in out.collect()]
     assert ("a.com", "googlebot", "disallow", "/private/") in got
     assert all(h == "a.com" for h, *_ in got)
+
+
+def test_parse_sitemap():
+    from htmlparser_spark.operators.robots import parse_sitemap
+    xml = ('<?xml version="1.0"?><urlset>'
+           "<url><loc>https://a/1</loc><lastmod>2024-01-01</lastmod>"
+           "<priority>0.8</priority></url>"
+           "<url><loc>https://a/2</loc></url>"
+           "<url><lastmod>no-loc-skipped</lastmod></url></urlset>")
+    assert parse_sitemap(xml) == [
+        (0, "https://a/1", "2024-01-01", None, "0.8", False),
+        (1, "https://a/2", None, None, None, False),
+    ]
+    idx = parse_sitemap("<sitemapindex><sitemap>"
+                        "<loc>https://a/s1.xml</loc>"
+                        "</sitemap></sitemapindex>")
+    assert idx == [(0, "https://a/s1.xml", None, None, None, True)]
+    assert parse_sitemap("") == []
+
+
+def test_sitemap_urls_spark_surface(spark):
+    from htmlparser_spark.operators.robots import sitemap_urls
+    from htmlparser_spark.plans import assert_no_python_row_udf
+
+    df = spark.createDataFrame(
+        [("a.com", "<urlset><url><loc>https://a/1</loc></url></urlset>"),
+         ("b.com", None)],
+        "host string, sitemap_xml string")
+    out = sitemap_urls(df)
+    assert_no_python_row_udf(out)
+    assert [(r["host"], r["loc"], r["is_index"])
+            for r in out.collect()] == [("a.com", "https://a/1", False)]
