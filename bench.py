@@ -205,6 +205,8 @@ def main() -> int:
         ("link_pagerank", Q.q_link_pagerank),
         ("template_lines", Q.q_template_lines),
         ("to_markdown", Q.q_to_markdown),
+        ("warc_extract", Q.q_warc_extract),
+        ("web_pipeline", Q.q_web_pipeline),
     ]
     # Reps are INTERLEAVED across the suite (all queries once, then
     # again), not back-to-back per query: this VM's degraded windows
