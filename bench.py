@@ -119,8 +119,16 @@ def main() -> int:
     # headline: extraction pipeline, kernel-dominated. The synthesized
     # crossJoin collapses to 1 partition — spread it like a real
     # multi-file table before timing (ingest layout, not pipeline work).
-    tr = build_transcripts(spark, SF_DIR, TURNS_PER_DOC) \
-        .repartition(CPUS * 2).persist()
+    # MATERIALIZED to parquet (untimed), not .persist(): the aux loop
+    # clears the cache before every sample, which would silently evict
+    # a cached tr and make the headline's later interleaved reps pay
+    # regeneration; a real table scan is also the honest baseline.
+    import shutil
+    import tempfile
+    tr_dir = tempfile.mkdtemp(prefix="hps_bench_tr_")
+    build_transcripts(spark, SF_DIR, TURNS_PER_DOC) \
+        .repartition(CPUS * 2).write.mode("overwrite").parquet(tr_dir)
+    tr = spark.read.parquet(tr_dir)
     n_turns = tr.count()
     n_bytes = tr.agg(F.sum(F.length("text"))).collect()[0][0]
     # warm the Python workers (one tiny UDF pass) so the headline
@@ -135,7 +143,7 @@ def main() -> int:
     # nothing — samples a full suite apart are far more independent
     # (same policy as the scaling harness's interleaved reps; see
     # BASELINE.md).
-    reps = int(os.environ.get("SPARK_GRAFT_REPS", "2"))
+    reps = int(os.environ.get("SPARK_GRAFT_REPS", "3"))
     from htmlparser_spark.kernel import extract_text
 
     def headline_extract():
@@ -231,7 +239,7 @@ def main() -> int:
             dt = time.time() - t0
             results[name] = round(min(results.get(name, dt), dt), 3)
 
-    tr.unpersist()
+    shutil.rmtree(tr_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     probe_after = vm_health_probe()
     line = {
