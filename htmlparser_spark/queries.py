@@ -653,6 +653,24 @@ def q_image_decode_real(spark, sf_dir):
         "sum_r", "sum_g", "sum_b")
 
 
+def q_image_decode_png(spark, sf_dir):
+    """REAL PNG decode (stdlib zlib only): synthesize a genuine
+    zlib-compressed PNG per doc — same pixel arithmetic as the PPM
+    query, but the scanline filter type cycles (y+id)%5, so reading
+    the pixels back exercises chunk CRC verification, inflate, and
+    ALL five PNG unfilter paths (None/Sub/Up/Average/Paeth). The
+    oracle replays only the generation arithmetic: filter choice is
+    invisible in decoded pixels, so a green row certifies the whole
+    decode stack."""
+    from .operators.multimodal import decode_image_pixels, synth_png_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synth_png_blob(docs)
+    return decode_image_pixels(media).select(
+        "doc_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b")
+
+
 def q_callback_events(spark, sf_dir):
     """Parse-time callback dispatch (EP3, html.cpp:539-573): three
     callbacks — selector 'li', unconditional, error — over list markup
@@ -1220,6 +1238,11 @@ ORACLES["image_decode_real"] = (
         for c, ch in enumerate("rgb"))
     + " FROM (SELECT doc_id, doc_id % 13 + 4 AS w, doc_id % 11 + 4 AS h "
     "FROM documents)")
+# same arithmetic replay for the PNG variant: the decoder output is
+# independent of the per-row filter choice, so the PPM oracle form
+# certifies the zlib/unfilter stack too
+ORACLES["image_decode_png"] = ORACLES["image_decode_real"]
+
 # (the round-2 `frame_sample` stub query + oracle were retired in
 # round 4: the REAL Y4M decode path is the driver query
 # `video_frames_real`; the stub operator survives only as plumbing
@@ -2389,6 +2412,7 @@ QUERIES = {
     "rolling_fingerprint": q_rolling_fingerprint,
     "multimodal_decode": q_multimodal_decode,
     "image_decode_real": q_image_decode_real,
+    "image_decode_png": q_image_decode_png,
     "callback_events": q_callback_events,
     "repetition_stats": q_repetition_stats,
     "pii_redaction": q_pii_redaction,

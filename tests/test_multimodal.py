@@ -195,3 +195,88 @@ def test_media_decoders_quarantine_random_blobs(spark):
     assert len(audio) == 100
     assert all(r.sum_abs is None for r in audio)
     assert frame_sample_real(df).count() == 0
+
+
+# ---------------------------------------------------------------- PNG
+
+def test_png_round_trip_all_filters():
+    """Every scanline filter type (None/Sub/Up/Average/Paeth), solo and
+    mixed, must unfilter back to the exact source pixels — including
+    1-pixel-wide/tall edge shapes where the left neighbor is absent."""
+    from htmlparser_spark.operators.multimodal import _png_encode
+    rng = np.random.RandomState(7)
+    for ft in range(5):
+        for (w, h) in [(1, 1), (1, 5), (5, 1), (4, 4), (17, 3)]:
+            px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+            w2, h2, px2 = _decode_rgb(_png_encode(w, h, px, [ft] * h))
+            assert (w2, h2) == (w, h)
+            assert np.array_equal(px, px2), (ft, w, h)
+    for _ in range(10):
+        w, h = rng.randint(1, 33), rng.randint(1, 33)
+        px = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        filters = rng.randint(0, 5, size=h)
+        assert np.array_equal(px, _decode_rgb(_png_encode(w, h, px,
+                                                          filters))[2])
+
+
+def test_png_rgba_alpha_stripped():
+    """Color type 6 (RGBA) decodes with the alpha plane dropped."""
+    from htmlparser_spark.operators.multimodal import (_PNG_SIG,
+                                                       _decode_png)
+    import zlib as _z
+
+    def chunk(typ, data):
+        return (len(data).to_bytes(4, "big") + typ + data
+                + (_z.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+    w, h = 3, 2
+    px = np.arange(w * h * 4, dtype=np.uint8).reshape(h, w, 4)
+    lines = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([8, 6, 0, 0, 0]))
+    blob = (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", _z.compress(lines)) + chunk(b"IEND", b""))
+    w2, h2, out = _decode_png(blob)
+    assert (w2, h2) == (w, h)
+    assert np.array_equal(out, px[:, :, :3])
+
+
+def test_png_malformed_rejected():
+    """CRC corruption, truncation, and size mismatch raise ValueError
+    (quarantine path); palette/16-bit/interlace raise the honest
+    NotImplementedError."""
+    from htmlparser_spark.operators.multimodal import (_PNG_SIG,
+                                                       _png_encode)
+    good = bytearray(_png_encode(4, 4, np.zeros((4, 4, 3), np.uint8)))
+    bad = bytearray(good)
+    bad[20] ^= 0xFF
+    with pytest.raises(ValueError, match="CRC"):
+        _decode_rgb(bytes(bad))
+    with pytest.raises(ValueError, match="truncated|missing"):
+        _decode_rgb(bytes(good[:30]))
+    # interlaced flag → NotImplementedError (rebuild CRC so we reach it)
+    import zlib as _z
+    ihdr = bytearray(good[16:29]); ihdr[12] = 1
+    patched = (bytes(good[:16]) + bytes(ihdr)
+               + (_z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+                  ).to_bytes(4, "big") + bytes(good[33:]))
+    with pytest.raises(NotImplementedError, match="interlace"):
+        _decode_rgb(patched)
+
+
+def test_png_spark_roundtrip(spark):
+    """synth_png_blob → decode_image_pixels over mapInPandas matches
+    the generation arithmetic — same witness as the PPM path, but the
+    bytes went through zlib + cycling filter types."""
+    from htmlparser_spark.operators.multimodal import synth_png_blob
+    ids = spark.range(9).withColumnRenamed("id", "doc_id")
+    rows = decode_image_pixels(synth_png_blob(ids)) \
+        .orderBy("doc_id").collect()
+    assert len(rows) == 9
+    for r in rows:
+        i = r.doc_id
+        w, h = i % 13 + 4, i % 11 + 4
+        px = (i * 7 + 31 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        assert (r.width, r.height) == (w, h)
+        assert [r.sum_r, r.sum_g, r.sum_b] == \
+            [int(px[c::3].sum()) for c in range(3)]

@@ -8,7 +8,7 @@ catch.
 
 from __future__ import annotations
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from htmlparser_spark.htmldom import (
     KIND_TAG,
@@ -58,12 +58,32 @@ def test_parse_never_throws_and_serializes(s):
 
 @settings(max_examples=150, deadline=None)
 @given(_fragment())
+@example(frag="\x0b")  # hypothesis-discovered: the \v asymmetry case
 def test_raw_html_roundtrip_fixpoint(frag):
-    """One canonicalization round reaches a fixpoint:
-    raw(parse(raw(parse(x)))) == raw(parse(x))."""
+    """Canonicalization reaches a fixpoint by the SECOND round:
+    raw(parse(raw(parse(raw(parse(x)))))) == raw(parse(raw(parse(x)))).
+
+    One round is NOT always a fixpoint, and that is reference-faithful:
+    the tokenizer's is_space (html.hpp:231) excludes \\v, so '\\x0b'
+    parses as a real text node, but the serializer's space_chars
+    (html.cpp:16) includes \\v and normalizes it to ' ' — which a
+    second parse then drops as all-whitespace. After one round the
+    text contains no \\v, so round two is always stable."""
     once = to_raw_html(parse(frag))
     twice = to_raw_html(parse(once))
-    assert twice == once
+    thrice = to_raw_html(parse(twice))
+    assert thrice == twice
+    if "\x0b" not in frag:
+        # without the asymmetric character, one round already suffices
+        assert twice == once
+
+
+def test_vertical_tab_asymmetry_golden():
+    """Pin the quirk the fixpoint property steps around: \\v alone is a
+    text node (is_space excludes 0x0B) whose serialization ' '
+    (space_chars includes \\v) disappears on re-parse."""
+    assert to_raw_html(parse("\x0b")) == " "
+    assert to_raw_html(parse(" ")) == ""
 
 
 @settings(max_examples=150, deadline=None)
