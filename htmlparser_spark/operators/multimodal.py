@@ -4,7 +4,7 @@ columns with typed metadata.
 The Spark-side machinery (schemas, Arrow batch shapes, partitioning,
 UDF signatures) is real and tested. Decode status, honestly stated:
 
-- **Real decode** exists for the two public formats that need no
+- **Real decode** exists for the raw public formats that need no
   external library: binary PPM (``P6``) and uncompressed 24-bit BMP —
   ``decode_image_pixels`` parses the actual byte layout (headers,
   row padding, bottom-up rows, BGR order) with numpy and emits
@@ -91,7 +91,7 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
 
     Returns ``(width, height, pixels[h, w, 3] uint8)``. Raises
     ValueError on malformed input and NotImplementedError for formats
-    that genuinely need an image library (JPEG/PNG/...).
+    that genuinely need an image library (JPEG/...).
     """
     if b[:2] == b"P6":
         pos, fields = 2, []
