@@ -2020,6 +2020,46 @@ def q_sitemap_parse(spark, sf_dir):
     return sitemap_urls(docs, key_cols=("doc_id",))
 
 
+def q_feed_entries(spark, sf_dir):
+    """RSS/Atom feed parsing (operators/feeds.py) through the SAME
+    DOM kernel as the HTML path: even doc_ids get an RSS 2.0 feed
+    (exercising the void-``<link>`` sibling-text quirk and tag
+    lowercasing of ``<pubDate>``), odd doc_ids an Atom feed
+    (attribute-carried links, rel filtering, published-vs-updated
+    fallback). Two entries per doc, all fields closed-form."""
+    from .operators.feeds import feed_entries
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    mon = (d % 9 + 1).cast("string")
+    b = (d % 7).cast("string")
+    rss = F.concat(
+        F.lit('<?xml version="1.0"?><rss version="2.0"><channel>'
+              '<title>Feed '), ds,
+        F.lit("</title><item><title>A"), ds,
+        F.lit("</title><link>https://ex.com/a/"), ds,
+        F.lit("</link><guid>g"), ds,
+        F.lit("</guid><pubDate>2024-0"), mon,
+        F.lit("-02</pubDate><description>da"), ds,
+        F.lit("</description></item><item><title>B"), b,
+        F.lit("</title><link>https://ex.com/b/"), b,
+        F.lit("</link></item></channel></rss>"))
+    atom = F.concat(
+        F.lit("<feed><title>Feed "), ds,
+        F.lit("</title><entry><title>A"), ds,
+        F.lit('</title><link href="https://ex.com/a/'), ds,
+        F.lit('"/><id>g'), ds,
+        F.lit("</id><published>2024-0"), mon,
+        F.lit("-02</published><summary>da"), ds,
+        F.lit("</summary></entry><entry><title>B"), b,
+        F.lit('</title><link rel="alternate" '
+              'href="https://ex.com/b/'), b,
+        F.lit('"/><updated>2023-12-31</updated></entry></feed>'))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", F.when(d % 2 == 0, rss).otherwise(atom)
+        .alias("feed_xml"))
+    return feed_entries(docs, key_cols=("doc_id",))
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing (operators/robots.py, RFC 9309): group
     attachment, per-agent fan-out, group-independent Sitemap. The
@@ -2315,6 +2355,7 @@ def q_extract_tables(spark, sf_dir):
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
     "sitemap_parse": q_sitemap_parse,
+    "feed_entries": q_feed_entries,
     "robots_rules": q_robots_rules,
     "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
@@ -3300,6 +3341,24 @@ ORACLES["sitemap_parse"] = (
     "UNION ALL SELECT doc_id, 1, "
     "  'https://ex.com/q/' || CAST(doc_id % 5 AS VARCHAR), "
     "  NULL, NULL FROM documents)")
+
+# feed_entries closed form: two entry rows per doc; entry 0 fully
+# populated in both formats, entry 1 sparse (guid/pubDate/description
+# absent in RSS; id/summary absent in Atom, updated fallback fires).
+ORACLES["feed_entries"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS entry_idx, "
+    "CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS fmt, "
+    "'Feed ' || CAST(doc_id AS VARCHAR) AS feed_title, "
+    "title, url, entry_id, published, summary FROM ("
+    "SELECT doc_id, 0 i, 'A' || CAST(doc_id AS VARCHAR) title, "
+    "  'https://ex.com/a/' || CAST(doc_id AS VARCHAR) url, "
+    "  'g' || CAST(doc_id AS VARCHAR) entry_id, "
+    "  '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-02' published, "
+    "  'da' || CAST(doc_id AS VARCHAR) summary FROM documents "
+    "UNION ALL SELECT doc_id, 1, 'B' || CAST(doc_id % 7 AS VARCHAR), "
+    "  'https://ex.com/b/' || CAST(doc_id % 7 AS VARCHAR), NULL, "
+    "  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE '2023-12-31' END, "
+    "  NULL FROM documents)")
 
 # robots_rules closed form: three rows per doc.
 ORACLES["robots_rules"] = (
