@@ -2060,6 +2060,40 @@ def q_feed_entries(spark, sf_dir):
     return feed_entries(docs, key_cols=("doc_id",))
 
 
+def q_structured_data(spark, sf_dir):
+    """JSON-LD + microdata extraction (operators/structured.py):
+    every doc carries one ld+json Article block (nested author dict →
+    dotted prop, scalar keyword array → multiplicity, numeric
+    stringify) and one Product microdata item with a nested Brand
+    (meta/content + a/href value rules, nested-itemscope reference
+    row). All 11 rows per doc closed-form."""
+    from .operators.structured import structured_data
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    html = F.concat(
+        F.lit('<html><head><script type="application/ld+json">'
+              '{"@type":"Article","headline":"H'), ds,
+        F.lit('","datePublished":"2024-0'), (d % 9 + 1).cast("string"),
+        F.lit('-03","author":{"@type":"Person","name":"A'),
+        (d % 5).cast("string"),
+        F.lit('"},"keywords":["k'), (d % 3).cast("string"),
+        F.lit('","q'), (d % 4).cast("string"),
+        F.lit('"],"wordCount":'), (d % 100).cast("string"),
+        F.lit('}</script></head><body>'
+              '<div itemscope itemtype="https://schema.org/Product">'
+              '<span itemprop="name">P'), ds,
+        F.lit('</span><meta itemprop="price" content="'),
+        (d % 50).cast("string"),
+        F.lit('.99"><a itemprop="url" href="/p/'), ds,
+        F.lit('">x</a><div itemprop="brand" itemscope '
+              'itemtype="https://schema.org/Brand">'
+              '<span itemprop="name">B'), (d % 7).cast("string"),
+        F.lit("</span></div></div></body></html>"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", html.alias("text"))
+    return structured_data(docs, key_cols=("doc_id",))
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing (operators/robots.py, RFC 9309): group
     attachment, per-agent fan-out, group-independent Sitemap. The
@@ -2356,6 +2390,7 @@ QUERIES = {
     # -- round-4 late additions (no driver row yet) --
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
+    "structured_data": q_structured_data,
     "robots_rules": q_robots_rules,
     "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
@@ -3359,6 +3394,42 @@ ORACLES["feed_entries"] = (
     "  'https://ex.com/b/' || CAST(doc_id % 7 AS VARCHAR), NULL, "
     "  CASE WHEN doc_id % 2 = 0 THEN NULL ELSE '2023-12-31' END, "
     "  NULL FROM documents)")
+
+# structured_data closed form: 6 JSON-LD + 5 microdata rows per doc.
+ORACLES["structured_data"] = (
+    "SELECT doc_id, src, CAST(block_idx AS INTEGER) AS block_idx, "
+    "CAST(item_idx AS INTEGER) AS item_idx, item_type, prop, "
+    "val AS \"value\", CAST(refi AS INTEGER) AS ref_item FROM ("
+    "SELECT doc_id, 'jsonld' src, 0 block_idx, 0 item_idx, "
+    "  'Article' item_type, 'headline' prop, "
+    "  'H' || CAST(doc_id AS VARCHAR) val, NULL refi FROM documents "
+    "UNION ALL SELECT doc_id, 'jsonld', 0, 0, 'Article', "
+    "  'datePublished', "
+    "  '2024-0' || CAST(doc_id % 9 + 1 AS VARCHAR) || '-03', NULL "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id, 'jsonld', 0, 0, 'Article', "
+    "  'author.name', 'A' || CAST(doc_id % 5 AS VARCHAR), NULL "
+    "  FROM documents "
+    "UNION ALL SELECT doc_id, 'jsonld', 0, 0, 'Article', 'keywords', "
+    "  'k' || CAST(doc_id % 3 AS VARCHAR), NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'jsonld', 0, 0, 'Article', 'keywords', "
+    "  'q' || CAST(doc_id % 4 AS VARCHAR), NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'jsonld', 0, 0, 'Article', 'wordCount', "
+    "  CAST(doc_id % 100 AS VARCHAR), NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'microdata', NULL, 0, "
+    "  'https://schema.org/Product', 'name', "
+    "  'P' || CAST(doc_id AS VARCHAR), NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'microdata', NULL, 0, "
+    "  'https://schema.org/Product', 'price', "
+    "  CAST(doc_id % 50 AS VARCHAR) || '.99', NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'microdata', NULL, 0, "
+    "  'https://schema.org/Product', 'url', "
+    "  '/p/' || CAST(doc_id AS VARCHAR), NULL FROM documents "
+    "UNION ALL SELECT doc_id, 'microdata', NULL, 0, "
+    "  'https://schema.org/Product', 'brand', NULL, 1 FROM documents "
+    "UNION ALL SELECT doc_id, 'microdata', NULL, 1, "
+    "  'https://schema.org/Brand', 'name', "
+    "  'B' || CAST(doc_id % 7 AS VARCHAR), NULL FROM documents)")
 
 # robots_rules closed form: three rows per doc.
 ORACLES["robots_rules"] = (
