@@ -2094,6 +2094,27 @@ def q_structured_data(spark, sf_dir):
     return structured_data(docs, key_cols=("doc_id",))
 
 
+def q_normalize_text(spark, sf_dir):
+    """Text normalization (operators/normalize.py): three columns
+    exercise the three non-trivial paths — cp1252 mojibake repair +
+    control strip + whitespace collapse (``fixed``), combining-mark
+    NFC composition (``composed``), NFKC ligature/width fold
+    (``folded``). Expected outputs are closed-form literals."""
+    from .operators.normalize import normalize_text_col
+    d = F.col("doc_id")
+    moji = F.concat(F.lit("cafÃ©  \x07n"),
+                    (d % 5).cast("string"))
+    comb = F.concat(F.lit("e\u0301tude\t"), d.cast("string"))
+    kfold = F.concat(F.lit("ﬁt ５ "), d.cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", moji.alias("m"), comb.alias("c"), kfold.alias("k"))
+    return docs.select(
+        "doc_id",
+        normalize_text_col(F.col("m")).alias("fixed"),
+        normalize_text_col(F.col("c")).alias("composed"),
+        normalize_text_col(F.col("k"), form="NFKC").alias("folded"))
+
+
 def q_robots_rules(spark, sf_dir):
     """robots.txt parsing (operators/robots.py, RFC 9309): group
     attachment, per-agent fan-out, group-independent Sitemap. The
@@ -2391,6 +2412,7 @@ QUERIES = {
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
     "structured_data": q_structured_data,
+    "normalize_text": q_normalize_text,
     "robots_rules": q_robots_rules,
     "warc_extract": q_warc_extract,
     "conv_integrity": q_conv_integrity,
@@ -3430,6 +3452,13 @@ ORACLES["structured_data"] = (
     "UNION ALL SELECT doc_id, 'microdata', NULL, 1, "
     "  'https://schema.org/Brand', 'name', "
     "  'B' || CAST(doc_id % 7 AS VARCHAR), NULL FROM documents)")
+
+# normalize_text closed form: repaired/composed/folded literals.
+ORACLES["normalize_text"] = (
+    "SELECT doc_id, "
+    "'café n' || CAST(doc_id % 5 AS VARCHAR) AS fixed, "
+    "'étude ' || CAST(doc_id AS VARCHAR) AS composed, "
+    "'fit 5 ' || CAST(doc_id AS VARCHAR) AS folded FROM documents")
 
 # robots_rules closed form: three rows per doc.
 ORACLES["robots_rules"] = (
