@@ -1,0 +1,110 @@
+"""Rule-based sentence splitting: deterministic, language-light.
+
+Sentence boundaries feed several corpus stages — sentence-level dedup
+(the C4 "three-sentence span" rule), chunking that respects sentence
+edges, and per-sentence quality filters — so the splitter must be
+deterministic and cheap, not model-based. Rules (applied to already-
+extracted plain text; run normalize.py first if the source is raw):
+
+- A boundary is a run of ``.``/``!``/``?`` (optionally followed by a
+  closing quote/bracket ``"'")]``), then whitespace, then an
+  upper-case letter, digit, or opening quote/bracket.
+- NOT a boundary when the period terminates a known abbreviation
+  (``mr mrs ms dr prof sr jr st no vs etc al eg ie e.g i.e u.s``,
+  case-insensitive, matched as the token before the period) or an
+  single initial (``J. K. Rowling``).
+- Decimal numbers (``3.14``) never split: the rule requires
+  whitespace after the punctuation run.
+- The final fragment is a sentence even without terminal punctuation.
+- Sentences are emitted stripped; empty/whitespace fragments are
+  dropped. ``sent_idx`` numbers them in document order.
+
+One vectorized Arrow stage, one output row per sentence — the same
+explode shape as the chunking operator so downstream joins look
+identical.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator, List, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["split_sentences_str", "split_sentences"]
+
+_ABBREV = frozenset(
+    "mr mrs ms dr prof sr jr st no vs etc al eg ie e.g i.e u.s".split())
+
+# candidate boundary: terminal-punct run (+ optional close quote),
+# whitespace, then a sentence-opening char
+_BOUNDARY = re.compile(
+    r"([.!?]+[\"'”’)\]]?)(\s+)(?=[A-Z0-9\"'“‘(\[])")
+_LAST_TOKEN = re.compile(r"(\S+)$")
+
+
+def _is_abbrev_before(text: str, punct_start: int) -> bool:
+    m = _LAST_TOKEN.search(text, 0, punct_start + 1)
+    if not m:
+        return False
+    tok = m.group(1).rstrip(".!?").lstrip("(\"'([").lower()
+    if tok in _ABBREV:
+        return True
+    # single initial: one letter, preceding char (if any) not a letter
+    return len(tok) == 1 and tok.isalpha()
+
+
+def split_sentences_str(text: Optional[str]) -> List[str]:
+    if not text:
+        return []
+    out: List[str] = []
+    start = 0
+    for m in _BOUNDARY.finditer(text):
+        if _is_abbrev_before(text, m.start(1)):
+            continue
+        frag = text[start:m.end(1)].strip()
+        if frag:
+            out.append(frag)
+        start = m.end(2)
+    tail = text[start:].strip()
+    if tail:
+        out.append(tail)
+    return out
+
+
+_SENT_FIELDS = [
+    StructField("sent_idx", IntegerType(), False),
+    StructField("sentence", StringType(), False),
+]
+
+
+def split_sentences(df: DataFrame, text_col: str = "text",
+                    key_cols: Tuple[str, ...] = ("doc_id",)
+                    ) -> DataFrame:
+    """One row per sentence: (key_cols…, sent_idx, sentence).
+    Map-only Arrow stage; NULL/empty texts contribute no rows."""
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    schema = StructType(key_fields + _SENT_FIELDS)
+    keys = list(key_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf[keys + [text_col]].itertuples(index=False):
+                *kv, body = tup
+                for i, s in enumerate(split_sentences_str(body)):
+                    rows.append((*kv, i, s))
+            out = pd.DataFrame(
+                rows, columns=keys + [f.name for f in _SENT_FIELDS])
+            out["sent_idx"] = out["sent_idx"].astype("int32")
+            yield out
+
+    return df.select(*keys, text_col).mapInPandas(fn, schema=schema)

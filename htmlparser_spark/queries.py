@@ -2400,6 +2400,26 @@ def q_extract_tables(spark, sf_dir):
     return extract_table_cells(docs)
 
 
+def q_sentence_split(spark, sf_dir):
+    """Rule-based sentence splitting (operators/sentences.py): one
+    row per sentence in document order. The wrapper text exercises
+    every rule — decimal non-boundary (3.14), single-initial
+    non-boundary (J. K.), abbreviation non-boundary (no.), digit-
+    opener boundary, close-paren-before-punct boundary, and the
+    unterminated tail — so all five sentences per doc are closed-form
+    literals parameterized only by doc_id."""
+    from .operators.sentences import split_sentences
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("Pi is 3.14 today. J. K. Row read no. "),
+        d.cast("string"),
+        F.lit("! Was it fine? Yes ("), d.cast("string"),
+        F.lit(" times). The end"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("text"))
+    return split_sentences(docs)
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -2409,6 +2429,7 @@ def q_extract_tables(spark, sf_dir):
 # CORRECTNESS_r03.json follow.
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
+    "sentence_split": q_sentence_split,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
     "structured_data": q_structured_data,
@@ -3461,6 +3482,17 @@ ORACLES["normalize_text"] = (
     "'fit 5 ' || CAST(doc_id AS VARCHAR) AS folded FROM documents")
 
 # robots_rules closed form: three rows per doc.
+ORACLES["sentence_split"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, s AS sentence "
+    "FROM ("
+    "SELECT doc_id, 0 i, 'Pi is 3.14 today.' s FROM documents "
+    "UNION ALL SELECT doc_id, 1, 'J. K. Row read no. ' || "
+    "  CAST(doc_id AS VARCHAR) || '!' FROM documents "
+    "UNION ALL SELECT doc_id, 2, 'Was it fine?' FROM documents "
+    "UNION ALL SELECT doc_id, 3, 'Yes (' || "
+    "  CAST(doc_id AS VARCHAR) || ' times).' FROM documents "
+    "UNION ALL SELECT doc_id, 4, 'The end' FROM documents)")
+
 ORACLES["robots_rules"] = (
     "SELECT doc_id, CAST(i AS INTEGER) AS rule_idx, agent, "
     "directive, val AS \"value\" FROM ("
