@@ -42,6 +42,7 @@ __all__ = [
     "classifier_gate",
     "CLASSIFIER_WEIGHTS", "length_quantiles", "tfidf_topk",
     "hashed_features", "ngram_lm_familiarity",
+    "compression_stats", "compressed_len_udf",
 ]
 
 # GPT-2-style pre-tokenizer pattern, ASCII-simplified and with every
@@ -300,6 +301,52 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
         (_arr_char_sum(lines) - _arr_char_sum(dlines)).alias("dup_line_chars"),
         F.greatest(n_toks - 1, F.lit(0)).cast("long").alias("n_bigrams"),
         top.alias("top_bigram_count"))
+
+
+def compressed_len_udf(level: int = 6):
+    """Vectorized zlib-compressed byte length. zlib's DEFLATE output
+    is deterministic for a fixed (input, level, strategy), so the
+    length is a portable per-doc statistic, not an estimate. The C
+    deflate loop dominates, so the per-row Python dispatch is noise
+    (~1 µs/row vs ~30 µs/KB of deflate)."""
+    import zlib
+
+    @pandas_udf(LongType())
+    def _clen(texts: pd.Series) -> pd.Series:
+        return texts.map(
+            lambda t: None if t is None
+            else len(zlib.compress(t.encode("utf-8"), level)))
+    return _clen
+
+
+def compression_stats(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      level: int = 6) -> DataFrame:
+    """Per-document compression-ratio repetition signal: repetitive /
+    templated text deflates far below natural prose, so the ratio is
+    the cheapest whole-document repetition score (used alongside the
+    line/bigram witnesses of repetition_stats; cf. the deduplicate-
+    and-filter recipes in Gopher arXiv:2112.11446 §A1.1, which gate on
+    repetition fractions this ratio summarizes in one number).
+
+    Output: (id_col, raw_len, compressed_len, ratio_ppm) where
+    raw_len = UTF-8 byte length, ratio_ppm = compressed_len * 1e6 /
+    raw_len in integer parts-per-million — exact integer arithmetic,
+    so the statistic is engine-portable (no float formatting drift).
+    Empty/NULL text → NULL ratio_ppm.
+
+    Scale shape: map-only Arrow stage plus one codegen projection —
+    no shuffle, nothing driver-side; zlib state is per-row, so
+    partition sizing is unconstrained."""
+    clen = compressed_len_udf(level)(F.col(text_col))
+    raw = F.octet_length(F.col(text_col)).cast("long")
+    return (df.select(F.col(id_col), raw.alias("raw_len"),
+                      clen.alias("compressed_len"))
+            .withColumn(
+                "ratio_ppm",
+                F.when(F.col("raw_len") > 0,
+                       F.expr("compressed_len * 1000000L div raw_len"))
+                .cast("long")))
 
 
 # ---------------------------------------------------------------------------

@@ -2420,6 +2420,33 @@ def q_sentence_split(spark, sf_dir):
     return split_sentences(docs)
 
 
+_COMPRESS_CLASSES = (
+    "lorem ipsum dolor sit amet " * 40,        # heavy repetition
+    "The quick brown fox jumps over the lazy dog while the slow "
+    "grey wolf watches from a distant snowy ridge in the north. " * 4,
+    " ".join(str(i * 7 % 1000) for i in range(200)),   # digit soup
+    "".join(chr(33 + (i * 89 + i * i * 31) % 94) for i in range(600)),
+)
+
+
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio repetition signal (operators/
+    text_stats.py compression_stats): each doc gets one of four
+    fixed texts spanning the compressibility spectrum (doc_id % 4),
+    so raw/compressed lengths are four closed-form constants the
+    oracle states after running the SAME zlib locally — pinning that
+    the distributed stage computes exactly stdlib zlib level-6."""
+    from .operators.text_stats import compression_stats
+    c = F.col("doc_id") % 4
+    body = F.when(c == 0, F.lit(_COMPRESS_CLASSES[0])) \
+        .when(c == 1, F.lit(_COMPRESS_CLASSES[1])) \
+        .when(c == 2, F.lit(_COMPRESS_CLASSES[2])) \
+        .otherwise(F.lit(_COMPRESS_CLASSES[3]))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("text"))
+    return compression_stats(docs)
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -2430,6 +2457,7 @@ def q_sentence_split(spark, sf_dir):
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
     "sentence_split": q_sentence_split,
+    "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
     "structured_data": q_structured_data,
@@ -3482,6 +3510,31 @@ ORACLES["normalize_text"] = (
     "'fit 5 ' || CAST(doc_id AS VARCHAR) AS folded FROM documents")
 
 # robots_rules closed form: three rows per doc.
+def _compression_oracle() -> str:
+    """Closed form for q_compression_ratio: run the SAME stdlib zlib
+    (level 6) on the four class literals here, then state the per-doc
+    stats as a CASE on doc_id % 4. Deterministic because DEFLATE
+    output is a pure function of (bytes, level, strategy)."""
+    import zlib
+    raws, comps, ppms = [], [], []
+    for t in _COMPRESS_CLASSES:
+        b = t.encode("utf-8")
+        c = len(zlib.compress(b, 6))
+        raws.append(len(b))
+        comps.append(c)
+        ppms.append(c * 1_000_000 // len(b))
+    def case(vals):
+        arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+        return f"CASE doc_id % 4 {arms} END"
+    return ("SELECT doc_id, "
+            f"CAST({case(raws)} AS BIGINT) AS raw_len, "
+            f"CAST({case(comps)} AS BIGINT) AS compressed_len, "
+            f"CAST({case(ppms)} AS BIGINT) AS ratio_ppm "
+            "FROM documents")
+
+
+ORACLES["compression_ratio"] = _compression_oracle()
+
 ORACLES["sentence_split"] = (
     "SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, s AS sentence "
     "FROM ("

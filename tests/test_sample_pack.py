@@ -333,3 +333,28 @@ def test_readability_scores_hand_golden(spark):
     # 'word' = 1 word, 1 sentence (min), 1 syllable:
     # flesch = 206835 - 1015 - 84600 = 121220; fk = 390+11800-15590
     assert got[4] == (1, 1, 1, 121220, -3400)
+
+
+def test_compression_stats(spark):
+    from htmlparser_spark.operators.text_stats import compression_stats
+    import zlib
+    rep = "spam " * 200
+    prose = ("The quick brown fox jumps over the lazy dog while the "
+             "slow grey wolf watches from the ridge. ")
+    df = spark.createDataFrame(
+        [("a", rep), ("b", prose), ("c", ""), ("d", None),
+         ("e", "café 你好")],
+        "doc_id string, text string")
+    got = {r.doc_id: r for r in compression_stats(df).collect()}
+    # byte-exact vs local stdlib zlib at the same level
+    for k, t in [("a", rep), ("b", prose), ("e", "café 你好")]:
+        b = t.encode("utf-8")
+        assert got[k].raw_len == len(b)
+        assert got[k].compressed_len == len(zlib.compress(b, 6))
+        assert got[k].ratio_ppm == \
+            len(zlib.compress(b, 6)) * 1_000_000 // len(b)
+    # repetitive text compresses far below prose
+    assert got["a"].ratio_ppm < got["b"].ratio_ppm // 2
+    # empty -> defined lengths, NULL ratio; NULL -> all NULL
+    assert got["c"].raw_len == 0 and got["c"].ratio_ppm is None
+    assert got["d"].raw_len is None and got["d"].ratio_ppm is None
