@@ -39,7 +39,8 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["split_sentences_str", "split_sentences"]
+__all__ = ["split_sentences_str", "split_sentences",
+           "pack_sentences_str", "pack_sentences"]
 
 _ABBREV = frozenset(
     "mr mrs ms dr prof sr jr st no vs etc al eg ie e.g i.e u.s".split())
@@ -105,6 +106,71 @@ def split_sentences(df: DataFrame, text_col: str = "text",
             out = pd.DataFrame(
                 rows, columns=keys + [f.name for f in _SENT_FIELDS])
             out["sent_idx"] = out["sent_idx"].astype("int32")
+            yield out
+
+    return df.select(*keys, text_col).mapInPandas(fn, schema=schema)
+
+
+def pack_sentences_str(text: Optional[str], budget: int
+                       ) -> List[Tuple[int, int, str]]:
+    """Greedy sentence packing: fill each chunk with consecutive
+    sentences while the whitespace-token total stays ≤ ``budget``;
+    a single sentence over budget gets a chunk alone (never split).
+    Returns [(n_sentences, n_tokens, chunk_text)] in order."""
+    out: List[Tuple[int, int, str]] = []
+    cur: List[str] = []
+    cur_toks = 0
+    for s in split_sentences_str(text):
+        t = len(s.split())
+        if cur and cur_toks + t > budget:
+            out.append((len(cur), cur_toks, " ".join(cur)))
+            cur, cur_toks = [], 0
+        cur.append(s)
+        cur_toks += t
+    if cur:
+        out.append((len(cur), cur_toks, " ".join(cur)))
+    return out
+
+
+_PACK_FIELDS = [
+    StructField("chunk_idx", IntegerType(), False),
+    StructField("n_sentences", IntegerType(), False),
+    StructField("n_tokens", IntegerType(), False),
+    StructField("chunk_text", StringType(), False),
+]
+
+
+def pack_sentences(df: DataFrame, text_col: str = "text",
+                   key_cols: Tuple[str, ...] = ("doc_id",),
+                   budget: int = 48) -> DataFrame:
+    """Sentence-boundary-respecting chunking: one row per chunk of
+    whole sentences greedily packed to ``budget`` whitespace tokens
+    (the context-window prep for embedding/RAG pipelines when
+    mid-sentence cuts are unacceptable; contrast chunk.py's
+    chunk_tokens, which cuts exactly at token offsets).
+
+    Scale shape: split AND pack happen inside ONE map-only Arrow
+    stage — the document is the parallelism unit, state is one
+    document's sentence list, no shuffle anywhere. Documents with
+    NULL/empty text contribute no rows."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    key_fields = [f for f in df.schema.fields if f.name in key_cols]
+    schema = StructType(key_fields + _PACK_FIELDS)
+    keys = list(key_cols)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in pdf[keys + [text_col]].itertuples(index=False):
+                *kv, body = tup
+                for i, (ns, nt, ct) in enumerate(
+                        pack_sentences_str(body, budget)):
+                    rows.append((*kv, i, ns, nt, ct))
+            out = pd.DataFrame(
+                rows, columns=keys + [f.name for f in _PACK_FIELDS])
+            for c in ("chunk_idx", "n_sentences", "n_tokens"):
+                out[c] = out[c].astype("int32")
             yield out
 
     return df.select(*keys, text_col).mapInPandas(fn, schema=schema)

@@ -2420,6 +2420,24 @@ def q_sentence_split(spark, sf_dir):
     return split_sentences(docs)
 
 
+def q_sentence_chunks(spark, sf_dir):
+    """Sentence-boundary-respecting chunking (operators/sentences.py
+    pack_sentences): the same five-sentence wrapper as
+    q_sentence_split with budget=8 tokens, so the greedy packing —
+    [s0] (4 tok), [s1] (6 tok), [s2,s3,s4] (8 tok) — is three
+    closed-form chunk rows per doc."""
+    from .operators.sentences import pack_sentences
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("Pi is 3.14 today. J. K. Row read no. "),
+        d.cast("string"),
+        F.lit("! Was it fine? Yes ("), d.cast("string"),
+        F.lit(" times). The end"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("text"))
+    return pack_sentences(docs, budget=8)
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2457,6 +2475,7 @@ def q_compression_ratio(spark, sf_dir):
 QUERIES = {
     # -- round-4 late additions (no driver row yet) --
     "sentence_split": q_sentence_split,
+    "sentence_chunks": q_sentence_chunks,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3534,6 +3553,17 @@ def _compression_oracle() -> str:
 
 
 ORACLES["compression_ratio"] = _compression_oracle()
+
+ORACLES["sentence_chunks"] = (
+    "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, "
+    "CAST(ns AS INTEGER) AS n_sentences, "
+    "CAST(nt AS INTEGER) AS n_tokens, s AS chunk_text FROM ("
+    "SELECT doc_id, 0 i, 1 ns, 4 nt, 'Pi is 3.14 today.' s "
+    "FROM documents "
+    "UNION ALL SELECT doc_id, 1, 1, 6, 'J. K. Row read no. ' || "
+    "  CAST(doc_id AS VARCHAR) || '!' FROM documents "
+    "UNION ALL SELECT doc_id, 2, 3, 8, 'Was it fine? Yes (' || "
+    "  CAST(doc_id AS VARCHAR) || ' times). The end' FROM documents)")
 
 ORACLES["sentence_split"] = (
     "SELECT doc_id, CAST(i AS INTEGER) AS sent_idx, s AS sentence "

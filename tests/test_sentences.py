@@ -90,3 +90,46 @@ class TestSplitSpark:
         plan = split_sentences(df)._jdf.queryExecution() \
             .executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestPackSentences:
+    def test_greedy_packing_str(self):
+        from htmlparser_spark.operators.sentences import pack_sentences_str
+        text = ("Pi is 3.14 today. J. K. Row read no. 7! "
+                "Was it fine? Yes (7 times). The end")
+        # token counts: 4, 6, 3, 3, 2 — budget 8 packs [s0][s1][s2,s3,s4]
+        assert pack_sentences_str(text, 8) == [
+            (1, 4, "Pi is 3.14 today."),
+            (1, 6, "J. K. Row read no. 7!"),
+            (3, 8, "Was it fine? Yes (7 times). The end")]
+
+    def test_oversized_sentence_gets_own_chunk(self):
+        from htmlparser_spark.operators.sentences import pack_sentences_str
+        assert pack_sentences_str("one two three four five. Ok", 3) == [
+            (1, 5, "one two three four five."), (1, 1, "Ok")]
+
+    def test_empty(self):
+        from htmlparser_spark.operators.sentences import pack_sentences_str
+        assert pack_sentences_str("", 8) == []
+        assert pack_sentences_str(None, 8) == []
+
+    def test_spark_shape_and_plan(self, spark):
+        from htmlparser_spark.operators.sentences import pack_sentences
+        df = spark.createDataFrame(
+            [("a", "One two. Three four. Five six seven"), ("b", None)],
+            "doc_id string, text string")
+        out = pack_sentences(df, budget=4)
+        got = [(r.doc_id, r.chunk_idx, r.n_sentences, r.n_tokens,
+                r.chunk_text)
+               for r in out.orderBy("doc_id", "chunk_idx").collect()]
+        assert got == [("a", 0, 2, 4, "One two. Three four."),
+                       ("a", 1, 1, 3, "Five six seven")]
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+    def test_budget_validation(self, spark):
+        from htmlparser_spark.operators.sentences import pack_sentences
+        df = spark.createDataFrame([("a", "x")],
+                                   "doc_id string, text string")
+        with pytest.raises(ValueError):
+            pack_sentences(df, budget=0)
