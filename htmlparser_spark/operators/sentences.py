@@ -40,7 +40,8 @@ from pyspark.sql.types import (
 )
 
 __all__ = ["split_sentences_str", "split_sentences",
-           "pack_sentences_str", "pack_sentences"]
+           "pack_sentences_str", "pack_sentences",
+           "sentence_dedup"]
 
 _ABBREV = frozenset(
     "mr mrs ms dr prof sr jr st no vs etc al eg ie e.g i.e u.s".split())
@@ -174,3 +175,62 @@ def pack_sentences(df: DataFrame, text_col: str = "text",
             yield out
 
     return df.select(*keys, text_col).mapInPandas(fn, schema=schema)
+
+
+def sentence_dedup(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   out_col: str = "text_deduped",
+                   pos_bound: int = 1_000_000) -> DataFrame:
+    """CORPUS-GLOBAL sentence dedup: keep only the globally FIRST
+    occurrence of every sentence (minimum ``(id, position)``), delete
+    all later occurrences, and rejoin each document's survivors in
+    order — the sentence-granularity member of the dedup ladder
+    (dedup_lines: in-document; template_line_dedup: per-domain;
+    paragraph_dedup / span_dedup: corpus-level on separator splits).
+    Uses the rule-based splitter, so 'Mr. Smith agreed.' is one
+    sentence, not two period fragments.
+
+    Returns ``df`` plus ``out_col`` (survivors joined with a single
+    space; '' when every sentence was a later duplicate).
+
+    Scale shape (same recipe as span_dedup, dedup.py): the split is
+    one map-only Arrow stage; the hash-keyed stages carry ONLY
+    (id, pos, md5-16B) rows — a boilerplate sentence on 10^9 pages
+    concentrates 24 B rows on its hash partition, never text, and the
+    global keeper choice is ``min(id·B + pos)`` — an AGGREGATE with
+    map-side combine, not a window; sentence text shuffles exactly
+    once, evenly keyed on ``(id, pos)``, into the per-document
+    rebuild (in-group ``sort_array``, per-task state = one doc).
+    The split stage is deliberately recomputed for the hash pass and
+    the text pass (two source scans) instead of cached: at corpus
+    scale re-running a map-only Arrow stage is cheaper than
+    memory/disk-caching every sentence of the corpus."""
+    from pyspark.sql import functions as F
+
+    raw = split_sentences(df, text_col=text_col, key_cols=(id_col,))
+    raw = raw.select(
+        F.col(id_col),
+        F.col("sent_idx").cast("long").alias("_pos"),
+        F.col("sentence").alias("_st"))
+
+    pos_ok = F.when(F.col("_pos") < pos_bound, F.col("_pos")).otherwise(
+        F.expr(f"raise_error('sentence_dedup: sentence position >= "
+               f"pos_bound={pos_bound}; raise pos_bound')").cast("long"))
+    rank = (F.col(id_col) * pos_bound + pos_ok).alias("_r")
+    hashed = raw.select(
+        F.col(id_col), F.col("_pos"), rank,
+        F.md5(F.encode(F.col("_st"), "UTF-8")).alias("_h"))
+    keepers = hashed.groupBy("_h").agg(F.min("_r").alias("_keep_rank"))
+    kept_pos = (hashed.join(keepers, "_h")
+                .filter(F.col("_r") == F.col("_keep_rank"))
+                .select(id_col, "_pos"))
+    kept = raw.join(kept_pos, [id_col, "_pos"])
+    rebuilt = (kept.groupBy(id_col)
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("_pos", "_st"))),
+                       lambda x: x["_st"]),
+                   " ").alias(out_col)))
+    return (df.join(rebuilt, id_col, "left")
+            .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(""))))

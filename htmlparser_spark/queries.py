@@ -2438,6 +2438,22 @@ def q_sentence_chunks(spark, sf_dir):
     return pack_sentences(docs, budget=8)
 
 
+def q_sentence_dedup(spark, sf_dir):
+    """Corpus-global sentence dedup (operators/sentences.py
+    sentence_dedup): every doc carries two shared sentences and one
+    unique one, so the keep-first outcome is closed-form — the
+    minimum doc_id keeps all three, every other doc keeps only its
+    unique sentence."""
+    from .operators.sentences import sentence_dedup
+    d = F.col("doc_id")
+    body = F.concat(
+        F.lit("Shared header. Item "), d.cast("string"),
+        F.lit(" ok. Shared footer."))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("text"))
+    return sentence_dedup(docs).select("doc_id", "text_deduped")
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2476,6 +2492,7 @@ QUERIES = {
     # -- round-4 late additions (no driver row yet) --
     "sentence_split": q_sentence_split,
     "sentence_chunks": q_sentence_chunks,
+    "sentence_dedup": q_sentence_dedup,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3553,6 +3570,14 @@ def _compression_oracle() -> str:
 
 
 ORACLES["compression_ratio"] = _compression_oracle()
+
+ORACLES["sentence_dedup"] = (
+    "SELECT d.doc_id, CASE WHEN d.doc_id = m.mn "
+    "THEN 'Shared header. Item ' || CAST(d.doc_id AS VARCHAR) || "
+    "  ' ok. Shared footer.' "
+    "ELSE 'Item ' || CAST(d.doc_id AS VARCHAR) || ' ok.' END "
+    "AS text_deduped "
+    "FROM documents d, (SELECT min(doc_id) mn FROM documents) m")
 
 ORACLES["sentence_chunks"] = (
     "SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx, "

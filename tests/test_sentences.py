@@ -133,3 +133,39 @@ class TestPackSentences:
                                    "doc_id string, text string")
         with pytest.raises(ValueError):
             pack_sentences(df, budget=0)
+
+
+class TestSentenceDedup:
+    def test_global_keep_first(self, spark):
+        from htmlparser_spark.operators.sentences import sentence_dedup
+        df = spark.createDataFrame(
+            [(1, "Common intro. Unique one."),
+             (2, "Common intro. Unique two. Common intro."),
+             (3, "Common intro.")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.text_deduped
+               for r in sentence_dedup(df).collect()}
+        # doc 1 holds the global first "Common intro."; later copies
+        # (doc 2 twice, doc 3) are removed
+        assert got == {1: "Common intro. Unique one.",
+                       2: "Unique two.",
+                       3: ""}
+
+    def test_rule_splitter_is_used(self, spark):
+        from htmlparser_spark.operators.sentences import sentence_dedup
+        # "Mr. Smith agreed." is ONE sentence under the rule splitter;
+        # a naive period split would dedup the "Smith agreed." tail
+        df = spark.createDataFrame(
+            [(1, "Mr. Smith agreed."), (2, "Mr. Smith agreed. More.")],
+            "doc_id long, text string")
+        got = {r.doc_id: r.text_deduped
+               for r in sentence_dedup(df).collect()}
+        assert got == {1: "Mr. Smith agreed.", 2: "More."}
+
+    def test_no_window_in_plan(self, spark):
+        from htmlparser_spark.operators.sentences import sentence_dedup
+        df = spark.createDataFrame([(1, "A. B.")],
+                                   "doc_id long, text string")
+        plan = sentence_dedup(df)._jdf.queryExecution() \
+            .executedPlan().toString()
+        assert "Window" not in plan
