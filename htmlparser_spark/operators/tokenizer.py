@@ -33,7 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (LongType, StringType, StructField,
                                StructType)
 
-__all__ = ["bpe_learn", "bpe_token_counts", "merge_word"]
+__all__ = ["bpe_learn", "bpe_token_counts", "bpe_encode",
+           "merge_word", "encode_word"]
 
 _SPLIT_RE = r"[ \t\n\x0b\f\r]+"
 
@@ -116,7 +117,11 @@ def bpe_learn(docs: DataFrame, n_merges: int = 16,
         [(int(i), l, r, int(c)) for i, l, r, c in merges], schema)
 
 
-def _encode_len(word: str, ranks: dict) -> int:
+def encode_word(word: str, ranks: dict) -> list:
+    """Rank-table BPE encode of one word: repeatedly merge the
+    lowest-rank adjacent pair (training order) until none applies.
+    Returns the symbol list — the per-word kernel of every encode
+    surface here."""
     syms = [c for c in word]
     while len(syms) > 1:
         best_rank, best_pair = None, None
@@ -127,7 +132,11 @@ def _encode_len(word: str, ranks: dict) -> int:
         if best_pair is None:
             break
         syms = merge_word(syms, best_pair)
-    return len(syms)
+    return syms
+
+
+def _encode_len(word: str, ranks: dict) -> int:
+    return len(encode_word(word, ranks))
 
 
 def bpe_token_counts(docs: DataFrame, merges: Iterable[tuple],
@@ -166,6 +175,59 @@ def bpe_token_counts(docs: DataFrame, merges: Iterable[tuple],
                 "n_bpe_tokens": pdf["text"].map(doc_len).astype("int64"),
             })
             yield out
+
+    return docs.select(id_col, F.col(text_col).alias("text")) \
+        .mapInPandas(fn, schema)
+
+
+def bpe_encode(docs: DataFrame, merges: Iterable[tuple],
+               text_col: str = "text",
+               id_col: str = "doc_id") -> DataFrame:
+    """Full BPE encode: one row per emitted piece, in document order —
+    (id, token_idx, piece). The materialized-tokens cousin of
+    ``bpe_token_counts`` (which only counts), feeding packing /
+    vocab-audit / detokenization-roundtrip stages. Same rank-table
+    encode and the same per-batch word cache (Zipf: hot words encode
+    once per batch); word boundaries never emit a piece, matching the
+    whitespace pre-tokenization of the trainer.
+
+    Scale shape: ONE map-only Arrow stage, fan-out ~tokens/doc — the
+    writer's exchange absorbs it; the merge table rides closure
+    capture (broadcast), nothing shuffles here."""
+    import re
+    ranks = {(l, r): i for i, (l, r) in enumerate(merges)}
+    split = re.compile(_SPLIT_RE)
+    fields = [f for f in docs.schema.fields if f.name in (id_col,)]
+    schema = StructType(fields + [
+        StructField("token_idx", LongType()),
+        StructField("piece", StringType()),
+    ])
+
+    def fn(batches):
+        for pdf in batches:
+            cache: dict = {}
+            ids, idxs, pieces = [], [], []
+            for did, text in zip(pdf[id_col], pdf["text"]):
+                if text is None:
+                    continue
+                i = 0
+                for w in split.split(text.strip()):
+                    if not w:
+                        continue
+                    ps = cache.get(w)
+                    if ps is None:
+                        ps = encode_word(w, ranks)
+                        cache[w] = ps
+                    for p in ps:
+                        ids.append(did)
+                        idxs.append(i)
+                        pieces.append(p)
+                        i += 1
+            yield pd.DataFrame({
+                id_col: pd.Series(ids, dtype=pdf[id_col].dtype),
+                "token_idx": pd.Series(idxs, dtype="int64"),
+                "piece": pd.Series(pieces, dtype="object"),
+            })
 
     return docs.select(id_col, F.col(text_col).alias("text")) \
         .mapInPandas(fn, schema)

@@ -2454,6 +2454,20 @@ def q_sentence_dedup(spark, sf_dir):
     return sentence_dedup(docs).select("doc_id", "text_deduped")
 
 
+def q_bpe_encode(spark, sf_dir):
+    """BPE piece materialization (operators/tokenizer.py bpe_encode):
+    a FIXED two-merge table [(l,o),(lo,w)] over 'low lower <digit>',
+    so the five pieces per doc — low, low, e, r, digit — are
+    closed-form (digit = doc_id % 10 keeps piece counts constant
+    across ids)."""
+    from .operators.tokenizer import bpe_encode
+    d = F.col("doc_id")
+    body = F.concat(F.lit("low lower "), (d % 10).cast("string"))
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", body.alias("text"))
+    return bpe_encode(docs, [("l", "o"), ("lo", "w")])
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2493,6 +2507,7 @@ QUERIES = {
     "sentence_split": q_sentence_split,
     "sentence_chunks": q_sentence_chunks,
     "sentence_dedup": q_sentence_dedup,
+    "bpe_encode": q_bpe_encode,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3570,6 +3585,16 @@ def _compression_oracle() -> str:
 
 
 ORACLES["compression_ratio"] = _compression_oracle()
+
+ORACLES["bpe_encode"] = (
+    "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "
+    "FROM ("
+    "SELECT doc_id, 0 i, 'low' p FROM documents "
+    "UNION ALL SELECT doc_id, 1, 'low' FROM documents "
+    "UNION ALL SELECT doc_id, 2, 'e' FROM documents "
+    "UNION ALL SELECT doc_id, 3, 'r' FROM documents "
+    "UNION ALL SELECT doc_id, 4, CAST(doc_id % 10 AS VARCHAR) "
+    "FROM documents)")
 
 ORACLES["sentence_dedup"] = (
     "SELECT d.doc_id, CASE WHEN d.doc_id = m.mn "

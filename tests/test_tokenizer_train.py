@@ -183,3 +183,40 @@ def test_new_ops_plan_hygiene(spark):
              ts="2026-01-01 00:00:00")]).withColumn(
         "ts", F.to_timestamp("ts"))
     assert_no_python_row_udf(conversation_stats(tr))
+
+
+def test_bpe_encode_pieces(spark):
+    from htmlparser_spark.operators.tokenizer import bpe_encode
+    merges = [("l", "o"), ("lo", "w")]
+    df = spark.createDataFrame(
+        [(1, "low lower 7"), (2, ""), (3, None)],
+        "doc_id long, text string")
+    got = [(r.doc_id, r.token_idx, r.piece)
+           for r in bpe_encode(df, merges)
+           .orderBy("doc_id", "token_idx").collect()]
+    # "low" -> [low]; "lower" -> [low, e, r]; "7" -> [7]
+    assert got == [(1, 0, "low"), (1, 1, "low"), (1, 2, "e"),
+                   (1, 3, "r"), (1, 4, "7")]
+
+
+def test_bpe_encode_matches_token_counts(spark):
+    from htmlparser_spark.operators.tokenizer import (
+        bpe_encode, bpe_token_counts)
+    merges = [("a", "b"), ("ab", "c"), ("e", "e")]
+    df = spark.createDataFrame(
+        [(1, "abc abcd eeee xyz"), (2, "ab ab ab")],
+        "doc_id long, text string")
+    from pyspark.sql import functions as F
+    n1 = {r.doc_id: r.n for r in bpe_encode(df, merges)
+          .groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+    n2 = {r.doc_id: r.n_bpe_tokens
+          for r in bpe_token_counts(df, merges).collect()}
+    assert n1 == n2
+
+
+def test_bpe_encode_roundtrip_concat(spark):
+    # concatenating a word's pieces recovers the word exactly
+    from htmlparser_spark.operators.tokenizer import encode_word
+    ranks = {("l", "o"): 0, ("lo", "w"): 1, ("e", "r"): 2}
+    for w in ["lower", "lowlow", "xyz", "l", ""]:
+        assert "".join(encode_word(w, ranks)) == w
