@@ -46,7 +46,7 @@ from .caching import cache_df
 __all__ = [
     "exact_dedup", "exact_dup_groups", "paragraph_dedup",
     "minhash_signature_udf", "minhash_candidates", "minhash_dedup_pairs",
-    "simhash_udf", "simhash_candidates",
+    "simhash_udf", "simhash_candidates", "hamming_candidates",
     "ngram_jaccard_pairs", "embedding_near_dups",
     "cap_buckets", "bucket_stats", "connected_components",
     "band_struct_cols", "fuzzy_dedup_keep", "dedup_lines",
@@ -606,6 +606,20 @@ def simhash_candidates(df: DataFrame, text_col: str = "text",
     if parallelism:
         src = src.repartition(parallelism, F.col(id_col))
     sh = src.select(F.col(id_col), simhash_udf(F.col(text_col)).alias("sh"))
+    return hamming_candidates(sh, sig_col="sh", id_col=id_col,
+                              chunks=chunks,
+                              max_bucket_size=max_bucket_size)
+
+
+def hamming_candidates(df: DataFrame, sig_col: str = "sh",
+                       id_col: str = "doc_id", chunks: int = 4,
+                       max_bucket_size: int = 4096) -> DataFrame:
+    """Generic hamming near-dup candidates over ANY 64-bit signature
+    column (text SimHash, image aHash, audio fingerprint): equal
+    64/chunks-bit chunk ⇒ candidate pair (id_a, id_b, hamming), the
+    pigeonhole guarantee and hot-bucket capping of simhash_candidates
+    factored out so every modality shares one scale-safe kernel."""
+    sh = df.select(F.col(id_col), F.col(sig_col).alias("sh"))
     width = 64 // chunks
     sh = cache_df(sh)  # self-join below reuses the signature frame
     chunk_cols = [

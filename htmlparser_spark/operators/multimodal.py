@@ -33,7 +33,7 @@ from __future__ import annotations
 
 import hashlib
 import zlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd
@@ -49,7 +49,8 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "decode_image_features", "decode_image_pixels",
            "synth_ppm_blob", "synth_png_blob", "frame_sample_stub",
            "synth_wav_blob", "decode_audio_features",
-           "synth_y4m_blob", "frame_sample_real"]
+           "synth_y4m_blob", "frame_sample_real",
+           "ahash_bits", "image_ahash"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -262,21 +263,87 @@ def decode_image_pixels(df: DataFrame, blob_col: str = "blob",
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
 
 
+def ahash_bits(w: int, h: int, px: "np.ndarray", grid: int = 8) -> int:
+    """Integer-exact average-hash of one decoded RGB image: gray =
+    (r+g+b)//3; cell (gy,gx) = floor-mean of gray over the pixels
+    binned by floor(y*grid/h), floor(x*grid/w) (empty cells for
+    images smaller than the grid read 0); global mean = floor-mean of
+    the grid; bit = cell > mean, packed row-major from bit 63 down,
+    returned as two's-complement int64. Every step is integer
+    arithmetic, so any engine replays the hash bit-for-bit."""
+    gray = px.reshape(h, w, 3).sum(axis=2, dtype=np.int64) // 3
+    gy = (np.arange(h, dtype=np.int64) * grid) // h
+    gx = (np.arange(w, dtype=np.int64) * grid) // w
+    cell_id = (gy[:, None] * grid + gx[None, :]).ravel()
+    sums = np.bincount(cell_id, weights=gray.ravel(),
+                       minlength=grid * grid).astype(np.int64)
+    counts = np.bincount(cell_id, minlength=grid * grid)
+    cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
+    mean = int(cells.sum()) // (grid * grid)
+    val = 0
+    for i, c in enumerate(cells):
+        if int(c) > mean:
+            val |= 1 << (63 - i)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def image_ahash(df: DataFrame, blob_col: str = "blob",
+                key_cols=("doc_id",), grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image: decode the real container
+    (PPM/BMP via ``_decode_rgb``) and emit a 64-bit aHash — the
+    standard near-duplicate-image signature (resize-robust: the
+    grid binning IS the downsample). Feed the result to
+    ``dedup.hamming_candidates`` for capped pigeonhole bucketing —
+    the same scale-safe kernel the text SimHash path uses, so image
+    near-dup inherits its hot-bucket behavior.
+
+    Scale shape: mapInPandas over (keys, blob) only — media bytes
+    never outlive the stage; output is (keys, 8-byte hash), so the
+    downstream candidate join shuffles signatures, never pixels."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("ahash", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({k: pdf[k] for k in key_cols})
+            vals = []
+            for blob in pdf[blob_col]:
+                if blob is None:
+                    vals.append(None)
+                    continue
+                w, h, px = _decode_rgb(bytes(blob))
+                vals.append(ahash_bits(w, h, px, grid))
+            out["ahash"] = pd.Series(vals, dtype="object")
+            yield out
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
 def synth_ppm_blob(df: DataFrame, id_col: str = "doc_id",
-                   blob_col: str = "blob") -> DataFrame:
+                   blob_col: str = "blob",
+                   seed_col: Optional[str] = None) -> DataFrame:
     """Deterministic test/bench image source: a real binary-PPM blob
-    per row, sized ``w=(id%13)+4, h=(id%11)+4`` with pixel byte
-    ``i = (id*7 + i*31) % 256`` — a closed arithmetic form an external
+    per row, sized ``w=(s%13)+4, h=(s%11)+4`` with pixel byte
+    ``i = (s*7 + i*31) % 256`` — a closed arithmetic form an external
     oracle can replay without any image code. The blobs are REAL PPM
     files (header + raw RGB), so the decode stage exercises actual
-    format parsing, not a hash of the input."""
+    format parsing, not a hash of the input. ``s`` is ``seed_col``
+    when given (lets a wrapper plant a small set of image CLASSES
+    while keeping real row ids) else ``id_col``."""
     key = df.schema[id_col]
     schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+    seed = seed_col or id_col
+    cols = [id_col] if seed == id_col else [id_col, seed]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
-            for i in pdf[id_col]:
+            for i in pdf[seed]:
                 i = int(i)
                 w, h = i % 13 + 4, i % 11 + 4
                 n = w * h * 3
@@ -285,7 +352,7 @@ def synth_ppm_blob(df: DataFrame, id_col: str = "doc_id",
                              + px.astype(np.uint8).tobytes())
             yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema)
+    return df.select(*cols).mapInPandas(fn, schema)
 
 
 def _png_filter_row(row: "np.ndarray", prev: "np.ndarray", ft: int,

@@ -2468,6 +2468,18 @@ def q_bpe_encode(spark, sf_dir):
     return bpe_encode(docs, [("l", "o"), ("lo", "w")])
 
 
+def q_image_ahash(spark, sf_dir):
+    """Perceptual image hashing (operators/multimodal.py image_ahash)
+    over REAL decoded PPM blobs: six image classes planted via
+    doc_id % 6, so the 64-bit aHash per doc is one of six constants
+    the oracle computes by replaying the synth arithmetic + the
+    integer aHash recipe locally — no image code in the SQL."""
+    from .operators.multimodal import image_ahash, synth_ppm_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    return image_ahash(synth_ppm_blob(docs, seed_col="seed"))
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2508,6 +2520,7 @@ QUERIES = {
     "sentence_chunks": q_sentence_chunks,
     "sentence_dedup": q_sentence_dedup,
     "bpe_encode": q_bpe_encode,
+    "image_ahash": q_image_ahash,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3585,6 +3598,26 @@ def _compression_oracle() -> str:
 
 
 ORACLES["compression_ratio"] = _compression_oracle()
+
+def _image_ahash_oracle() -> str:
+    """Replay synth_ppm_blob's closed pixel arithmetic + the integer
+    aHash recipe for the six seed classes locally; the SQL then just
+    CASEs on doc_id % 6."""
+    import numpy as np
+    from .operators.multimodal import ahash_bits
+    vals = []
+    for s in range(6):
+        w, h = s % 13 + 4, s % 11 + 4
+        n = w * h * 3
+        px = (s * 7 + 31 * np.arange(n, dtype=np.int64)) % 256
+        vals.append(ahash_bits(w, h, px))
+    arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+    return ("SELECT doc_id, "
+            f"CAST(CASE doc_id % 6 {arms} END AS BIGINT) AS ahash "
+            "FROM documents")
+
+
+ORACLES["image_ahash"] = _image_ahash_oracle()
 
 ORACLES["bpe_encode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "

@@ -280,3 +280,54 @@ def test_png_spark_roundtrip(spark):
         assert (r.width, r.height) == (w, h)
         assert [r.sum_r, r.sum_g, r.sum_b] == \
             [int(px[c::3].sum()) for c in range(3)]
+
+
+class TestImageAhash:
+    def test_ahash_matches_local_replay(self, spark):
+        import numpy as np
+        from htmlparser_spark.operators.multimodal import (
+            ahash_bits, image_ahash, synth_ppm_blob)
+        df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+        got = {r.doc_id: r.ahash
+               for r in image_ahash(synth_ppm_blob(df)).collect()}
+        for i in range(12):
+            w, h = i % 13 + 4, i % 11 + 4
+            n = w * h * 3
+            px = (i * 7 + 31 * np.arange(n, dtype=np.int64)) % 256
+            assert got[i] == ahash_bits(w, h, px)
+
+    def test_identical_images_identical_hash(self, spark):
+        from pyspark.sql import functions as F
+        from htmlparser_spark.operators.multimodal import (
+            image_ahash, synth_ppm_blob)
+        df = spark.range(0, 10).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 2).alias("seed"))
+        out = image_ahash(synth_ppm_blob(df, seed_col="seed"))
+        hashes = {r.doc_id: r.ahash for r in out.collect()}
+        assert len({hashes[i] for i in range(0, 10, 2)}) == 1
+        assert len({hashes[i] for i in range(1, 10, 2)}) == 1
+        assert hashes[0] != hashes[1]
+
+    def test_null_blob(self, spark):
+        from htmlparser_spark.operators.multimodal import image_ahash
+        df = spark.createDataFrame([(1, None)],
+                                   "doc_id long, blob binary")
+        assert image_ahash(df).collect()[0].ahash is None
+
+    def test_near_dup_pairs_via_generic_kernel(self, spark):
+        from pyspark.sql import functions as F
+        from htmlparser_spark.operators.dedup import hamming_candidates
+        from htmlparser_spark.operators.multimodal import (
+            image_ahash, synth_ppm_blob)
+        df = spark.range(0, 8).select(
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 4).alias("seed"))
+        sigs = image_ahash(synth_ppm_blob(df, seed_col="seed")) \
+            .withColumnRenamed("ahash", "sh")
+        pairs = hamming_candidates(sigs, sig_col="sh")
+        exact = {(r.id_a, r.id_b) for r in pairs.collect()
+                 if r.hamming == 0}
+        # planted duplicates: ids congruent mod 4 share an image
+        for a, b in [(0, 4), (1, 5), (2, 6), (3, 7)]:
+            assert (a, b) in exact
