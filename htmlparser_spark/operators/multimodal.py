@@ -50,7 +50,8 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "synth_ppm_blob", "synth_png_blob", "frame_sample_stub",
            "synth_wav_blob", "decode_audio_features",
            "synth_y4m_blob", "frame_sample_real",
-           "ahash_bits", "image_ahash"]
+           "ahash_bits", "image_ahash",
+           "afp_bits", "audio_fingerprint", "scene_cuts"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -546,21 +547,93 @@ def _parse_wav(b: bytes):
     return channels, rate, samples
 
 
+def afp_bits(ch: int, samples: "np.ndarray", slots: int = 64) -> int:
+    """Integer-exact temporal-energy audio fingerprint of one decoded
+    PCM clip: mono frame energy m[t] = (sum over channels of
+    |sample|) // ch; frames binned into ``slots`` time slots by
+    floor(t*slots/T) (empty slots read 0 for clips shorter than the
+    grid); slot value = floor-mean of m over the slot; global mean =
+    floor-mean of the slots; bit = slot > mean, packed from bit 63
+    down, returned as two's-complement int64. The 1-D twin of
+    ``ahash_bits`` — a coarse loudness-envelope signature that is
+    sample-rate- and amplitude-scale-coarse, replayable bit-for-bit
+    by any engine because every step is integer arithmetic."""
+    a = np.abs(samples.astype(np.int64))
+    t = len(a) // ch
+    if t == 0:
+        return 0
+    m = a[:t * ch].reshape(t, ch).sum(axis=1) // ch
+    slot_id = (np.arange(t, dtype=np.int64) * slots) // t
+    sums = np.bincount(slot_id, weights=m, minlength=slots) \
+        .astype(np.int64)
+    counts = np.bincount(slot_id, minlength=slots)
+    cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
+    mean = int(cells.sum()) // slots
+    val = 0
+    for i, c in enumerate(cells):
+        if int(c) > mean:
+            val |= 1 << (63 - i)
+    if val >= 1 << 63:
+        val -= 1 << 64
+    return val
+
+
+def audio_fingerprint(df: DataFrame, blob_col: str = "blob",
+                      key_cols=("doc_id",)) -> DataFrame:
+    """64-bit audio near-duplicate signature per clip: real WAV parse
+    (``_parse_wav``) then the temporal-energy ``afp_bits`` recipe.
+    Feed the result to ``dedup.hamming_candidates`` — the same capped
+    pigeonhole kernel text SimHash and image aHash use, so all three
+    modalities share one scale-safe near-dup path.
+
+    Scale shape: mapInPandas over (keys, blob) only; audio bytes
+    never outlive the decode stage, downstream joins shuffle 8-byte
+    signatures. Malformed/null blobs yield null fingerprints
+    (quarantine-not-crash)."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("afp", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame({k: pdf[k] for k in key_cols})
+            vals = []
+            for blob in pdf[blob_col]:
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    ch, _rate, s = _parse_wav(bytes(blob))
+                    vals.append(afp_bits(ch, s))
+                except ValueError:
+                    vals.append(None)
+            out["afp"] = pd.Series(vals, dtype="object")
+            yield out
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
 def synth_wav_blob(df: DataFrame, id_col: str = "doc_id",
-                   blob_col: str = "blob") -> DataFrame:
+                   blob_col: str = "blob",
+                   seed_col: Optional[str] = None) -> DataFrame:
     """Deterministic audio source: a REAL 16-bit PCM RIFF/WAVE blob
-    per row — channels = id%2+1, 8 kHz, frames = id%50+20, sample
-    i = ((id*13 + i*37) % 65536) - 32768 — a closed arithmetic form
+    per row — channels = s%2+1, 8 kHz, frames = s%50+20, sample
+    i = ((s*13 + i*37) % 65536) - 32768 — a closed arithmetic form
     an external oracle replays without any audio code, while the
     decode stage exercises actual container parsing (chunk walk,
-    fmt fields, little-endian PCM)."""
+    fmt fields, little-endian PCM). ``s`` is ``seed_col`` when given
+    (plants a small set of clip CLASSES while keeping real row ids)
+    else ``id_col``."""
     key = df.schema[id_col]
     schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+    seed = seed_col or id_col
+    cols = [id_col] if seed == id_col else [id_col, seed]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
-            for i in pdf[id_col]:
+            for i in pdf[seed]:
                 i = int(i)
                 ch, rate, frames = i % 2 + 1, 8000, i % 50 + 20
                 n = frames * ch
@@ -579,7 +652,7 @@ def synth_wav_blob(df: DataFrame, id_col: str = "doc_id",
                              + body)
             yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema)
+    return df.select(*cols).mapInPandas(fn, schema)
 
 
 def decode_audio_features(df: DataFrame, blob_col: str = "blob",
@@ -629,20 +702,25 @@ def decode_audio_features(df: DataFrame, blob_col: str = "blob",
 
 
 def synth_y4m_blob(df: DataFrame, id_col: str = "doc_id",
-                   blob_col: str = "blob") -> DataFrame:
+                   blob_col: str = "blob",
+                   seed_col: Optional[str] = None) -> DataFrame:
     """Deterministic video source: a REAL YUV4MPEG2 (Y4M) stream per
     row — plain-text header, C420 planar frames behind ``FRAME``
-    markers. Dims W=(id%8+2)*2, H=(id%6+2)*2, n_frames=id%7+3; byte j
-    of frame f is (id*11 + f*101 + j*7) % 256 — a closed form an
+    markers. Dims W=(s%8+2)*2, H=(s%6+2)*2, n_frames=s%7+3; byte j
+    of frame f is (s*11 + f*101 + j*7) % 256 — a closed form an
     external oracle replays with no video code, while the decode
-    stage parses the actual container."""
+    stage parses the actual container. ``s`` is ``seed_col`` when
+    given (plants a small set of clip CLASSES while keeping real
+    row ids) else ``id_col``."""
     key = df.schema[id_col]
     schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+    seed = seed_col or id_col
+    cols = [id_col] if seed == id_col else [id_col, seed]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             blobs = []
-            for i in pdf[id_col]:
+            for i in pdf[seed]:
                 i = int(i)
                 w, h, nf = (i % 8 + 2) * 2, (i % 6 + 2) * 2, i % 7 + 3
                 fsz = w * h * 3 // 2                    # C420 planar
@@ -657,7 +735,42 @@ def synth_y4m_blob(df: DataFrame, id_col: str = "doc_id",
                 blobs.append(b"".join(parts))
             yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
 
-    return df.select(id_col).mapInPandas(fn, schema)
+    return df.select(*cols).mapInPandas(fn, schema)
+
+
+def _parse_y4m_y(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
+    """Real YUV4MPEG2 parse shared by ``frame_sample_real`` and
+    ``scene_cuts``: validate the header (W/H/C420 tokens), reshape
+    the body as a UNIFORM STRIDE buffer (one numpy view, no per-frame
+    Python loop), validate every FRAME marker vectorized, and return
+    (w, h, n_frames, uint8 Y-planes of shape (n_frames, w*h)).
+    Raises ValueError on malformed input — callers quarantine."""
+    nl = b.index(b"\n")
+    toks = b[:nl].split(b" ")
+    if toks[0] != b"YUV4MPEG2":
+        raise ValueError("not Y4M")
+    w = h = None
+    c420 = True
+    for t in toks[1:]:
+        if t[:1] == b"W":
+            w = int(t[1:])
+        elif t[:1] == b"H":
+            h = int(t[1:])
+        elif t[:1] == b"C":
+            c420 = t[1:].startswith(b"420")
+    if not (w and h and c420):
+        raise ValueError("unsupported Y4M layout")
+    fsz = w * h * 3 // 2
+    stride = 6 + fsz
+    body = b[nl + 1:]
+    nf = len(body) // stride
+    if nf == 0 or len(body) % stride:
+        raise ValueError("truncated frame array")
+    arr = np.frombuffer(body, dtype=np.uint8, count=nf * stride)
+    arr = arr.reshape(nf, stride)
+    if not (arr[:, :6] == np.frombuffer(b"FRAME\n", np.uint8)).all():
+        raise ValueError("bad FRAME marker")
+    return w, h, nf, arr[:, 6:6 + w * h]
 
 
 def frame_sample_real(df: DataFrame, blob_col: str = "blob",
@@ -686,35 +799,8 @@ def frame_sample_real(df: DataFrame, blob_col: str = "blob",
             fi_, sy_, my_ = [], [], []
             for ridx, blob in enumerate(pdf[blob_col]):
                 try:
-                    b = bytes(blob)
-                    nl = b.index(b"\n")
-                    toks = b[:nl].split(b" ")
-                    if toks[0] != b"YUV4MPEG2":
-                        raise ValueError("not Y4M")
-                    w = h = None
-                    c420 = True
-                    for t in toks[1:]:
-                        if t[:1] == b"W":
-                            w = int(t[1:])
-                        elif t[:1] == b"H":
-                            h = int(t[1:])
-                        elif t[:1] == b"C":
-                            c420 = t[1:].startswith(b"420")
-                    if not (w and h and c420):
-                        raise ValueError("unsupported Y4M layout")
-                    fsz = w * h * 3 // 2
-                    stride = 6 + fsz
-                    body = b[nl + 1:]
-                    nf = len(body) // stride
-                    if nf == 0 or len(body) % stride:
-                        raise ValueError("truncated frame array")
-                    arr = np.frombuffer(body, dtype=np.uint8,
-                                        count=nf * stride)
-                    arr = arr.reshape(nf, stride)
-                    if not (arr[:, :6]
-                            == np.frombuffer(b"FRAME\n", np.uint8)).all():
-                        raise ValueError("bad FRAME marker")
-                    y = arr[:, 6:6 + w * h][::every].astype(np.int64)
+                    w, h, nf, planes = _parse_y4m_y(bytes(blob))
+                    y = planes[::every].astype(np.int64)
                     idxs = np.arange(nf)[::every]
                     for k in key_cols:
                         out_keys[k].extend([pdf[k].iloc[ridx]] * len(idxs))
@@ -725,6 +811,62 @@ def frame_sample_real(df: DataFrame, blob_col: str = "blob",
                     continue
             out = pd.DataFrame(out_keys)
             out["frame_idx"], out["sum_y"], out["max_y"] = fi_, sy_, my_
+            yield out
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
+def scene_cuts(df: DataFrame, blob_col: str = "blob",
+               threshold_ppm: int = 250_000,
+               key_cols=("doc_id",)) -> DataFrame:
+    """Shot-boundary (scene-change) detection over real Y4M video: for
+    every consecutive frame pair, the mean absolute Y-plane difference
+    normalized to parts-per-million of full scale —
+    ``diff_ppm = sum|Y_f - Y_{f-1}| * 1_000_000 // (w*h*255)`` — and
+    ``is_cut = 1`` when it exceeds ``threshold_ppm``. One output row
+    per consecutive pair (frame_idx = the LATER frame), integer-exact
+    so an external oracle replays the arithmetic with no video code.
+    This is the classic pixel-difference shot detector — the curation
+    step that segments raw video into shots before frame sampling.
+
+    Scale shape: mapInPandas over (keys, blob) only — the frame-diff
+    is vectorized numpy inside the decode stage, blobs never outlive
+    it, and the output rows are 4 small integers per frame pair.
+    Malformed blobs yield no rows (quarantine-not-crash)."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("frame_idx", LongType(), True),
+            StructField("diff_sum", LongType(), True),
+            StructField("diff_ppm", LongType(), True),
+            StructField("is_cut", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys: dict = {k: [] for k in key_cols}
+            fi_, ds_, dp_, ic_ = [], [], [], []
+            for ridx, blob in enumerate(pdf[blob_col]):
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    w, h, nf, planes = _parse_y4m_y(bytes(blob))
+                    if nf < 2:
+                        continue
+                    y = planes.astype(np.int64)
+                    diffs = np.abs(y[1:] - y[:-1]).sum(axis=1)
+                    ppm = diffs * 1_000_000 // (w * h * 255)
+                    for k in key_cols:
+                        out_keys[k].extend([pdf[k].iloc[ridx]] * (nf - 1))
+                    fi_.extend(range(1, nf))
+                    ds_.extend(int(x) for x in diffs)
+                    dp_.extend(int(x) for x in ppm)
+                    ic_.extend(int(x > threshold_ppm) for x in ppm)
+                except (ValueError, IndexError):
+                    continue
+            out = pd.DataFrame(out_keys)
+            out["frame_idx"] = fi_
+            out["diff_sum"], out["diff_ppm"], out["is_cut"] = ds_, dp_, ic_
             yield out
 
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)

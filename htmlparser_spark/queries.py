@@ -2480,6 +2480,32 @@ def q_image_ahash(spark, sf_dir):
     return image_ahash(synth_ppm_blob(docs, seed_col="seed"))
 
 
+def q_audio_fingerprint(spark, sf_dir):
+    """64-bit temporal-energy audio fingerprint (operators/
+    multimodal.py audio_fingerprint) over REAL RIFF/WAVE PCM blobs:
+    six clip classes planted via doc_id % 6, so the fingerprint per
+    doc is one of six constants the oracle computes by replaying the
+    synth arithmetic + the integer afp recipe locally — no audio
+    code in the SQL."""
+    from .operators.multimodal import audio_fingerprint, synth_wav_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    return audio_fingerprint(synth_wav_blob(docs, seed_col="seed"))
+
+
+def q_video_scene_cuts(spark, sf_dir):
+    """Shot-boundary detection (operators/multimodal.py scene_cuts)
+    over REAL Y4M video: six clip classes planted via doc_id % 6;
+    each class's per-frame-pair (diff_sum, diff_ppm, is_cut) rows are
+    constants the oracle computes by replaying the synth + frame-diff
+    arithmetic locally and joins back on doc_id % 6 — no video code
+    in the SQL."""
+    from .operators.multimodal import scene_cuts, synth_y4m_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    return scene_cuts(synth_y4m_blob(docs, seed_col="seed"))
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2521,6 +2547,8 @@ QUERIES = {
     "sentence_dedup": q_sentence_dedup,
     "bpe_encode": q_bpe_encode,
     "image_ahash": q_image_ahash,
+    "audio_fingerprint": q_audio_fingerprint,
+    "video_scene_cuts": q_video_scene_cuts,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3618,6 +3646,59 @@ def _image_ahash_oracle() -> str:
 
 
 ORACLES["image_ahash"] = _image_ahash_oracle()
+
+
+def _audio_fingerprint_oracle() -> str:
+    """Replay synth_wav_blob's closed sample arithmetic + the integer
+    afp recipe for the six seed classes locally; the SQL then just
+    CASEs on doc_id % 6."""
+    import numpy as np
+    from .operators.multimodal import afp_bits
+    vals = []
+    for s in range(6):
+        ch, frames = s % 2 + 1, s % 50 + 20
+        n = frames * ch
+        samples = ((s * 13 + 37 * np.arange(n, dtype=np.int64))
+                   % 65536 - 32768)
+        vals.append(afp_bits(ch, samples))
+    arms = " ".join(f"WHEN {i} THEN {v}" for i, v in enumerate(vals))
+    return ("SELECT doc_id, "
+            f"CAST(CASE doc_id % 6 {arms} END AS BIGINT) AS afp "
+            "FROM documents")
+
+
+ORACLES["audio_fingerprint"] = _audio_fingerprint_oracle()
+
+
+def _video_scene_cuts_oracle(threshold_ppm: int = 250_000) -> str:
+    """Replay synth_y4m_blob's closed frame arithmetic + the
+    frame-diff recipe for the six seed classes locally; the SQL joins
+    the resulting constant (class, frame_idx, diff_sum, diff_ppm,
+    is_cut) rows back on doc_id % 6 — a VALUES table, no video code."""
+    import numpy as np
+    rows = []
+    for s in range(6):
+        w, h, nf = (s % 8 + 2) * 2, (s % 6 + 2) * 2, s % 7 + 3
+        j = np.arange(w * h, dtype=np.int64)     # Y plane only
+        planes = np.stack([(s * 11 + f * 101 + j * 7) % 256
+                           for f in range(nf)])
+        diffs = np.abs(planes[1:] - planes[:-1]).sum(axis=1)
+        ppm = diffs * 1_000_000 // (w * h * 255)
+        for f in range(1, nf):
+            rows.append((s, f, int(diffs[f - 1]), int(ppm[f - 1]),
+                         int(ppm[f - 1] > threshold_ppm)))
+    vals = ", ".join(f"({c}, {f}, {d}, {p}, {ic})"
+                     for c, f, d, p, ic in rows)
+    return ("SELECT d.doc_id, CAST(v.frame_idx AS BIGINT) AS frame_idx, "
+            "CAST(v.diff_sum AS BIGINT) AS diff_sum, "
+            "CAST(v.diff_ppm AS BIGINT) AS diff_ppm, "
+            "CAST(v.is_cut AS BIGINT) AS is_cut "
+            f"FROM documents d JOIN (VALUES {vals}) "
+            "AS v(cls, frame_idx, diff_sum, diff_ppm, is_cut) "
+            "ON d.doc_id % 6 = v.cls")
+
+
+ORACLES["video_scene_cuts"] = _video_scene_cuts_oracle()
 
 ORACLES["bpe_encode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "

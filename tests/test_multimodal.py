@@ -331,3 +331,80 @@ class TestImageAhash:
         # planted duplicates: ids congruent mod 4 share an image
         for a, b in [(0, 4), (1, 5), (2, 6), (3, 7)]:
             assert (a, b) in exact
+
+
+class TestAudioFingerprint:
+    def test_afp_matches_local_replay(self, spark):
+        import numpy as np
+        from htmlparser_spark.operators.multimodal import (
+            afp_bits, audio_fingerprint, synth_wav_blob)
+        df = spark.range(0, 12).withColumnRenamed("id", "doc_id")
+        got = {r.doc_id: r.afp
+               for r in audio_fingerprint(synth_wav_blob(df)).collect()}
+        for i in range(12):
+            ch, frames = i % 2 + 1, i % 50 + 20
+            n = frames * ch
+            s = ((i * 13 + 37 * np.arange(n, dtype=np.int64))
+                 % 65536 - 32768)
+            assert got[i] == afp_bits(ch, s)
+
+    def test_planted_classes_and_null(self, spark):
+        from pyspark.sql import functions as F
+        from htmlparser_spark.operators.multimodal import (
+            audio_fingerprint, synth_wav_blob)
+        df = spark.range(0, 10).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 2).alias("seed"))
+        out = audio_fingerprint(synth_wav_blob(df, seed_col="seed"))
+        fps = {r.doc_id: r.afp for r in out.collect()}
+        assert len({fps[i] for i in range(0, 10, 2)}) == 1
+        assert len({fps[i] for i in range(1, 10, 2)}) == 1
+        assert fps[0] != fps[1]
+        nul = spark.createDataFrame([(1, None)], "doc_id long, blob binary")
+        assert audio_fingerprint(nul).collect()[0].afp is None
+
+    def test_near_dup_pairs_via_generic_kernel(self, spark):
+        from pyspark.sql import functions as F
+        from htmlparser_spark.operators.dedup import hamming_candidates
+        from htmlparser_spark.operators.multimodal import (
+            audio_fingerprint, synth_wav_blob)
+        df = spark.range(0, 8).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 4).alias("seed"))
+        sigs = audio_fingerprint(synth_wav_blob(df, seed_col="seed")) \
+            .withColumnRenamed("afp", "sh")
+        exact = {(r.id_a, r.id_b)
+                 for r in hamming_candidates(sigs, sig_col="sh").collect()
+                 if r.hamming == 0}
+        for a, b in [(0, 4), (1, 5), (2, 6), (3, 7)]:
+            assert (a, b) in exact
+
+
+class TestSceneCuts:
+    def test_matches_local_replay(self, spark):
+        import numpy as np
+        from htmlparser_spark.operators.multimodal import (
+            scene_cuts, synth_y4m_blob)
+        df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        got = {}
+        for r in scene_cuts(synth_y4m_blob(df)).collect():
+            got.setdefault(r.doc_id, {})[r.frame_idx] = (
+                r.diff_sum, r.diff_ppm, r.is_cut)
+        for i in range(10):
+            w, h, nf = (i % 8 + 2) * 2, (i % 6 + 2) * 2, i % 7 + 3
+            j = np.arange(w * h, dtype=np.int64)
+            planes = np.stack([(i * 11 + f * 101 + j * 7) % 256
+                               for f in range(nf)])
+            diffs = np.abs(planes[1:] - planes[:-1]).sum(axis=1)
+            ppm = diffs * 1_000_000 // (w * h * 255)
+            assert set(got[i]) == set(range(1, nf))
+            for f in range(1, nf):
+                assert got[i][f] == (int(diffs[f - 1]), int(ppm[f - 1]),
+                                     int(ppm[f - 1] > 250_000))
+
+    def test_quarantine_and_short_clips(self, spark):
+        from htmlparser_spark.operators.multimodal import scene_cuts
+        one_frame = (b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n"
+                     + b"FRAME\n" + bytes(24))
+        df = spark.createDataFrame(
+            [(1, None), (2, b"garbage"), (3, one_frame)],
+            "doc_id long, blob binary")
+        assert scene_cuts(df).count() == 0
