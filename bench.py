@@ -206,6 +206,10 @@ def main() -> int:
         ("inverted_index", Q.q_inverted_index),
         ("lm_familiarity", Q.q_lm_familiarity),
         ("dsir_weights", Q.q_dsir_weights),
+        # media tier: real container decode + 64-bit signatures
+        ("image_ahash", Q.q_image_ahash),
+        ("audio_fingerprint", Q.q_audio_fingerprint),
+        ("video_scene_cuts", Q.q_video_scene_cuts),
         # round-4 structured-extraction tier
         ("extract_tables", Q.q_extract_tables),
         ("page_meta", Q.q_page_meta),
