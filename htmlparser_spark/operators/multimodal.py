@@ -51,7 +51,8 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "synth_wav_blob", "decode_audio_features",
            "synth_y4m_blob", "frame_sample_real",
            "ahash_bits", "image_ahash",
-           "afp_bits", "audio_fingerprint", "scene_cuts"]
+           "afp_bits", "audio_fingerprint", "scene_cuts",
+           "audio_energy_windows"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -867,6 +868,61 @@ def scene_cuts(df: DataFrame, blob_col: str = "blob",
             out = pd.DataFrame(out_keys)
             out["frame_idx"] = fi_
             out["diff_sum"], out["diff_ppm"], out["is_cut"] = ds_, dp_, ic_
+            yield out
+
+    return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
+def audio_energy_windows(df: DataFrame, blob_col: str = "blob",
+                         window: int = 16,
+                         silence_threshold: int = 8192,
+                         key_cols=("doc_id",)) -> DataFrame:
+    """Voice-activity-style audio segmentation over real WAV PCM: the
+    clip's mono energy envelope m[t] = (sum over channels |sample|)
+    // ch (the same mono reduction as ``afp_bits``) is cut into
+    fixed ``window``-frame windows (trailing partial window dropped);
+    each emits (win_idx, energy = floor-mean of m, is_silent =
+    energy < silence_threshold). The silence mask is the curation
+    primitive for trimming dead air / splitting clips before
+    training. Integer-exact, so an external oracle replays it.
+
+    Scale shape: mapInPandas over (keys, blob) only; audio bytes
+    never outlive the stage, output rows are 3 small integers per
+    window. Malformed blobs yield no rows (quarantine-not-crash)."""
+    key_cols = list(key_cols)
+    schema = StructType(
+        [df.schema[k] for k in key_cols] + [
+            StructField("win_idx", LongType(), True),
+            StructField("energy", LongType(), True),
+            StructField("is_silent", LongType(), True),
+        ])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_keys: dict = {k: [] for k in key_cols}
+            wi_, en_, si_ = [], [], []
+            for ridx, blob in enumerate(pdf[blob_col]):
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    ch, _rate, s = _parse_wav(bytes(blob))
+                    a = np.abs(s.astype(np.int64))
+                    t = len(a) // ch
+                    nw = t // window
+                    if nw == 0:
+                        continue
+                    m = a[:t * ch].reshape(t, ch).sum(axis=1) // ch
+                    e = m[:nw * window].reshape(nw, window) \
+                        .sum(axis=1) // window
+                    for k in key_cols:
+                        out_keys[k].extend([pdf[k].iloc[ridx]] * nw)
+                    wi_.extend(range(nw))
+                    en_.extend(int(x) for x in e)
+                    si_.extend(int(x < silence_threshold) for x in e)
+                except (ValueError, IndexError):
+                    continue
+            out = pd.DataFrame(out_keys)
+            out["win_idx"], out["energy"], out["is_silent"] = wi_, en_, si_
             yield out
 
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)

@@ -2506,6 +2506,37 @@ def q_video_scene_cuts(spark, sf_dir):
     return scene_cuts(synth_y4m_blob(docs, seed_col="seed"))
 
 
+def q_audio_vad(spark, sf_dir):
+    """Voice-activity segmentation (operators/multimodal.py
+    audio_energy_windows) over REAL RIFF/WAVE PCM: six clip classes
+    planted via doc_id % 6; each class's per-window (energy,
+    is_silent) rows are constants the oracle replays locally and
+    joins back on doc_id % 6 — no audio code in the SQL. window=8
+    frames so every class emits 2-3 windows."""
+    from .operators.multimodal import audio_energy_windows, synth_wav_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    return audio_energy_windows(synth_wav_blob(docs, seed_col="seed"),
+                                window=8)
+
+
+def q_image_near_dups(spark, sf_dir):
+    """Cross-modal near-dup through the SHARED capped hamming kernel
+    (operators/dedup.py hamming_candidates) fed by image signatures:
+    six planted image classes via doc_id % 6 → image_ahash → the same
+    pigeonhole bucketing text SimHash uses. The oracle computes the
+    six class hashes at registration, derives which ordered class
+    pairs share a 16-bit chunk (the kernel's candidate rule) and each
+    pair's constant hamming, and replays the whole candidate set as a
+    documents self-join against that VALUES table."""
+    from .operators.dedup import hamming_candidates
+    from .operators.multimodal import image_ahash, synth_ppm_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    sigs = image_ahash(synth_ppm_blob(docs, seed_col="seed"))
+    return hamming_candidates(sigs, sig_col="ahash")
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2549,6 +2580,8 @@ QUERIES = {
     "image_ahash": q_image_ahash,
     "audio_fingerprint": q_audio_fingerprint,
     "video_scene_cuts": q_video_scene_cuts,
+    "audio_vad": q_audio_vad,
+    "image_near_dups": q_image_near_dups,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3699,6 +3732,74 @@ def _video_scene_cuts_oracle(threshold_ppm: int = 250_000) -> str:
 
 
 ORACLES["video_scene_cuts"] = _video_scene_cuts_oracle()
+
+
+def _audio_vad_oracle(window: int = 8,
+                      silence_threshold: int = 8192) -> str:
+    """Replay synth_wav_blob's closed sample arithmetic + the
+    window-energy recipe for the six seed classes locally; the SQL
+    joins the constant (class, win_idx, energy, is_silent) rows back
+    on doc_id % 6."""
+    import numpy as np
+    rows = []
+    for s in range(6):
+        ch, frames = s % 2 + 1, s % 50 + 20
+        n = frames * ch
+        a = np.abs((s * 13 + 37 * np.arange(n, dtype=np.int64))
+                   % 65536 - 32768)
+        m = a.reshape(frames, ch).sum(axis=1) // ch
+        nw = frames // window
+        e = m[:nw * window].reshape(nw, window).sum(axis=1) // window
+        for w in range(nw):
+            rows.append((s, w, int(e[w]),
+                         int(e[w] < silence_threshold)))
+    vals = ", ".join(f"({c}, {w}, {en}, {si})" for c, w, en, si in rows)
+    return ("SELECT d.doc_id, CAST(v.win_idx AS BIGINT) AS win_idx, "
+            "CAST(v.energy AS BIGINT) AS energy, "
+            "CAST(v.is_silent AS BIGINT) AS is_silent "
+            f"FROM documents d JOIN (VALUES {vals}) "
+            "AS v(cls, win_idx, energy, is_silent) "
+            "ON d.doc_id % 6 = v.cls")
+
+
+ORACLES["audio_vad"] = _audio_vad_oracle()
+
+
+def _image_near_dups_oracle(chunks: int = 4) -> str:
+    """Replay the kernel's candidate rule over the six constant class
+    hashes: ordered class pairs sharing any 16-bit chunk (same
+    position) are candidates with a constant hamming; the SQL is a
+    documents self-join (id_a < id_b) against that VALUES table — no
+    image code, no hamming code, just the precomputed collision
+    structure."""
+    import numpy as np
+    from .operators.multimodal import ahash_bits
+    sigs = []
+    for s in range(6):
+        w, h = s % 13 + 4, s % 11 + 4
+        n = w * h * 3
+        px = (s * 7 + 31 * np.arange(n, dtype=np.int64)) % 256
+        sigs.append(ahash_bits(w, h, px) & 0xFFFFFFFFFFFFFFFF)
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    rows = []
+    for ca in range(6):
+        for cb in range(6):
+            if any((sigs[ca] >> (c * width)) & mask
+                   == (sigs[cb] >> (c * width)) & mask
+                   for c in range(chunks)):
+                rows.append((ca, cb,
+                             bin(sigs[ca] ^ sigs[cb]).count("1")))
+    vals = ", ".join(f"({a}, {b}, {hm})" for a, b, hm in rows)
+    return ("SELECT d1.doc_id AS id_a, d2.doc_id AS id_b, "
+            "CAST(v.hamming AS BIGINT) AS hamming "
+            "FROM documents d1 JOIN documents d2 "
+            "ON d1.doc_id < d2.doc_id "
+            f"JOIN (VALUES {vals}) AS v(ca, cb, hamming) "
+            "ON d1.doc_id % 6 = v.ca AND d2.doc_id % 6 = v.cb")
+
+
+ORACLES["image_near_dups"] = _image_near_dups_oracle()
 
 ORACLES["bpe_encode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "

@@ -408,3 +408,44 @@ class TestSceneCuts:
             [(1, None), (2, b"garbage"), (3, one_frame)],
             "doc_id long, blob binary")
         assert scene_cuts(df).count() == 0
+
+
+class TestAudioEnergyWindows:
+    def test_matches_local_replay(self, spark):
+        import numpy as np
+        from htmlparser_spark.operators.multimodal import (
+            audio_energy_windows, synth_wav_blob)
+        df = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+        got = {}
+        for r in audio_energy_windows(synth_wav_blob(df),
+                                      window=8).collect():
+            got.setdefault(r.doc_id, {})[r.win_idx] = (r.energy,
+                                                       r.is_silent)
+        for i in range(10):
+            ch, frames = i % 2 + 1, i % 50 + 20
+            n = frames * ch
+            a = np.abs((i * 13 + 37 * np.arange(n, dtype=np.int64))
+                       % 65536 - 32768)
+            m = a.reshape(frames, ch).sum(axis=1) // ch
+            nw = frames // 8
+            e = m[:nw * 8].reshape(nw, 8).sum(axis=1) // 8
+            assert set(got[i]) == set(range(nw))
+            for w in range(nw):
+                assert got[i][w] == (int(e[w]), int(e[w] < 8192))
+
+    def test_silent_clip_flagged(self, spark):
+        from htmlparser_spark.operators.multimodal import (
+            audio_energy_windows)
+        # hand-built mono 8kHz WAV of 32 zero samples = pure silence
+        data = bytes(64)
+        fmt = (b"\x01\x00\x01\x00" + (8000).to_bytes(4, "little")
+               + (16000).to_bytes(4, "little") + b"\x02\x00\x10\x00")
+        body = (b"WAVEfmt " + len(fmt).to_bytes(4, "little") + fmt
+                + b"data" + len(data).to_bytes(4, "little") + data)
+        wav = b"RIFF" + len(body).to_bytes(4, "little") + body
+        df = spark.createDataFrame([(1, wav), (2, None), (3, b"junk")],
+                                   "doc_id long, blob binary")
+        rows = audio_energy_windows(df, window=16).collect()
+        assert {r.doc_id for r in rows} == {1}
+        assert all(r.energy == 0 and r.is_silent == 1 for r in rows)
+        assert len(rows) == 2
