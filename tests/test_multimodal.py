@@ -449,3 +449,18 @@ class TestAudioEnergyWindows:
         assert {r.doc_id for r in rows} == {1}
         assert all(r.energy == 0 and r.is_silent == 1 for r in rows)
         assert len(rows) == 2
+
+
+def test_media_signature_ops_map_only_plans(spark):
+    # every media signature/segmentation op is ONE Arrow stage over
+    # (keys, blob) — no Exchange anywhere (blobs never shuffle)
+    from htmlparser_spark.operators.multimodal import (
+        audio_energy_windows, audio_fingerprint, image_ahash,
+        scene_cuts, synth_ppm_blob, synth_wav_blob, synth_y4m_blob)
+    df = spark.range(0, 4).withColumnRenamed("id", "doc_id")
+    for out in (image_ahash(synth_ppm_blob(df)),
+                audio_fingerprint(synth_wav_blob(df)),
+                audio_energy_windows(synth_wav_blob(df)),
+                scene_cuts(synth_y4m_blob(df))):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
