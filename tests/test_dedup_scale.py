@@ -492,3 +492,37 @@ def test_fuzzy_dedup_keep_best_prefers_high_score(spark):
                       fuzzy_dedup_keep(df, threshold=0.5,
                                        bands=32).collect())
     assert kept_min == [1, 40]
+
+
+def test_hamming_candidates_pigeonhole_recall(spark):
+    """The generic kernel's recall GUARANTEE: chunks=4 means any pair
+    at hamming < 4 differs in at most 3 chunks, so at least one
+    16-bit chunk matches and the pair MUST surface as a candidate —
+    for any signature distribution. Fuzz 48 seeded signatures
+    (including planted low-hamming pairs) and check the candidate
+    set against a local all-pairs replay; also pin reported hamming
+    values and that no self/reversed pairs leak."""
+    from htmlparser_spark.operators.dedup import hamming_candidates
+
+    rng = np.random.RandomState(11)
+    sigs = [int(x) for x in
+            rng.randint(-(2 ** 63), 2 ** 63 - 1, 40, dtype=np.int64)]
+    for i in range(0, 8, 2):           # planted 1-3-bit-apart pairs
+        base = sigs[i]
+        sigs.append(base ^ (1 << (i * 3)) ^ (7 if i else 0))
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(sigs)], "doc_id long, sh long")
+    got = {(r.id_a, r.id_b): r.hamming
+           for r in hamming_candidates(df).collect()}
+
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+
+    for a in range(len(sigs)):
+        for b in range(a + 1, len(sigs)):
+            h = ham(sigs[a], sigs[b])
+            if h < 4:
+                assert got[(a, b)] == h, (a, b, h)
+    for (a, b), h in got.items():
+        assert a < b
+        assert h == ham(sigs[a], sigs[b])
