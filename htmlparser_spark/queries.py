@@ -2537,6 +2537,41 @@ def q_image_near_dups(spark, sf_dir):
     return hamming_candidates(sigs, sig_col="ahash")
 
 
+def q_media_dedup_pipeline(spark, sf_dir):
+    """END-TO-END media dedup (the media analog of web_pipeline):
+    real container decode → per-modality 64-bit signature (image
+    aHash for even doc_ids, audio fingerprint for odd) → the SHARED
+    capped hamming kernel per modality → exact-dup pairs (hamming 0)
+    → connected components → keep-first-per-component. Eight planted
+    classes via doc_id % 8 (residue parity = modality, so classes
+    never cross modalities and the class signatures are pairwise
+    distinct within each — verified at registration below); the
+    component of every doc is therefore exactly its residue class and
+    the oracle is a window MIN over doc_id % 8 — no media code in the
+    SQL. Every stage shuffles ids/8-byte signatures only; media bytes
+    die inside the decode stage."""
+    from .operators.dedup import connected_components, hamming_candidates
+    from .operators.multimodal import (audio_fingerprint, image_ahash,
+                                       synth_ppm_blob, synth_wav_blob)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("seed"))
+    imgs = docs.filter(F.col("doc_id") % 2 == 0)
+    auds = docs.filter(F.col("doc_id") % 2 == 1)
+    img_sig = image_ahash(synth_ppm_blob(imgs, seed_col="seed"))
+    aud_sig = audio_fingerprint(synth_wav_blob(auds, seed_col="seed"))
+    pairs = (hamming_candidates(img_sig, sig_col="ahash")
+             .unionAll(hamming_candidates(aud_sig, sig_col="afp"))
+             .filter(F.col("hamming") == 0))
+    comp = connected_components(pairs) \
+        .withColumnRenamed("node", "doc_id")
+    return (docs.select("doc_id").join(comp, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("component", "doc_id").alias("root"))
+            .withColumn("is_kept",
+                        (F.col("doc_id") == F.col("root"))
+                        .cast("long")))
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2582,6 +2617,7 @@ QUERIES = {
     "video_scene_cuts": q_video_scene_cuts,
     "audio_vad": q_audio_vad,
     "image_near_dups": q_image_near_dups,
+    "media_dedup_pipeline": q_media_dedup_pipeline,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3800,6 +3836,36 @@ def _image_near_dups_oracle(chunks: int = 4) -> str:
 
 
 ORACLES["image_near_dups"] = _image_near_dups_oracle()
+
+
+def _media_dedup_pipeline_oracle() -> str:
+    """The end-to-end pipeline's oracle rests on one registration-time
+    fact: the eight planted class signatures are pairwise distinct
+    WITHIN each modality (asserted here by replaying the arithmetic),
+    so hamming-0 pairs are exactly same-residue pairs and every
+    component is its doc_id % 8 residue class — a window MIN."""
+    import numpy as np
+    from .operators.multimodal import afp_bits, ahash_bits
+    img, aud = [], []
+    for s in range(0, 8, 2):
+        w, h = s % 13 + 4, s % 11 + 4
+        px = (s * 7 + 31 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        img.append(ahash_bits(w, h, px))
+    for s in range(1, 8, 2):
+        ch, frames = s % 2 + 1, s % 50 + 20
+        sam = ((s * 13 + 37 * np.arange(frames * ch, dtype=np.int64))
+               % 65536 - 32768)
+        aud.append(afp_bits(ch, sam))
+    assert len(set(img)) == 4 and len(set(aud)) == 4, \
+        "planted media classes collided; oracle invalid"
+    return ("SELECT doc_id, "
+            "MIN(doc_id) OVER (PARTITION BY doc_id % 8) AS root, "
+            "CAST(doc_id = MIN(doc_id) OVER (PARTITION BY doc_id % 8) "
+            "AS BIGINT) AS is_kept "
+            "FROM documents")
+
+
+ORACLES["media_dedup_pipeline"] = _media_dedup_pipeline_oracle()
 
 ORACLES["bpe_encode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "
