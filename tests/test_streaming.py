@@ -289,3 +289,55 @@ def test_session_window_matches_batch_sessionize(spark, tmp_path):
               .collect()):
         assert ends[(r.user_id, r.start)] == \
             r.last + timedelta(minutes=30)
+
+
+def test_stream_media_dedup_by_signature(spark, tmp_path):
+    """Streaming × media: duplicate image deliveries collapse by
+    64-bit perceptual signature — decode runs as the same map-only
+    Arrow stage inside the micro-batch (mapInPandas is
+    streaming-legal), then dedup_stream keys its bounded
+    (hash, length) state on the aHash instead of text. Four planted
+    classes over 12 deliveries across two files → exactly 4
+    survivors whose signatures equal the batch replay."""
+    import numpy as np
+    import pandas as pd
+
+    from htmlparser_spark.operators.multimodal import (ahash_bits,
+                                                       image_ahash)
+    from htmlparser_spark.streaming.pipeline import dedup_stream
+
+    def ppm(s):
+        w, h = s % 13 + 4, s % 11 + 4
+        px = (s * 7 + 31 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        return (b"P6\n%d %d\n255\n" % (w, h)
+                + px.astype(np.uint8).tobytes())
+
+    pdf = pd.DataFrame(
+        [(i, pd.Timestamp("2026-01-01") + pd.Timedelta(seconds=i),
+          ppm(i % 4)) for i in range(12)],
+        columns=["doc_id", "ts", "blob"])
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    d = tmp_path / "in"
+    d.mkdir()
+    pdf.iloc[:8].to_parquet(d / "p0.parquet", index=False)
+    pdf.iloc[8:].to_parquet(d / "p1.parquet", index=False)
+
+    sdf = (spark.readStream
+           .schema("doc_id long, ts timestamp, blob binary")
+           .format("parquet").load(str(d)))
+    sigs = image_ahash(sdf, key_cols=("doc_id", "ts"))
+    out = dedup_stream(sigs, watermark="1 hour", key_cols=("ahash",))
+    q = (out.writeStream.format("parquet")
+         .option("path", str(tmp_path / "out"))
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert len(got) == 4
+    expect = set()
+    for s in range(4):
+        w, h = s % 13 + 4, s % 11 + 4
+        px = (s * 7 + 31 * np.arange(w * h * 3, dtype=np.int64)) % 256
+        expect.add(ahash_bits(w, h, px))
+    assert {r.ahash for r in got} == expect
