@@ -805,8 +805,14 @@ def _shingle_sql(k: int) -> str:
 def _jaccard_pairs_oracle(k: int, plant_mod: int,
                           extra_cols: str = "", join_extra: str = "",
                           plant_cols: str = "") -> str:
-    """Ground-truth shingle-Jaccard pair oracle over ALL pairs (O(n²)
-    — fine at oracle scale) with the planted-dup construction."""
+    """Ground-truth shingle-Jaccard pair oracle with the planted-dup
+    construction. Ground truth, not O(n²) wall-clock: j >= 1/2 with a
+    nonempty union forces at least ONE shared shingle, so a LOSSLESS
+    exploded-shingle witness join prunes the all-pairs list_intersect
+    work to pairs that can qualify (~40× cheaper at oracle scale —
+    keeps the driver's per-round correctness budget for other
+    queries); the empty-vs-empty corner (0 >= 0, vacuously true under
+    the main predicate) has no witness, so it is re-added explicitly."""
     return (
         "WITH dupped AS ("
         f"  SELECT doc_id, text{plant_cols} FROM documents"
@@ -816,16 +822,25 @@ def _jaccard_pairs_oracle(k: int, plant_mod: int,
         "sh AS ("
         f"  SELECT doc_id{extra_cols}, length(text) AS len, "
         f"  {_shingle_sql(k)} AS sh "
-        f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)) "
+        f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
+        "cand AS ("
+        "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
+        "  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) w_a "
+        "  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) w_b "
+        "    ON w_a.s = w_b.s AND w_a.doc_id < w_b.doc_id "
+        "  GROUP BY 1, 2 "
+        "  UNION "
+        "  SELECT e_a.doc_id, e_b.doc_id FROM sh e_a JOIN sh e_b "
+        "    ON e_a.doc_id < e_b.doc_id "
+        "    AND len(e_a.sh) = 0 AND len(e_b.sh) = 0) "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_intersect, "
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) "
         "AS n_union "
-        f"FROM sh a JOIN sh b ON a.doc_id < b.doc_id{join_extra} "
-        # lossless prefilter before the list ops: j >= 1/2 forces
-        # 2*min(|A|,|B|) >= max (|A∩B| <= min, |A∪B| >= max); the
-        # empty-vs-empty corner (0 >= 0) matches the main predicate's
-        # vacuous truth, empty-vs-nonempty is pruned by both
+        "FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        f"JOIN sh b ON b.doc_id = cand.id_b{join_extra} "
+        # second lossless prefilter before the list ops: j >= 1/2
+        # forces 2*min(|A|,|B|) >= max (|A∩B| <= min, |A∪B| >= max)
         " AND 2 * least(len(a.sh), len(b.sh)) >= "
         "greatest(len(a.sh), len(b.sh)) "
         "WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
@@ -3272,8 +3287,9 @@ ORACLES["classifier_gate"] = (
 
 
 def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
-    """Shared ground-truth prefix: planted corpus → exact all-pairs
-    Jaccard → recursive transitive closure → lbl(node, comp)."""
+    """Shared ground-truth prefix: planted corpus → exact Jaccard
+    pairs (lossless witness-prefiltered, see _jaccard_pairs_oracle) →
+    recursive transitive closure → lbl(node, comp)."""
     return (
         "WITH RECURSIVE dupped AS ("
         "  SELECT doc_id, text FROM documents"
@@ -3283,11 +3299,25 @@ def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
         "sh AS ("
         f"  SELECT doc_id, {_shingle_sql(k)} AS sh "
         f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
+        "cand AS ("
+        # lossless witness prefilter: j >= 1/2 with a nonempty union
+        # needs a shared shingle; the witness-less empty-vs-empty
+        # corner (vacuously true under the main predicate) re-added
+        "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
+        "  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) w_a "
+        "  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) w_b "
+        "    ON w_a.s = w_b.s AND w_a.doc_id < w_b.doc_id "
+        "  GROUP BY 1, 2 "
+        "  UNION "
+        "  SELECT e_a.doc_id, e_b.doc_id FROM sh e_a JOIN sh e_b "
+        "    ON e_a.doc_id < e_b.doc_id "
+        "    AND len(e_a.sh) = 0 AND len(e_b.sh) = 0), "
         "pairs AS ("
-        "  SELECT a.doc_id AS id_a, b.doc_id AS id_b "
-        "  FROM sh a JOIN sh b ON a.doc_id < b.doc_id"
+        "  SELECT id_a, id_b "
+        "  FROM cand JOIN sh a ON a.doc_id = cand.id_a "
+        "  JOIN sh b ON b.doc_id = cand.id_b"
         # lossless size prefilter (see _jaccard_pairs_oracle): prunes
-        # the O(n²) list_intersect work without changing the pair set
+        # the list_intersect work without changing the pair set
         "  AND 2 * least(len(a.sh), len(b.sh)) >= "
         "      greatest(len(a.sh), len(b.sh)) "
         "  WHERE len(list_intersect(a.sh, b.sh)) * 2 >= "
