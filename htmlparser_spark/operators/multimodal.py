@@ -281,7 +281,16 @@ def ahash_bits(w: int, h: int, px: "np.ndarray", grid: int = 8) -> int:
                        minlength=grid * grid).astype(np.int64)
     counts = np.bincount(cell_id, minlength=grid * grid)
     cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
-    mean = int(cells.sum()) // (grid * grid)
+    return _pack_bits(cells)
+
+
+def _pack_bits(cells: "np.ndarray") -> int:
+    """Shared signature epilogue (image aHash / audio fingerprint):
+    global mean = floor-mean of the cells, bit = cell > mean, packed
+    from bit 63 down, returned as two's-complement int64. One
+    definition so the bit-for-bit recipe every oracle replays cannot
+    drift between modalities."""
+    mean = int(cells.sum()) // len(cells)
     val = 0
     for i, c in enumerate(cells):
         if int(c) > mean:
@@ -289,6 +298,15 @@ def ahash_bits(w: int, h: int, px: "np.ndarray", grid: int = 8) -> int:
     if val >= 1 << 63:
         val -= 1 << 64
     return val
+
+
+def _mono_envelope(ch: int, samples: "np.ndarray") -> "np.ndarray":
+    """Shared mono energy envelope (audio fingerprint / VAD):
+    m[t] = (sum over channels of |sample|) // ch over interleaved
+    16-bit PCM, int64 throughout."""
+    a = np.abs(samples.astype(np.int64))
+    t = len(a) // ch
+    return a[:t * ch].reshape(t, ch).sum(axis=1) // ch
 
 
 def image_ahash(df: DataFrame, blob_col: str = "blob",
@@ -315,11 +333,16 @@ def image_ahash(df: DataFrame, blob_col: str = "blob",
             out = pd.DataFrame({k: pdf[k] for k in key_cols})
             vals = []
             for blob in pdf[blob_col]:
-                if blob is None:
+                try:
+                    if blob is None:
+                        raise ValueError("null blob")
+                    w, h, px = _decode_rgb(bytes(blob))
+                    vals.append(ahash_bits(w, h, px, grid))
+                except (ValueError, NotImplementedError):
+                    # malformed OR lib-gated format (JPEG): null the
+                    # signature, never crash the task — same
+                    # quarantine policy as the audio/video siblings
                     vals.append(None)
-                    continue
-                w, h, px = _decode_rgb(bytes(blob))
-                vals.append(ahash_bits(w, h, px, grid))
             out["ahash"] = pd.Series(vals, dtype="object")
             yield out
 
@@ -559,24 +582,16 @@ def afp_bits(ch: int, samples: "np.ndarray", slots: int = 64) -> int:
     ``ahash_bits`` — a coarse loudness-envelope signature that is
     sample-rate- and amplitude-scale-coarse, replayable bit-for-bit
     by any engine because every step is integer arithmetic."""
-    a = np.abs(samples.astype(np.int64))
-    t = len(a) // ch
+    m = _mono_envelope(ch, samples)
+    t = len(m)
     if t == 0:
         return 0
-    m = a[:t * ch].reshape(t, ch).sum(axis=1) // ch
     slot_id = (np.arange(t, dtype=np.int64) * slots) // t
     sums = np.bincount(slot_id, weights=m, minlength=slots) \
         .astype(np.int64)
     counts = np.bincount(slot_id, minlength=slots)
     cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
-    mean = int(cells.sum()) // slots
-    val = 0
-    for i, c in enumerate(cells):
-        if int(c) > mean:
-            val |= 1 << (63 - i)
-    if val >= 1 << 63:
-        val -= 1 << 64
-    return val
+    return _pack_bits(cells)
 
 
 def audio_fingerprint(df: DataFrame, blob_col: str = "blob",
@@ -759,7 +774,9 @@ def _parse_y4m_y(b: bytes) -> tuple[int, int, int, "np.ndarray"]:
             h = int(t[1:])
         elif t[:1] == b"C":
             c420 = t[1:].startswith(b"420")
-    if not (w and h and c420):
+    # positive-dimension check, not truthiness: a malformed 'W-1'
+    # header is truthy but gives stride 0 (ZeroDivisionError below)
+    if w is None or h is None or w <= 0 or h <= 0 or not c420:
         raise ValueError("unsupported Y4M layout")
     fsz = w * h * 3 // 2
     stride = 6 + fsz
@@ -801,12 +818,16 @@ def frame_sample_real(df: DataFrame, blob_col: str = "blob",
             for ridx, blob in enumerate(pdf[blob_col]):
                 try:
                     w, h, nf, planes = _parse_y4m_y(bytes(blob))
-                    y = planes[::every].astype(np.int64)
+                    # stay uint8; int64 only in the sum ACCUMULATOR
+                    # (an .astype(int64) would hold 8x the clip at
+                    # once inside the task)
+                    y = planes[::every]
                     idxs = np.arange(nf)[::every]
                     for k in key_cols:
                         out_keys[k].extend([pdf[k].iloc[ridx]] * len(idxs))
                     fi_.extend(int(x) for x in idxs)
-                    sy_.extend(int(s) for s in y.sum(axis=1))
+                    sy_.extend(int(s) for s in y.sum(axis=1,
+                                                     dtype=np.int64))
                     my_.extend(int(m) for m in y.max(axis=1))
                 except (ValueError, IndexError):
                     continue
@@ -854,8 +875,12 @@ def scene_cuts(df: DataFrame, blob_col: str = "blob",
                     w, h, nf, planes = _parse_y4m_y(bytes(blob))
                     if nf < 2:
                         continue
-                    y = planes.astype(np.int64)
-                    diffs = np.abs(y[1:] - y[:-1]).sum(axis=1)
+                    # diff of uint8 values fits int16; int64 only in
+                    # the sum accumulator — peak memory 1/4 of an
+                    # int64 upcast of the whole clip, same integers
+                    y = planes.astype(np.int16)
+                    diffs = np.abs(y[1:] - y[:-1]) \
+                        .sum(axis=1, dtype=np.int64)
                     ppm = diffs * 1_000_000 // (w * h * 255)
                     for k in key_cols:
                         out_keys[k].extend([pdf[k].iloc[ridx]] * (nf - 1))
@@ -906,12 +931,10 @@ def audio_energy_windows(df: DataFrame, blob_col: str = "blob",
                     if blob is None:
                         raise ValueError("null blob")
                     ch, _rate, s = _parse_wav(bytes(blob))
-                    a = np.abs(s.astype(np.int64))
-                    t = len(a) // ch
-                    nw = t // window
+                    m = _mono_envelope(ch, s)
+                    nw = len(m) // window
                     if nw == 0:
                         continue
-                    m = a[:t * ch].reshape(t, ch).sum(axis=1) // ch
                     e = m[:nw * window].reshape(nw, window) \
                         .sum(axis=1) // window
                     for k in key_cols:

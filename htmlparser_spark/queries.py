@@ -802,6 +802,26 @@ def _shingle_sql(k: int) -> str:
             f"for i in range(greatest(len(toks)-{k - 1}, 1))])")
 
 
+# lossless witness prefilter shared by every ground-truth Jaccard
+# oracle (pairs + fuzzy closure): j >= 1/2 with a nonempty union
+# forces at least ONE shared shingle, so an exploded equi-join prunes
+# the all-pairs list_intersect work without changing the pair set;
+# the witness-less empty-vs-empty corner (vacuously true under the
+# main predicate) is re-added explicitly. ONE definition so the two
+# oracles that must share semantics cannot drift.
+_WITNESS_CAND_SQL = (
+    "cand AS ("
+    "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
+    "  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) w_a "
+    "  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) w_b "
+    "    ON w_a.s = w_b.s AND w_a.doc_id < w_b.doc_id "
+    "  GROUP BY 1, 2 "
+    "  UNION "
+    "  SELECT e_a.doc_id, e_b.doc_id FROM sh e_a JOIN sh e_b "
+    "    ON e_a.doc_id < e_b.doc_id "
+    "    AND len(e_a.sh) = 0 AND len(e_b.sh) = 0)")
+
+
 def _jaccard_pairs_oracle(k: int, plant_mod: int,
                           extra_cols: str = "", join_extra: str = "",
                           plant_cols: str = "") -> str:
@@ -823,16 +843,7 @@ def _jaccard_pairs_oracle(k: int, plant_mod: int,
         f"  SELECT doc_id{extra_cols}, length(text) AS len, "
         f"  {_shingle_sql(k)} AS sh "
         f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
-        "cand AS ("
-        "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
-        "  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) w_a "
-        "  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) w_b "
-        "    ON w_a.s = w_b.s AND w_a.doc_id < w_b.doc_id "
-        "  GROUP BY 1, 2 "
-        "  UNION "
-        "  SELECT e_a.doc_id, e_b.doc_id FROM sh e_a JOIN sh e_b "
-        "    ON e_a.doc_id < e_b.doc_id "
-        "    AND len(e_a.sh) = 0 AND len(e_b.sh) = 0) "
+        + _WITNESS_CAND_SQL + " "
         "SELECT a.doc_id AS id_a, b.doc_id AS id_b, "
         "CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_intersect, "
         "CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT) "
@@ -2549,7 +2560,13 @@ def q_image_near_dups(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 6).alias("seed"))
     sigs = image_ahash(synth_ppm_blob(docs, seed_col="seed"))
-    return hamming_candidates(sigs, sig_col="ahash")
+    # cap disabled FOR THIS PROBE: the oracle replays the UNCAPPED
+    # candidate rule, and with six planted classes a class bucket
+    # would cross the default 4096 cap at ~24.6k docs, silently
+    # switching the kernel to star pairs and failing a correct run.
+    # The cap itself is pinned by the dedup_scale tests.
+    return hamming_candidates(sigs, sig_col="ahash",
+                              max_bucket_size=1_000_000_000)
 
 
 def q_media_dedup_pipeline(spark, sf_dir):
@@ -3299,19 +3316,7 @@ def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
         "sh AS ("
         f"  SELECT doc_id, {_shingle_sql(k)} AS sh "
         f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
-        "cand AS ("
-        # lossless witness prefilter: j >= 1/2 with a nonempty union
-        # needs a shared shingle; the witness-less empty-vs-empty
-        # corner (vacuously true under the main predicate) re-added
-        "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
-        "  FROM (SELECT doc_id, unnest(sh) AS s FROM sh) w_a "
-        "  JOIN (SELECT doc_id, unnest(sh) AS s FROM sh) w_b "
-        "    ON w_a.s = w_b.s AND w_a.doc_id < w_b.doc_id "
-        "  GROUP BY 1, 2 "
-        "  UNION "
-        "  SELECT e_a.doc_id, e_b.doc_id FROM sh e_a JOIN sh e_b "
-        "    ON e_a.doc_id < e_b.doc_id "
-        "    AND len(e_a.sh) = 0 AND len(e_b.sh) = 0), "
+        + _WITNESS_CAND_SQL + ", "
         "pairs AS ("
         "  SELECT id_a, id_b "
         "  FROM cand JOIN sh a ON a.doc_id = cand.id_a "

@@ -507,9 +507,17 @@ def test_hamming_candidates_pigeonhole_recall(spark):
     rng = np.random.RandomState(11)
     sigs = [int(x) for x in
             rng.randint(-(2 ** 63), 2 ** 63 - 1, 40, dtype=np.int64)]
-    for i in range(0, 8, 2):           # planted 1-3-bit-apart pairs
-        base = sigs[i]
-        sigs.append(base ^ (1 << (i * 3)) ^ (7 if i else 0))
+    # planted pairs at EVERY guaranteed distance (hamming 1, 2, 3):
+    # contiguous masks 0b1 / 0b11 / 0b111 at staggered offsets, plus
+    # a repeat hamming-1 plant at a high bit position
+    for i, (bits, off) in enumerate([(1, 0), (2, 7), (3, 17), (1, 60)]):
+        base = sigs[2 * i]
+        flipped = base ^ (((1 << bits) - 1) << off)
+        if flipped >= 1 << 63:
+            flipped -= 1 << 64
+        elif flipped < -(1 << 63):
+            flipped += 1 << 64
+        sigs.append(flipped)
     df = spark.createDataFrame(
         [(i, s) for i, s in enumerate(sigs)], "doc_id long, sh long")
     got = {(r.id_a, r.id_b): r.hamming

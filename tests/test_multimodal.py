@@ -464,3 +464,30 @@ def test_media_signature_ops_map_only_plans(spark):
                 scene_cuts(synth_y4m_blob(df))):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_image_ahash_quarantines_undecodable_blobs(spark):
+    # JPEG (lib-gated NotImplementedError) and a garbled PPM
+    # (ValueError) must null the signature, not crash the task
+    from htmlparser_spark.operators.multimodal import image_ahash
+    good = (b"P6\n2 2\n255\n" + bytes(range(12)))
+    df = spark.createDataFrame(
+        [(1, b"\xff\xd8\xff\xe0junk"), (2, b"P6 bad header"),
+         (3, None), (4, good)],
+        "doc_id long, blob binary")
+    got = {r.doc_id: r.ahash for r in image_ahash(df).collect()}
+    assert got[1] is None and got[2] is None and got[3] is None
+    assert got[4] is not None
+
+
+def test_y4m_negative_dims_quarantined(spark):
+    # 'W-1' is truthy but would give stride 0 — must be ValueError
+    # inside the parser (quarantine), not ZeroDivisionError (crash)
+    import pytest as _pytest
+    from htmlparser_spark.operators.multimodal import (_parse_y4m_y,
+                                                       scene_cuts)
+    bad = b"YUV4MPEG2 W-1 H4 F25:1 Ip A1:1 C420\nFRAME\n" + bytes(24)
+    with _pytest.raises(ValueError):
+        _parse_y4m_y(bad)
+    df = spark.createDataFrame([(1, bad)], "doc_id long, blob binary")
+    assert scene_cuts(df).count() == 0
