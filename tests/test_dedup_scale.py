@@ -534,3 +534,14 @@ def test_hamming_candidates_pigeonhole_recall(spark):
     for (a, b), h in got.items():
         assert a < b
         assert h == ham(sigs[a], sigs[b])
+
+
+def test_hamming_candidates_drop_null_signatures(spark):
+    """Quarantined (null) signatures — e.g. image_ahash on an
+    undecodable blob — must vanish from the candidate set, not crash
+    or pair with each other."""
+    from htmlparser_spark.operators.dedup import hamming_candidates
+    df = spark.createDataFrame(
+        [(1, 5), (2, 5), (3, None), (4, None)], "doc_id long, sh long")
+    rows = hamming_candidates(df).collect()
+    assert sorted((r.id_a, r.id_b, r.hamming) for r in rows) == [(1, 2, 0)]
