@@ -52,7 +52,7 @@ __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "synth_y4m_blob", "frame_sample_real",
            "ahash_bits", "image_ahash",
            "afp_bits", "audio_fingerprint", "scene_cuts",
-           "audio_energy_windows"]
+           "audio_energy_windows", "shot_keyframes"]
 
 MEDIA_SCHEMA = StructType([
     StructField("doc_id", LongType(), False),
@@ -949,3 +949,30 @@ def audio_energy_windows(df: DataFrame, blob_col: str = "blob",
             yield out
 
     return df.select(*key_cols, blob_col).mapInPandas(fn, schema)
+
+
+def shot_keyframes(cuts: DataFrame,
+                   key_cols=("doc_id",)) -> DataFrame:
+    """Keyframe selection on top of ``scene_cuts`` output: every shot
+    contributes its FIRST frame — frame 0 opens shot 0, and each cut
+    frame opens the next shot. Emits (keys, shot_idx, start_frame),
+    the "one representative frame per shot" step a video curation
+    pipeline runs between segmentation and feature extraction.
+
+    Scale shape: pure JVM expressions over the tiny cuts rows (4
+    integers per frame pair — the blobs are already gone); the
+    per-clip window is bounded by frames-per-clip, the natural
+    parallelism unit."""
+    from pyspark.sql import Window
+    key_cols = list(key_cols)
+    w = Window.partitionBy(*key_cols).orderBy("frame_idx")
+    starts = (cuts.filter(F.col("is_cut") == 1)
+              .select(*key_cols,
+                      F.row_number().over(w).cast("long")
+                      .alias("shot_idx"),
+                      F.col("frame_idx").alias("start_frame")))
+    shot0 = (cuts.select(*key_cols).distinct()
+             .select(*key_cols,
+                     F.lit(0).cast("long").alias("shot_idx"),
+                     F.lit(0).cast("long").alias("start_frame")))
+    return shot0.unionAll(starts)

@@ -2604,6 +2604,20 @@ def q_media_dedup_pipeline(spark, sf_dir):
                         .cast("long")))
 
 
+def q_shot_keyframes(spark, sf_dir):
+    """Per-shot keyframe selection (operators/multimodal.py
+    shot_keyframes over scene_cuts): six planted clip classes via
+    doc_id % 6; each class's (shot_idx, start_frame) rows are
+    constants the oracle replays locally — frame 0 opens shot 0,
+    every cut frame opens the next shot."""
+    from .operators.multimodal import (scene_cuts, shot_keyframes,
+                                       synth_y4m_blob)
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    return shot_keyframes(scene_cuts(synth_y4m_blob(docs,
+                                                    seed_col="seed")))
+
+
 _COMPRESS_CLASSES = (
     "lorem ipsum dolor sit amet " * 40,        # heavy repetition
     "The quick brown fox jumps over the lazy dog while the slow "
@@ -2650,6 +2664,7 @@ QUERIES = {
     "audio_vad": q_audio_vad,
     "image_near_dups": q_image_near_dups,
     "media_dedup_pipeline": q_media_dedup_pipeline,
+    "shot_keyframes": q_shot_keyframes,
     "compression_ratio": q_compression_ratio,
     "sitemap_parse": q_sitemap_parse,
     "feed_entries": q_feed_entries,
@@ -3901,6 +3916,36 @@ def _media_dedup_pipeline_oracle() -> str:
 
 
 ORACLES["media_dedup_pipeline"] = _media_dedup_pipeline_oracle()
+
+
+def _shot_keyframes_oracle(threshold_ppm: int = 250_000) -> str:
+    """Replay synth + frame-diff + cut-threshold + keyframe rule for
+    the six seed classes locally; the SQL joins the constant
+    (class, shot_idx, start_frame) rows back on doc_id % 6."""
+    import numpy as np
+    rows = []
+    for s in range(6):
+        w, h, nf = (s % 8 + 2) * 2, (s % 6 + 2) * 2, s % 7 + 3
+        j = np.arange(w * h, dtype=np.int64)
+        planes = np.stack([(s * 11 + f * 101 + j * 7) % 256
+                           for f in range(nf)])
+        diffs = np.abs(planes[1:] - planes[:-1]).sum(axis=1)
+        ppm = diffs * 1_000_000 // (w * h * 255)
+        rows.append((s, 0, 0))                      # shot 0 opens at 0
+        shot = 0
+        for f in range(1, nf):
+            if ppm[f - 1] > threshold_ppm:
+                shot += 1
+                rows.append((s, shot, f))
+    vals = ", ".join(f"({c}, {si}, {sf})" for c, si, sf in rows)
+    return ("SELECT d.doc_id, CAST(v.shot_idx AS BIGINT) AS shot_idx, "
+            "CAST(v.start_frame AS BIGINT) AS start_frame "
+            f"FROM documents d JOIN (VALUES {vals}) "
+            "AS v(cls, shot_idx, start_frame) "
+            "ON d.doc_id % 6 = v.cls")
+
+
+ORACLES["shot_keyframes"] = _shot_keyframes_oracle()
 
 ORACLES["bpe_encode"] = (
     "SELECT doc_id, CAST(i AS BIGINT) AS token_idx, p AS piece "

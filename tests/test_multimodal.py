@@ -491,3 +491,15 @@ def test_y4m_negative_dims_quarantined(spark):
         _parse_y4m_y(bad)
     df = spark.createDataFrame([(1, bad)], "doc_id long, blob binary")
     assert scene_cuts(df).count() == 0
+
+
+def test_shot_keyframes_composition(spark):
+    # hand-built cuts frame: doc 1 cuts at frames 2 and 5; doc 2 none
+    from htmlparser_spark.operators.multimodal import shot_keyframes
+    cuts = spark.createDataFrame(
+        [(1, 1, 0), (1, 2, 1), (1, 3, 0), (1, 4, 0), (1, 5, 1),
+         (2, 1, 0)],
+        "doc_id long, frame_idx long, is_cut long")
+    got = {(r.doc_id, r.shot_idx): r.start_frame
+           for r in shot_keyframes(cuts).collect()}
+    assert got == {(1, 0): 0, (1, 1): 2, (1, 2): 5, (2, 0): 0}
