@@ -9,6 +9,7 @@ same generator, so passing here is a faithful pre-check.
 import math
 
 import duckdb
+import pandas as pd
 import pytest
 
 import __spark_entry__ as entry_mod
@@ -27,6 +28,11 @@ def duck_con():
 
 
 def normalize(rows, cols):
+    """Driver-faithful canonicalizer: sort columns by name, round
+    floats, then sort rows via pandas.sort_values — the same path the
+    driver takes, so list/array cells raise here too (the round-4
+    driver failures were invisible to an older sort(key=repr) mirror
+    that tolerated unhashable cells)."""
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
@@ -37,8 +43,13 @@ def normalize(rows, cols):
                 v = round(v, 9)
             vals.append(v)
         out.append(tuple(vals))
-    out.sort(key=repr)
-    return out
+    names = [cols[i] for i in order]
+    frame = pd.DataFrame(out, columns=names)
+    frame = frame.sort_values(names, kind="mergesort").reset_index(drop=True)
+    # pandas maps None -> NaN; fold back so None==None compares equal
+    return [tuple(None if isinstance(v, float) and math.isnan(v) else v
+                  for v in r)
+            for r in frame.itertuples(index=False, name=None)]
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))
