@@ -1851,10 +1851,12 @@ def q_semantic_dedup(spark, sf_dir):
 def q_bpe_learn(spark, sf_dir):
     """BPE tokenizer training: ONE distributed word-count pass +
     driver merge loop over the bounded vocab (the SentencePiece/HF
-    trainer shape). Iterative and driver-finished → no SQL oracle
-    (rows-only check, like the streaming entries); merge semantics
-    are pinned by hand goldens + determinism-under-repartitioning
-    tests in test_tokenizer_train.py."""
+    trainer shape). The merge loop is a pure function of the word
+    table, so the oracle unrolls all 12 steps as SQL CTEs, replaying
+    the within-word merge via sentinel-wrapped replace() (see the
+    ORACLES['bpe_learn'] comment); merge semantics are additionally
+    pinned by hand goldens + determinism-under-repartitioning tests
+    in test_tokenizer_train.py."""
     from .operators.tokenizer import bpe_learn
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     return bpe_learn(docs, n_merges=12)
@@ -3246,6 +3248,50 @@ ORACLES["bpe_pair_counts"] = (
     "  AS u(pair) WHERE length(word) >= 2) "
     "SELECT pair, CAST(sum(wn) AS BIGINT) AS n FROM p "
     "GROUP BY pair ORDER BY n DESC, pair LIMIT 100")
+
+# bpe_learn: full unrolled replay of the driver merge loop. The merge
+# is a pure function of the word-count table, so each of the 12 steps
+# is one CTE triple: pair counts over the current symbolization, the
+# argmax pair (count desc, then lexicographic (left, right) — kept as
+# two columns; comparing joined pair-strings would misorder symbols
+# containing chars < the join char), and the re-symbolization. The
+# leftmost-first non-overlapping within-word merge is EXACTLY SQL
+# replace() over a sentinel encoding: every symbol is wrapped in
+# chr(31) on both sides (verified absent from the corpus), so
+# replace(sym, F||l||FF||r||F, F||lr||F) consumes only whole-symbol
+# matches, scans left to right, never lets the fresh symbol re-merge
+# in the same step, and never steals a neighbor's delimiter. Unicode
+# is safe: DuckDB string_split(word,'') yields code points, matching
+# Python's per-character list.
+_BPE_F = "chr(31)"
+# MATERIALIZED is load-bearing: s{n} references s{p} twice (directly
+# and through p{n}/b{n}); inlined CTEs would re-expand s0 2^12 times.
+_BPE_STEP = (
+    "p{n} AS MATERIALIZED (SELECT u.pr[1] AS a, u.pr[2] AS b, sum(cnt) AS c "
+    "  FROM (SELECT string_split(trim(sym, " + _BPE_F + "), "
+    "    " + _BPE_F + " || " + _BPE_F + ") AS l, cnt FROM s{p}), "
+    "  unnest([[l[i], l[i+1]] for i in range(1, len(l))]) AS u(pr) "
+    "  GROUP BY a, b), "
+    "b{n} AS MATERIALIZED (SELECT a, b, c FROM p{n} ORDER BY c DESC, a, b LIMIT 1), "
+    "s{n} AS MATERIALIZED (SELECT replace(sym, "
+    + _BPE_F + " || a || " + _BPE_F + " || " + _BPE_F + " || b || "
+    + _BPE_F + ", " + _BPE_F + " || a || b || " + _BPE_F + ") AS sym, "
+    "cnt FROM s{p}, b{n}), ")
+
+ORACLES["bpe_learn"] = (
+    "WITH wc AS MATERIALIZED (SELECT t.word AS word, count(*) AS cnt "
+    "  FROM documents, unnest(string_split_regex(trim(text), "
+    "  '[ \\t\\n\\x0b\\f\\r]+')) AS t(word) WHERE t.word != '' "
+    "  GROUP BY t.word ORDER BY cnt DESC, word LIMIT 100000), "
+    "s0 AS MATERIALIZED (SELECT list_aggr([" + _BPE_F + " || ch || " + _BPE_F
+    + " for ch in string_split(word, '')], 'string_agg', '') AS sym, "
+    "cnt FROM wc), "
+    + "".join(_BPE_STEP.format(n=k + 1, p=k) for k in range(12)).rstrip(", ")
+    + " SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS merge_idx, a AS \"left\", "
+        f"b AS \"right\", CAST(c AS BIGINT) AS pair_count FROM b{k + 1}"
+        for k in range(12)) + ")")
 
 ORACLES["inverted_index"] = (
     "WITH d AS (SELECT doc_id, list_distinct(CASE "
