@@ -148,8 +148,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
 # ------------------------------------------------------------------ #
 
 def cap_buckets(bucketed: DataFrame, keys: list[str],
-                max_bucket_size: int, cache: bool = True):
+                max_bucket_size: int, cache: bool = True,
+                max_hot_collect: int = 65536):
     """Split an LSH bucket frame into (ok, oversize) by bucket size.
+    Returns ``(bucketed, None)`` when NO bucket is hot — the common
+    case — so callers can skip their star-fallback sub-plan entirely.
 
     The LSH self-join is quadratic WITHIN a bucket; real corpora have
     degenerate buckets (empty docs → zero signatures, template
@@ -164,21 +167,47 @@ def cap_buckets(bucketed: DataFrame, keys: list[str],
     input partition — NO task ever holds a whole bucket, unlike a
     ``count() over (partition by keys)`` window, which would buffer
     the entire hot bucket in the one reducer the cap exists to
-    protect). The oversize key set — tiny by construction, it only
-    holds keys with > max_bucket_size members — is broadcast to an
-    anti/semi join pair, so the split adds no extra shuffle of
-    ``bucketed`` at all. The input is cached by default because three
-    plans read it (the count plus both branches); keep it narrow —
-    keys + id only — so neither the cache nor the joins carry
-    signatures or payloads."""
+    protect). The hot key set is tiny by construction (at most
+    n_rows / max_bucket_size keys), so it is COLLECTED eagerly. That
+    one bounded collect buys three things at once:
+
+    - it materializes the cached ``bucketed`` frame before the main
+      query runs, acting as a barrier that stops AQE's concurrent
+      stage materialization from racing the cache and computing the
+      upstream signature UDF 2-3 times (measured: the race was the
+      dominant cost of a cold minhash_pairs run);
+    - the no-hot-bucket common case returns ``(bucketed, None)`` and
+      callers skip the star sub-plan — about a third of the stages of
+      a candidate query at bench scale, and pure scheduling overhead
+      whenever no bucket is degenerate;
+    - when hot keys DO exist, the anti/semi pair broadcasts one local
+      relation instead of re-executing the aggregate as two broadcast
+      exchanges.
+
+    A safety valve keeps the driver bounded on adversarial corpora:
+    if more than ``max_hot_collect`` keys are hot, fall back to the
+    fully-lazy broadcast-join split (the pre-round-5 shape). The input
+    is cached by default because multiple plans read it (the count
+    plus both branches); keep it narrow — keys + id only — so neither
+    the cache nor the joins carry signatures or payloads."""
     if cache:
         bucketed = cache_df(bucketed)
     hot = (bucketed.groupBy(*keys)
            .agg(F.count("*").alias("_bsz"))
            .filter(F.col("_bsz") > max_bucket_size)
            .select(*keys))
-    ok = bucketed.join(F.broadcast(hot), keys, "left_anti")
-    oversize = bucketed.join(F.broadcast(hot), keys, "left_semi")
+    hot_rows = hot.limit(max_hot_collect + 1).collect()
+    if not hot_rows:
+        return bucketed, None
+    if len(hot_rows) > max_hot_collect:
+        ok = bucketed.join(F.broadcast(hot), keys, "left_anti")
+        oversize = bucketed.join(F.broadcast(hot), keys, "left_semi")
+        return ok, oversize
+    spark = bucketed.sparkSession
+    hot_df = spark.createDataFrame(hot_rows,
+                                   bucketed.select(*keys).schema)
+    ok = bucketed.join(F.broadcast(hot_df), keys, "left_anti")
+    oversize = bucketed.join(F.broadcast(hot_df), keys, "left_semi")
     return ok, oversize
 
 
@@ -392,6 +421,8 @@ def minhash_candidates(df: DataFrame, text_col: str = "text",
                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b")))
+    if oversize is None:  # no hot buckets → the star arm is empty
+        return quad.distinct()
     over_ids = oversize.select(id_col).distinct()
     star = _star_pairs(sig.join(over_ids, id_col, "left_semi"),
                        F.xxhash64(F.col("sig")), id_col)
@@ -645,6 +676,8 @@ def hamming_candidates(df: DataFrame, sig_col: str = "sh",
             .select(F.col(f"a.{id_col}").alias("id_a"),
                     F.col(f"b.{id_col}").alias("id_b"),
                     hamming.cast("long").alias("hamming")))
+    if oversize is None:  # no hot buckets → the star arm is empty
+        return quad.distinct()
     star = _star_pairs(oversize.select(id_col, "sh").distinct(),
                        F.col("sh"), id_col) \
         .withColumn("hamming", F.lit(0).cast("long"))
@@ -713,14 +746,21 @@ def embedding_near_dups(df: DataFrame, vec_col: str = "embedding",
                     F.col(f"b.{id_col}").alias("id_b"))
             .distinct())
     # oversize-bucket members degrade to exact-vector star pairs
-    over_ids = (a_over.select(id_col)
-                .unionAll(p_over.select(id_col)).distinct())
-    star = _star_pairs(
-        base.join(over_ids, id_col, "left_semi")
-        .select(id_col, "v").distinct(),
-        F.xxhash64(F.col("v")), id_col)
+    # (either cap may report no hot buckets → its arm is empty)
+    overs = [o.select(id_col) for o in (a_over, p_over)
+             if o is not None]
+    if overs:
+        over_ids = overs[0] if len(overs) == 1 else \
+            overs[0].unionAll(overs[1])
+        star = _star_pairs(
+            base.join(over_ids.distinct(), id_col, "left_semi")
+            .select(id_col, "v").distinct(),
+            F.xxhash64(F.col("v")), id_col)
+        cand_plan = quad.unionAll(star).distinct()
+    else:
+        cand_plan = quad  # already distinct
     # cached: candidates feed the two id projections + the verify join
-    cand = cache_df(quad.unionAll(star).distinct())
+    cand = cache_df(cand_plan)
     # exact cosine verify: vectors only for involved ids
     ids = (cand.select(F.col("id_a").alias(id_col))
            .unionAll(cand.select(F.col("id_b").alias(id_col))).distinct())
