@@ -2587,9 +2587,31 @@ def q_image_near_dups(spark, sf_dir):
     # candidate rule, and with six planted classes a class bucket
     # would cross the default 4096 cap at ~24.6k docs, silently
     # switching the kernel to star pairs and failing a correct run.
-    # The cap itself is pinned by the dedup_scale tests.
+    # The cap itself is pinned by the dedup_scale tests and by the
+    # q_image_near_dups_capped driver row below.
     return hamming_candidates(sigs, sig_col="ahash",
                               max_bucket_size=1_000_000_000)
+
+
+def q_image_near_dups_capped(spark, sf_dir):
+    """The PRODUCTION path of the shared hamming kernel under a driver
+    oracle: the same six planted image classes as image_near_dups, but
+    with ``max_bucket_size=8`` — far below every class size — so EVERY
+    chunk bucket routes through cap_buckets' hot path and the output
+    is the star fallback alone (the quadratic arm is empty). The star
+    set is closed-form: each class's members share an identical aHash
+    (and the six class hashes are pairwise distinct, asserted at
+    oracle registration), so the kernel must emit exactly
+    (class-min doc_id ↔ member, hamming 0) per class — a window-MIN
+    self-join in SQL. Complements image_near_dups, whose row
+    deliberately disables the cap to replay the uncapped candidate
+    rule: together the two rows certify both kernel configurations."""
+    from .operators.dedup import hamming_candidates
+    from .operators.multimodal import image_ahash, synth_ppm_blob
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    sigs = image_ahash(synth_ppm_blob(docs, seed_col="seed"))
+    return hamming_candidates(sigs, sig_col="ahash", max_bucket_size=8)
 
 
 def q_media_dedup_pipeline(spark, sf_dir):
@@ -2706,6 +2728,7 @@ QUERIES = {
     "dup_chunk_stats": q_dup_chunk_stats,
     "ann_recall": q_ann_recall,
     "bpe_learn": q_bpe_learn,
+    "image_near_dups_capped": q_image_near_dups_capped,
     "fuzzy_dedup": q_fuzzy_dedup,
     "fuzzy_dedup_best": q_fuzzy_dedup_best,
     "leakage_safe_split": q_leakage_safe_split,
@@ -3955,6 +3978,34 @@ def _image_near_dups_oracle(chunks: int = 4) -> str:
 
 
 ORACLES["image_near_dups"] = _image_near_dups_oracle()
+
+
+def _image_near_dups_capped_oracle() -> str:
+    """Closed-form star replay for the capped kernel probe. Validity
+    rests on two registration-time facts, both asserted by replaying
+    the signature arithmetic: the six class hashes are pairwise
+    DISTINCT (so star groups are exactly the residue classes), and
+    every chunk bucket's membership is a union of whole classes (so
+    with the cap far below the class size every bucket is hot and the
+    quadratic arm is empty)."""
+    import numpy as np
+    from .operators.multimodal import ahash_bits
+    sigs = []
+    for s in range(6):
+        w, h = s % 13 + 4, s % 11 + 4
+        n = w * h * 3
+        px = (s * 7 + 31 * np.arange(n, dtype=np.int64)) % 256
+        sigs.append(int(ahash_bits(w, h, px)) & 0xFFFFFFFFFFFFFFFF)
+    assert len(set(sigs)) == 6, \
+        "planted image classes collided; capped-star oracle invalid"
+    return ("SELECT r.id_a, d.doc_id AS id_b, "
+            "CAST(0 AS BIGINT) AS hamming FROM documents d "
+            "JOIN (SELECT doc_id % 6 AS c, MIN(doc_id) AS id_a "
+            "  FROM documents GROUP BY 1) r "
+            "ON d.doc_id % 6 = r.c AND d.doc_id > r.id_a")
+
+
+ORACLES["image_near_dups_capped"] = _image_near_dups_capped_oracle()
 
 
 def _media_dedup_pipeline_oracle() -> str:
