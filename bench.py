@@ -182,6 +182,39 @@ def main() -> int:
         return minhash_dedup_pairs(docs.unionAll(planted), threshold=0.5,
                                    exact_counts=True)
 
+    # dedup_incremental split into build vs probe legs (round-4
+    # verdict): the combined query hid the recurring production cost
+    # (probe-only — the per-re-crawl work) inside the one-time index
+    # build. The build leg writes the persisted index and returns an
+    # empty frame (its timed work IS its own parquet writes); the
+    # probe leg runs the full production tiers (exact + normalized +
+    # near, threshold 0.8) against the index the build leg left
+    # behind. Ordering in `aux` guarantees build runs first.
+    import tempfile
+    idx_dir = tempfile.mkdtemp(prefix="hps_bench_idx_")
+
+    def _incr_halves(s, d):
+        docs = s.read.parquet(f"{d}/documents.parquet") \
+            .select("doc_id", "text")
+        old = docs.filter(F.col("doc_id") % 2 == 0)
+        new = docs.filter(F.col("doc_id") % 2 == 1).unionAll(
+            old.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"), "text"))
+        return old, new
+
+    def bench_incr_build(s, d):
+        from htmlparser_spark.operators.incremental import \
+            build_dedup_index
+        old, _ = _incr_halves(s, d)
+        build_dedup_index(old, idx_dir)
+        return s.range(0)
+
+    def bench_incr_probe(s, d):
+        from htmlparser_spark.operators.incremental import \
+            dedup_against_index
+        _, new = _incr_halves(s, d)
+        return dedup_against_index(new, idx_dir, threshold=0.8)
+
     aux = [
         ("dedup_exact", Q.q_dedup_exact),
         ("minhash_pairs", bench_minhash),
@@ -191,7 +224,8 @@ def main() -> int:
         ("ann_lsh_topk", Q.q_ann_lsh_topk),
         ("ann_ivf_topk", Q.q_ann_ivf_topk),
         ("dup_components", Q.q_dup_components),
-        ("dedup_incremental", Q.q_dedup_incremental),
+        ("dedup_incremental_build", bench_incr_build),
+        ("dedup_incremental_probe", bench_incr_probe),
         ("corpus_curation", Q.q_corpus_curation),
         ("bpe_token_count", Q.q_bpe_token_count),
         ("token_quality_lang",
@@ -244,6 +278,7 @@ def main() -> int:
             results[name] = round(min(results.get(name, dt), dt), 3)
 
     shutil.rmtree(tr_dir, ignore_errors=True)
+    shutil.rmtree(idx_dir, ignore_errors=True)
     total = round(sum(results.values()), 3)
     probe_after = vm_health_probe()
     line = {

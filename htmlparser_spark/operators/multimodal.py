@@ -277,8 +277,11 @@ def ahash_bits(w: int, h: int, px: "np.ndarray", grid: int = 8) -> int:
     gy = (np.arange(h, dtype=np.int64) * grid) // h
     gx = (np.arange(w, dtype=np.int64) * grid) // w
     cell_id = (gy[:, None] * grid + gx[None, :]).ravel()
-    sums = np.bincount(cell_id, weights=gray.ravel(),
-                       minlength=grid * grid).astype(np.int64)
+    # int64 scatter-add, NOT bincount(weights=...): bincount
+    # accumulates in float64, which would silently break the
+    # bit-for-bit integer claim once a cell sum crossed 2^53
+    sums = np.zeros(grid * grid, dtype=np.int64)
+    np.add.at(sums, cell_id, gray.ravel())
     counts = np.bincount(cell_id, minlength=grid * grid)
     cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
     return _pack_bits(cells)
@@ -587,8 +590,10 @@ def afp_bits(ch: int, samples: "np.ndarray", slots: int = 64) -> int:
     if t == 0:
         return 0
     slot_id = (np.arange(t, dtype=np.int64) * slots) // t
-    sums = np.bincount(slot_id, weights=m, minlength=slots) \
-        .astype(np.int64)
+    # int64 scatter-add, NOT bincount(weights=...) — same exactness
+    # rationale as ahash_bits
+    sums = np.zeros(slots, dtype=np.int64)
+    np.add.at(sums, slot_id, m.astype(np.int64, copy=False))
     counts = np.bincount(slot_id, minlength=slots)
     cells = np.where(counts > 0, sums // np.maximum(counts, 1), 0)
     return _pack_bits(cells)
@@ -952,12 +957,21 @@ def audio_energy_windows(df: DataFrame, blob_col: str = "blob",
 
 
 def shot_keyframes(cuts: DataFrame,
-                   key_cols=("doc_id",)) -> DataFrame:
+                   key_cols=("doc_id",),
+                   clips: DataFrame | None = None) -> DataFrame:
     """Keyframe selection on top of ``scene_cuts`` output: every shot
     contributes its FIRST frame — frame 0 opens shot 0, and each cut
     frame opens the next shot. Emits (keys, shot_idx, start_frame),
     the "one representative frame per shot" step a video curation
     pipeline runs between segmentation and feature extraction.
+
+    Clip universe: by default the shot-0 rows derive from the clips
+    PRESENT IN ``cuts`` — and ``scene_cuts`` emits no rows for a valid
+    clip with fewer than 2 frames (a cut needs a frame pair), so such
+    clips get no shot-0 row here either. Pass ``clips`` (a frame of
+    the key columns, one row per clip — e.g. the decoded-clip frame
+    the cuts came from) to guarantee every clip yields its
+    (shot 0, frame 0) row regardless of frame count.
 
     Scale shape: pure JVM expressions over the tiny cuts rows (4
     integers per frame pair — the blobs are already gone); the
@@ -971,7 +985,8 @@ def shot_keyframes(cuts: DataFrame,
                       F.row_number().over(w).cast("long")
                       .alias("shot_idx"),
                       F.col("frame_idx").alias("start_frame")))
-    shot0 = (cuts.select(*key_cols).distinct()
+    universe = clips.select(*key_cols) if clips is not None else cuts
+    shot0 = (universe.select(*key_cols).distinct()
              .select(*key_cols,
                      F.lit(0).cast("long").alias("shot_idx"),
                      F.lit(0).cast("long").alias("start_frame")))

@@ -807,8 +807,13 @@ def _shingle_sql(k: int) -> str:
 # forces at least ONE shared shingle, so an exploded equi-join prunes
 # the all-pairs list_intersect work without changing the pair set;
 # the witness-less empty-vs-empty corner (vacuously true under the
-# main predicate) is re-added explicitly. ONE definition so the two
-# oracles that must share semantics cannot drift.
+# main predicate) is re-added explicitly. NOTE the empty arm is
+# currently DEFENSIVE dead code: _shingle_sql's range(greatest(
+# len(toks)-k+1, 1)) gives every doc at least one shingle (possibly
+# ''), so len(sh)=0 never occurs today — the arm guards the rewrite's
+# losslessness against future shingler changes, not a reachable
+# corner. ONE definition so the two oracles that must share semantics
+# cannot drift.
 _WITNESS_CAND_SQL = (
     "cand AS ("
     "  SELECT w_a.doc_id AS id_a, w_b.doc_id AS id_b "
@@ -2582,6 +2587,17 @@ def q_image_near_dups(spark, sf_dir):
     from .operators.multimodal import image_ahash, synth_ppm_blob
     docs = load(spark, sf_dir, "documents").select(
         "doc_id", (F.col("doc_id") % 6).alias("seed"))
+    # ORACLE-SCALE PROBE ONLY: with the cap disabled (below), the
+    # candidate join is quadratic WITHIN each planted class — safe at
+    # the correctness SFs (500-5000 docs) but never to be promoted to
+    # bench.py or larger SFs, so fail loudly instead of blowing up
+    n_docs = docs.count()
+    if n_docs > 20_000:
+        raise ValueError(
+            f"q_image_near_dups is an uncapped oracle probe "
+            f"(quadratic within planted classes); got {n_docs} docs — "
+            f"use q_image_near_dups_capped / the default-capped kernel "
+            f"at this scale")
     sigs = image_ahash(synth_ppm_blob(docs, seed_col="seed"))
     # cap disabled FOR THIS PROBE: the oracle replays the UNCAPPED
     # candidate rule, and with six planted classes a class bucket
