@@ -16,11 +16,15 @@ UDF signatures) is real and tested. Decode status, honestly stated:
   truecolor-alpha (RGBA, alpha stripped) — the most common web
   shapes. Palette / 16-bit / interlaced PNGs raise a clearly-marked
   NotImplementedError.
-- JPEG (DCT entropy coding) still requires PIL/libvips, which this
-  container does not ship: ``decode_image_features`` falls back to a
-  clearly-marked NotImplementedError for it, or the deterministic
-  sha256 stand-in with ``fake=True`` so downstream operators
-  (dedup, ANN) are exercised end-to-end regardless.
+- **Real baseline JPEG decode** (round 5, ``operators/jpeg.py``):
+  full marker walk, DHT-rebuilt canonical Huffman entropy decode
+  with DC prediction / restart markers / byte unstuffing, dequant,
+  float IDCT, 4:4:4 YCbCr->RGB — baseline sequential only;
+  progressive / arithmetic / subsampled JPEG still raises a
+  clearly-marked NotImplementedError (an image library's job), and
+  ``decode_image_features(fake=True)`` remains the deterministic
+  sha256 stand-in so downstream operators (dedup, ANN) are
+  exercised end-to-end regardless.
 
 At 100 TB, media bytes dominate IO: keep blobs in their own column
 (Parquet column pruning skips them for metadata-only queries), size
@@ -137,9 +141,13 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
         return w, h, rows[:, :, ::-1]                 # BGR → RGB
     if b[:8] == b"\x89PNG\r\n\x1a\n":
         return _decode_png(b)
+    if b[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+        return decode_jpeg(b)
     raise NotImplementedError(
-        "only PPM(P6)/BMP-24/PNG decode without an image library; "
-        "JPEG needs PIL/libvips (not in this container)")
+        "only PPM(P6)/BMP-24/PNG/baseline-JPEG decode without an "
+        "image library (progressive JPEG / WebP / ... need "
+        "PIL/libvips, not in this container)")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

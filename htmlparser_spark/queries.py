@@ -671,6 +671,27 @@ def q_image_decode_png(spark, sf_dir):
         "sum_r", "sum_g", "sum_b")
 
 
+def q_image_decode_jpeg(spark, sf_dir):
+    """REAL baseline JPEG decode, lib-free (round 5): synthesize a
+    genuine JFIF file per doc — Annex-K quant/Huffman tables,
+    interleaved 4:4:4 Huffman scan with byte stuffing — whose 8x8
+    blocks are flat gray DC plus one exactly-representable AC(4,4)
+    coefficient, so decoded pixels are closed-form integers. Two
+    witnesses: per-channel pixel sums (the AC basis cancels —
+    certifies marker walk / DC prediction / dequant / IDCT) and the
+    sign-weighted sum (the DC part cancels, each block contributes
+    1088*e — certifies the AC run/size Huffman path). The oracle
+    replays only the generation arithmetic; the Spark side sees
+    bytes."""
+    from .operators.jpeg import jpeg_decode_stats, synth_jpeg_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    stats = jpeg_decode_stats(synth_jpeg_blob(docs))
+    return stats.select(
+        "doc_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b", "ac_r", "ac_g", "ac_b")
+
+
 def q_callback_events(spark, sf_dir):
     """Parse-time callback dispatch (EP3, html.cpp:539-573): three
     callbacks — selector 'li', unconditional, error — over list markup
@@ -1273,6 +1294,27 @@ ORACLES["image_decode_real"] = (
 # independent of the per-row filter choice, so the PPM oracle form
 # certifies the zlib/unfilter stack too
 ORACLES["image_decode_png"] = ORACLES["image_decode_real"]
+
+# replay of synth_jpeg_blob's block arithmetic (operators/jpeg.py):
+# block bi of doc id has flat gray level v = 128 + 2*((id*7+bi*13)%111
+# - 55) and AC(4,4) sign e = (id+bi)%3 - 1; per block the plain pixel
+# sum is 64*v (the AC basis cancels) and the sign-weighted sum is
+# 1088*e (the DC part cancels). Gray pixels -> all channels equal.
+ORACLES["image_decode_jpeg"] = (
+    "WITH d AS (SELECT doc_id, 8*(doc_id % 4 + 1) AS w, "
+    "8*(doc_id % 3 + 1) AS h, "
+    "(doc_id % 4 + 1)*(doc_id % 3 + 1) AS nb FROM documents), "
+    "s AS (SELECT doc_id, w, h, "
+    "list_sum([64*(128 + 2*((doc_id*7 + bi*13) % 111 - 55)) "
+    "          for bi in range(nb)]) AS psum, "
+    "list_sum([1088*((doc_id + bi) % 3 - 1) "
+    "          for bi in range(nb)]) AS acsum FROM d) "
+    "SELECT doc_id, CAST(w AS BIGINT) AS width, "
+    "CAST(h AS BIGINT) AS height, "
+    "CAST(psum AS BIGINT) AS sum_r, CAST(psum AS BIGINT) AS sum_g, "
+    "CAST(psum AS BIGINT) AS sum_b, "
+    "CAST(acsum AS BIGINT) AS ac_r, CAST(acsum AS BIGINT) AS ac_g, "
+    "CAST(acsum AS BIGINT) AS ac_b FROM s")
 
 # (the round-2 `frame_sample` stub query + oracle were retired in
 # round 4: the REAL Y4M decode path is the driver query
@@ -2724,6 +2766,7 @@ QUERIES = {
     "anchor_index": q_anchor_index,
     "hashed_features": q_hashed_features,
     "inverted_index": q_inverted_index,
+    "image_decode_jpeg": q_image_decode_jpeg,   # new in round 5
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,

@@ -61,9 +61,17 @@ def test_ppm_truncated_raises():
         _decode_rgb(b"P6\n3 2\n255\n\x00\x01")
 
 
-def test_jpeg_needs_library():
-    with pytest.raises(NotImplementedError, match="PIL"):
+def test_jpeg_dispatch_and_gates():
+    """Baseline JPEG now decodes lib-free (round 5, operators/jpeg.py);
+    malformed JPEG bytes quarantine as ValueError; the non-baseline
+    shapes stay honestly lib-gated."""
+    from htmlparser_spark.operators.jpeg import _synth_jpeg_bytes
+    w, h, px = _decode_rgb(_synth_jpeg_bytes(5))
+    assert px.shape == (h, w, 3)
+    with pytest.raises(ValueError):
         _decode_rgb(b"\xff\xd8\xff\xe0rest-of-jpeg")
+    with pytest.raises(NotImplementedError, match="library"):
+        _decode_rgb(b"RIFF....WEBP")
 
 
 def test_decode_pixels_spark_roundtrip(spark):
@@ -467,8 +475,8 @@ def test_media_signature_ops_map_only_plans(spark):
 
 
 def test_image_ahash_quarantines_undecodable_blobs(spark):
-    # JPEG (lib-gated NotImplementedError) and a garbled PPM
-    # (ValueError) must null the signature, not crash the task
+    # a truncated JPEG and a garbled PPM (both ValueError) must null
+    # the signature, not crash the task
     from htmlparser_spark.operators.multimodal import image_ahash
     good = (b"P6\n2 2\n255\n" + bytes(range(12)))
     df = spark.createDataFrame(
