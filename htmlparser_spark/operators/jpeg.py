@@ -14,12 +14,14 @@ the public JPEG spec), the dominant web shape:
   with ZRL and EOB, 0xFF00 byte-unstuffing, RSTn restart handling
   (byte-aligned, DC predictors reset);
 - dequantize -> separable float64 IDCT (A.3.3) -> level shift,
-  4:4:4 YCbCr->RGB (JFIF conversion) or grayscale replication,
-  MCU-padding crop for non-multiple-of-8 dimensions.
+  YCbCr->RGB (JFIF conversion) or grayscale replication, sampling
+  factors 1 or 2 per axis (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0 — the
+  dominant web shapes) with pixel-replication chroma upsampling,
+  MCU-padding crop for non-multiple dimensions.
 
 Honest refusals (NotImplementedError): progressive (SOF2) and every
 non-baseline frame type, arithmetic coding, 12-bit precision, and
-chroma subsampling other than 1x1 (4:4:4) — an image library's job.
+sampling factors above 2 — an image library's job.
 Malformed bytes raise ValueError so the mapInPandas quarantine path
 in multimodal.py stays total.
 
@@ -368,24 +370,40 @@ def _encode_block(w: _BitWriter, qcoef: "np.ndarray", pred: int,
 
 
 def encode_baseline_jpeg(width: int, height: int, qy, qcb=None, qcr=None,
-                         restart_interval: int = 0) -> bytes:
+                         restart_interval: int = 0,
+                         sampling=None) -> bytes:
     """Assemble a real baseline JFIF file from per-block QUANTIZED
-    coefficient arrays (list of 64-long natural-order int arrays, in
-    MCU raster order over the ceil(w/8) x ceil(h/8) grid).
+    coefficient arrays (lists of 64-long natural-order int arrays).
 
     ``qcb``/``qcr`` None -> single-component grayscale scan; else an
-    interleaved 3-component 4:4:4 scan. ``restart_interval`` > 0
-    writes DRI and RSTn markers every that-many MCUs (predictors
+    interleaved 3-component scan. ``sampling`` is one (h, v) pair per
+    component (default all (1, 1) = 4:4:4); for 4:2:0 pass
+    ``((2, 2), (1, 1), (1, 1))``. Component ``i`` must supply
+    ``n_mcu * h_i * v_i`` blocks, MCU-major then within-MCU raster —
+    exactly the interleaving order of T.81 A.2.3. ``restart_interval``
+    > 0 writes DRI and RSTn markers every that-many MCUs (predictors
     reset, stream byte-aligned) so the decoder's restart path is
     exercisable. Quantization uses the Annex K example tables; the
     typical Annex K Huffman tables go into DHT (the decoder rebuilds
     from DHT, never assumes them)."""
     gray = qcb is None
-    bw, bh = (width + 7) // 8, (height + 7) // 8
-    n_mcu = bw * bh
-    if len(qy) != n_mcu or (not gray and (len(qcb) != n_mcu
-                                          or len(qcr) != n_mcu)):
-        raise ValueError("block list length != MCU count")
+    ncomp = 1 if gray else 3
+    if sampling is None:
+        sampling = ((1, 1),) * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("sampling length != component count")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcols = (width + 8 * hmax - 1) // (8 * hmax)
+    mrows = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcols * mrows
+    blocks = [qy] if gray else [qy, qcb, qcr]
+    for ci, bl in enumerate(blocks):
+        hi, vi = sampling[ci]
+        if len(bl) != n_mcu * hi * vi:
+            raise ValueError(
+                f"component {ci}: {len(bl)} blocks != "
+                f"{n_mcu} MCUs x {hi}x{vi}")
 
     out = bytearray(b"\xff\xd8")                       # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
@@ -394,11 +412,11 @@ def encode_baseline_jpeg(width: int, height: int, qy, qcb=None, qcr=None,
     if not gray:
         out += _seg(0xDB, bytes([1]) + bytes(int(QT_CHROMA[ZIGZAG[i]])
                                              for i in range(64)))
-    ncomp = 1 if gray else 3
     sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
         + bytes([ncomp])
     for ci in range(ncomp):
-        sof += bytes([ci + 1, 0x11, 0 if ci == 0 else 1])
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
     out += _seg(0xC0, sof)                             # SOF0 baseline
     out += _seg(0xC4, _dht_payload(0x00, *HUFF_DC_LUM))
     out += _seg(0xC4, _dht_payload(0x10, *HUFF_AC_LUM))
@@ -417,22 +435,23 @@ def encode_baseline_jpeg(width: int, height: int, qy, qcb=None, qcr=None,
     ac_lum = _canonical_codes(*HUFF_AC_LUM)
     dc_ch = _canonical_codes(*HUFF_DC_CHROMA)
     ac_ch = _canonical_codes(*HUFF_AC_CHROMA)
+    codes = [(dc_lum, ac_lum)] + [(dc_ch, ac_ch)] * (ncomp - 1)
     w = _BitWriter()
-    preds = [0, 0, 0]
+    preds = [0] * ncomp
     rst = 0
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
             w.align_ones()
             w.out += bytes([0xFF, 0xD0 + (rst & 7)])
             rst += 1
-            preds = [0, 0, 0]
-        preds[0] = _encode_block(w, np.asarray(qy[m], dtype=np.int64),
-                                 preds[0], dc_lum, ac_lum)
-        if not gray:
-            preds[1] = _encode_block(w, np.asarray(qcb[m], dtype=np.int64),
-                                     preds[1], dc_ch, ac_ch)
-            preds[2] = _encode_block(w, np.asarray(qcr[m], dtype=np.int64),
-                                     preds[2], dc_ch, ac_ch)
+            preds = [0] * ncomp
+        for ci in range(ncomp):
+            hi, vi = sampling[ci]
+            dc_c, ac_c = codes[ci]
+            for u in range(hi * vi):
+                blk = np.asarray(blocks[ci][m * hi * vi + u],
+                                 dtype=np.int64)
+                preds[ci] = _encode_block(w, blk, preds[ci], dc_c, ac_c)
     w.align_ones()
     out += w.out
     out += b"\xff\xd9"                                 # EOI
@@ -457,26 +476,54 @@ def synth_jpeg_dims(doc_id: int) -> tuple[int, int]:
     return 8 * (doc_id % 4 + 1), 8 * (doc_id % 3 + 1)
 
 
+def _synth_block(doc_id: int, bi: int) -> "np.ndarray":
+    nat44 = 4 * 8 + 4
+    v, e = synth_block_params(doc_id, bi)
+    q = np.zeros(64, dtype=np.int64)
+    q[0] = (v - 128) // 2
+    q[nat44] = 2 * e
+    return q
+
+
 def _synth_jpeg_bytes(doc_id: int, restart_interval: int = 0) -> bytes:
     """One deterministic REAL baseline JPEG: per 8x8 block the
     quantized luminance coefficients are DC=(v-128)/2 (exact: the DC
     quant step is 16 and v-128 is even) and AC(4,4)=2e (dequantized
     136e; pixel contribution 17*e*s_x*s_y, exact); chroma blocks are
     all-zero (gray). Decoded pixels are therefore closed-form
-    integers — see the module docstring for the oracle identities."""
+    integers — see the module docstring for the oracle identities.
+
+    Even doc_ids encode 4:4:4; odd doc_ids encode 4:2:0 (the dominant
+    web shape: 16x16 MCUs of four Y blocks + one Cb + one Cr, MCU
+    padding blocks cropped by the decoder). The luminance pattern is
+    placed by its RASTER block index regardless of MCU interleaving,
+    and all-zero chroma decodes to exactly 128 at either resolution,
+    so both variants decode to IDENTICAL pixels — one SQL oracle
+    certifies both subsampling paths."""
     w, h = synth_jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
-    nat44 = 4 * 8 + 4
-    qy, qz = [], np.zeros(64, dtype=np.int64)
-    for bi in range(bw * bh):
-        v, e = synth_block_params(doc_id, bi)
-        q = np.zeros(64, dtype=np.int64)
-        q[0] = (v - 128) // 2
-        q[nat44] = 2 * e
-        qy.append(q)
-    n = bw * bh
-    return encode_baseline_jpeg(w, h, qy, [qz] * n, [qz] * n,
-                                restart_interval=restart_interval)
+    if doc_id % 2 == 0:                                # 4:4:4
+        qy = [_synth_block(doc_id, bi) for bi in range(bw * bh)]
+        n = bw * bh
+        qz = np.zeros(64, dtype=np.int64)
+        return encode_baseline_jpeg(w, h, qy, [qz] * n, [qz] * n,
+                                    restart_interval=restart_interval)
+    # 4:2:0: Y blocks in MCU-major, within-MCU raster order; blocks
+    # past the image edge are padding (flat 128, cropped on decode)
+    mcols, mrows = (bw + 1) // 2, (bh + 1) // 2
+    qy = []
+    pad = np.zeros(64, dtype=np.int64)
+    for m in range(mcols * mrows):
+        mrow, mcol = divmod(m, mcols)
+        for yy in range(2):
+            for xx in range(2):
+                by, bx = mrow * 2 + yy, mcol * 2 + xx
+                qy.append(_synth_block(doc_id, by * bw + bx)
+                          if by < bh and bx < bw else pad)
+    qz = [np.zeros(64, dtype=np.int64)] * (mcols * mrows)
+    return encode_baseline_jpeg(w, h, qy, qz, qz,
+                                restart_interval=restart_interval,
+                                sampling=((2, 2), (1, 1), (1, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -543,11 +590,15 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = seg[6 + 3 * ci:9 + 3 * ci]
-                if hv != 0x11:
+                hi, vi = hv >> 4, hv & 0xF
+                if ncomp == 1:
+                    hi = vi = 1      # single-component MCU is 1 block
+                if hi not in (1, 2) or vi not in (1, 2):
                     raise NotImplementedError(
-                        "chroma subsampling unsupported (4:4:4 / "
-                        "grayscale only)")
-                comps.append({"id": cid, "tq": tq})
+                        f"sampling factor {hi}x{vi} unsupported "
+                        "(1 or 2 per axis: 4:4:4 / 4:2:2 / 4:4:0 / "
+                        "4:2:0 / grayscale)")
+                comps.append({"id": cid, "tq": tq, "h": hi, "v": vi})
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG "
                                           "unsupported")
@@ -574,15 +625,44 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
         pos += ln
 
 
+def _decode_block(reader, dc_dec, ac_dec, pred):
+    """Entropy-decode one 8x8 block (F.2.2): returns (zigzag-order
+    coefficient vector, new DC predictor)."""
+    zz = np.zeros(64, dtype=np.int64)
+    size = dc_dec.decode(reader)
+    if size > 11:
+        raise ValueError("JPEG DC size out of baseline range")
+    pred += _extend(reader.receive(size), size)
+    zz[0] = pred
+    k = 1
+    while k < 64:
+        rs = ac_dec.decode(reader)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:
+                k += 16                       # ZRL
+                continue
+            break                             # EOB
+        k += r
+        if k > 63:
+            raise ValueError("JPEG AC run overflows block")
+        zz[k] = _extend(reader.receive(s), s)
+        k += 1
+    return zz, pred
+
+
 def _decode_scan(b, pos, frame, tables, qt, huff_dc, huff_ac,
                  restart_interval):
     w, h = frame["w"], frame["h"]
     comps = frame["comps"]
-    bw, bh = (w + 7) // 8, (h + 7) // 8
-    n_mcu = bw * bh
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcols = (w + 8 * hmax - 1) // (8 * hmax)
+    mrows = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcols * mrows
     reader = _BitReader(b, pos)
-    planes = [np.empty((bh * 8, bw * 8), dtype=np.float64)
-              for _ in comps]
+    planes = [np.empty((mrows * 8 * c["v"], mcols * 8 * c["h"]),
+                       dtype=np.float64) for c in comps]
     preds = [0] * len(comps)
     for m in range(n_mcu):
         if restart_interval and m and m % restart_interval == 0:
@@ -594,41 +674,31 @@ def _decode_scan(b, pos, frame, tables, qt, huff_dc, huff_ac,
                 raise ValueError("JPEG restart marker out of sequence")
             reader.pos = mk[1]
             preds = [0] * len(comps)
-        by, bx = divmod(m, bw)
+        mrow, mcol = divmod(m, mcols)
         for ci, comp in enumerate(comps):
             td, ta = tables[comp["id"]]
             if td not in huff_dc or ta not in huff_ac \
                     or comp["tq"] not in qt:
                 raise ValueError("JPEG scan references missing table")
-            zz = np.zeros(64, dtype=np.int64)
-            size = huff_dc[td].decode(reader)
-            if size > 11:
-                raise ValueError("JPEG DC size out of baseline range")
-            preds[ci] += _extend(reader.receive(size), size)
-            zz[0] = preds[ci]
-            k = 1
-            while k < 64:
-                rs = huff_ac[ta].decode(reader)
-                r, s = rs >> 4, rs & 0xF
-                if s == 0:
-                    if r == 15:
-                        k += 16                       # ZRL
-                        continue
-                    break                             # EOB
-                k += r
-                if k > 63:
-                    raise ValueError("JPEG AC run overflows block")
-                zz[k] = _extend(reader.receive(s), s)
-                k += 1
-            coef = np.zeros(64, dtype=np.int64)
-            coef[ZIGZAG] = zz
-            deq = (coef * qt[comp["tq"]]).reshape(8, 8).astype(np.float64)
-            planes[ci][by * 8:by * 8 + 8, bx * 8:bx * 8 + 8] = \
-                _idct2(deq) + 128.0
+            for yy in range(comp["v"]):           # within-MCU raster
+                for xx in range(comp["h"]):
+                    zz, preds[ci] = _decode_block(
+                        reader, huff_dc[td], huff_ac[ta], preds[ci])
+                    coef = np.zeros(64, dtype=np.int64)
+                    coef[ZIGZAG] = zz
+                    deq = (coef * qt[comp["tq"]]).reshape(8, 8) \
+                        .astype(np.float64)
+                    r0 = (mrow * comp["v"] + yy) * 8
+                    c0 = (mcol * comp["h"] + xx) * 8
+                    planes[ci][r0:r0 + 8, c0:c0 + 8] = _idct2(deq) + 128.0
+    # upsample subsampled planes by pixel replication, crop to (h, w)
+    planes = [np.repeat(np.repeat(p, vmax // c["v"], axis=0),
+                        hmax // c["h"], axis=1)[:h, :w]
+              for p, c in zip(planes, comps)]
     if len(comps) == 1:
-        y = np.clip(np.round(planes[0][:h, :w]), 0, 255).astype(np.uint8)
+        y = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
         return w, h, np.repeat(y[:, :, None], 3, axis=2)
-    y, cb, cr = (p[:h, :w] for p in planes)
+    y, cb, cr = planes
     r = y + 1.402 * (cr - 128.0)
     g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
     bch = y + 1.772 * (cb - 128.0)

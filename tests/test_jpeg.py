@@ -114,6 +114,84 @@ def test_fuzz_roundtrip_vs_reference_idct(seed):
     assert (diff != 0).mean() < 0.001
 
 
+def _ref_decode_sampled(w, h, blocks, sampling):
+    """Sampling-aware reference decode: per-component planes filled
+    in MCU-major / within-MCU-raster order, naive IDCT, replication
+    upsample, crop, JFIF color transform."""
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcols = (w + 8 * hmax - 1) // (8 * hmax)
+    mrows = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = []
+    for ci, (bl, qt) in enumerate(zip(blocks,
+                                      (QT_LUM, QT_CHROMA, QT_CHROMA))):
+        hi, vi = sampling[ci]
+        pl = np.zeros((mrows * 8 * vi, mcols * 8 * hi))
+        for m in range(mcols * mrows):
+            mrow, mcol = divmod(m, mcols)
+            for u in range(hi * vi):
+                yy, xx = divmod(u, hi)
+                deq = (np.asarray(bl[m * hi * vi + u]) * qt) \
+                    .reshape(8, 8).astype(float)
+                r0 = (mrow * vi + yy) * 8
+                c0 = (mcol * hi + xx) * 8
+                pl[r0:r0 + 8, c0:c0 + 8] = _ref_idct(deq) + 128
+        pl = np.repeat(np.repeat(pl, vmax // vi, axis=0),
+                       hmax // hi, axis=1)[:h, :w]
+        planes.append(pl)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    px = np.stack([r, g, b], axis=2)
+    return np.clip(np.round(px), 0, 255).astype(np.uint8)
+
+
+@pytest.mark.parametrize("sampling,seed", [
+    (((2, 2), (1, 1), (1, 1)), 0),   # 4:2:0 — the dominant web shape
+    (((2, 2), (1, 1), (1, 1)), 1),
+    (((2, 1), (1, 1), (1, 1)), 2),   # 4:2:2
+    (((1, 2), (1, 1), (1, 1)), 3),   # 4:4:0
+])
+def test_fuzz_subsampled_roundtrip(sampling, seed):
+    rng = np.random.default_rng(100 + seed)
+    w = int(rng.integers(1, 40))
+    h = int(rng.integers(1, 36))
+    hmax, vmax = sampling[0]
+    mcols = (w + 8 * hmax - 1) // (8 * hmax)
+    mrows = (h + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcols * mrows
+    blocks = [_rand_blocks(rng, n_mcu * hi * vi)
+              for hi, vi in sampling]
+    ri = int(rng.integers(0, 3))
+    blob = encode_baseline_jpeg(w, h, *blocks, restart_interval=ri,
+                                sampling=sampling)
+    dw, dh, got = decode_jpeg(blob)
+    assert (dw, dh) == (w, h)
+    exp = _ref_decode_sampled(w, h, blocks, sampling)
+    diff = got.astype(np.int64) - exp.astype(np.int64)
+    assert np.abs(diff).max() <= 1
+    assert (diff != 0).mean() < 0.001
+
+
+def test_synth_420_and_444_share_the_closed_form():
+    """Odd doc_ids synth as 4:2:0, even as 4:4:4; both must decode to
+    the SAME closed-form pixels (that is what lets one SQL oracle
+    certify both subsampling paths)."""
+    for did in (1, 3, 7, 11):                       # odd -> 4:2:0
+        blob = _synth_jpeg_bytes(did)
+        sof = blob.find(b"\xff\xc0")
+        assert blob[sof + 11] == 0x22               # SOF carries 2x2 Y
+        w, h, px = decode_jpeg(blob)
+        bw = w // 8
+        for bi in range(bw * (h // 8)):
+            by, bx = divmod(bi, bw)
+            v, e = synth_block_params(did, bi)
+            blk = v + 17 * e * np.outer(_S44, _S44)
+            assert (px[by * 8:by * 8 + 8, bx * 8:bx * 8 + 8, 0]
+                    .astype(np.int64) == blk).all()
+
+
 def test_grayscale_single_component_scan():
     rng = np.random.default_rng(7)
     w, h = 20, 12
@@ -153,9 +231,9 @@ def test_nonbaseline_refusals_are_marked():
     prog = bytes(good[:sof + 1]) + b"\xc2" + bytes(good[sof + 2:])
     with pytest.raises(NotImplementedError):
         decode_jpeg(prog)
-    # chroma subsampling flag inside SOF (first component 2x2)
+    # sampling factor above 2 inside SOF (first component 3x3)
     sub = bytearray(good)
-    sub[sof + 2 + 2 + 5 + 1 + 1] = 0x22
+    sub[sof + 2 + 2 + 5 + 1 + 1] = 0x33
     with pytest.raises(NotImplementedError):
         decode_jpeg(bytes(sub))
 
