@@ -19,9 +19,18 @@ the public JPEG spec), the dominant web shape:
   dominant web shapes) with pixel-replication chroma upsampling,
   MCU-padding crop for non-multiple dimensions.
 
-Honest refusals (NotImplementedError): progressive (SOF2) and every
-non-baseline frame type, arithmetic coding, 12-bit precision, and
-sampling factors above 2 — an image library's job.
+Progressive (SOF2) is decoded too (round 5): multi-scan spectral
+selection + successive approximation per Annex G — DC first/refine,
+AC first with EOBn end-of-band runs, AC refinement with correction
+bits — accumulated into per-component coefficient grids and
+reconstructed at EOI. ``encode_progressive_jpeg`` writes the same
+quantized coefficients as a real SOF2 file (libjpeg-shaped default
+scan script) so the fuzz differential and the driver oracle certify
+the path end to end.
+
+Honest refusals (NotImplementedError): lossless/hierarchical frame
+types, arithmetic coding, 12-bit precision, and sampling factors
+above 2 — an image library's job.
 Malformed bytes raise ValueError so the mapInPandas quarantine path
 in multimodal.py stays total.
 
@@ -74,7 +83,8 @@ from pyspark.sql.types import (
     BinaryType, IntegerType, LongType, StructField, StructType,
 )
 
-__all__ = ["synth_jpeg_blob", "jpeg_decode_stats", "decode_jpeg"]
+__all__ = ["synth_jpeg_blob", "jpeg_decode_stats", "decode_jpeg",
+           "encode_baseline_jpeg", "encode_progressive_jpeg"]
 
 # ---------------------------------------------------------------------------
 # public spec tables (ITU-T T.81)
@@ -458,6 +468,272 @@ def encode_baseline_jpeg(width: int, height: int, qy, qcb=None, qcr=None,
     return bytes(out)
 
 
+# ---------------------------------------------------------------------------
+# progressive encoder (synth source + fuzz driver for the Annex G path)
+# ---------------------------------------------------------------------------
+
+# AC Huffman table for progressive scans: the Annex K tables carry no
+# EOBn symbols for n > 0, so end-of-band runs longer than one block
+# would be unencodable with them. One flat canonical table — every
+# needed symbol (EOB0..EOB14, ZRL, all (run, size<=10) pairs) at code
+# length 9 — keeps the encoder simple; the decoder rebuilds from DHT
+# and never assumes a shape.
+_PROG_AC_VALUES = ([r << 4 for r in range(15)] + [0xF0] +
+                   [(r << 4) | s for r in range(16) for s in range(1, 11)])
+_PROG_AC_BITS = [0] * 16
+_PROG_AC_BITS[8] = len(_PROG_AC_VALUES)        # all codes 9 bits long
+
+
+def _default_prog_scans(ncomp):
+    """A libjpeg-shaped standard script: interleaved DC first at Al=1,
+    spectral AC bands per component, then DC and AC refinements down
+    to Al=0 — exercises every Annex G scan kind."""
+    if ncomp == 1:
+        return [((0,), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+                ((0,), 0, 0, 1, 0),
+                ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0)]
+    return [((0, 1, 2), 0, 0, 0, 1),
+            ((0,), 1, 5, 0, 2), ((2,), 1, 63, 0, 1), ((1,), 1, 63, 0, 1),
+            ((0,), 6, 63, 0, 2),
+            ((0, 1, 2), 0, 0, 1, 0),
+            ((0,), 1, 63, 2, 1), ((2,), 1, 63, 1, 0), ((1,), 1, 63, 1, 0),
+            ((0,), 1, 63, 1, 0)]
+
+
+class _ProgACState:
+    """Pending end-of-band run + its buffered correction bits
+    (G.1.2.2 / G.1.2.3): EOBn symbols fold runs of all-insignificant
+    band blocks; refinement bits buffered during a run are emitted
+    right after the symbol that ends it."""
+
+    def __init__(self, w: _BitWriter, ac_codes):
+        self.w = w
+        self.ac = ac_codes
+        self.eobrun = 0
+        self.bits: list[int] = []
+
+    def flush(self) -> None:
+        if self.eobrun:
+            r = self.eobrun.bit_length() - 1
+            code, ln = self.ac[r << 4]
+            self.w.write(code, ln)
+            if r:
+                self.w.write(self.eobrun - (1 << r), r)
+            self.eobrun = 0
+        for bit in self.bits:
+            self.w.write(bit, 1)
+        self.bits = []
+
+    def end_block(self, extra_bits) -> None:
+        self.eobrun += 1
+        self.bits.extend(extra_bits)
+        if self.eobrun == 0x7FFF:
+            self.flush()
+
+
+def _enc_ac_first(w, st, blk, ss, se, al, ac_codes) -> None:
+    """AC first pass for one block (G.1.2.2): point transform is a
+    sign-magnitude shift; runs of zeros via ZRL, trailing zeros fold
+    into the shared EOB run."""
+    vals = [int(np.sign(v)) * (abs(int(v)) >> al) for v in blk[ss:se + 1]]
+    if not any(vals):
+        st.end_block([])
+        return
+    st.flush()
+    r = 0
+    last_nz = max(i for i, v in enumerate(vals) if v)
+    for i, v in enumerate(vals[:last_nz + 1]):
+        if v == 0:
+            r += 1
+            continue
+        while r > 15:
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            r -= 16
+        size = _bit_size(v)
+        if size > 10:
+            raise ValueError(f"AC coefficient {v} exceeds size-10 range")
+        code, ln = ac_codes[(r << 4) | size]
+        w.write(code, ln)
+        w.write(v if v >= 0 else v + (1 << size) - 1, size)
+        r = 0
+    if last_nz < len(vals) - 1:
+        st.end_block([])
+
+
+def _enc_ac_refine(w, st, blk, ss, se, al, ac_codes) -> None:
+    """AC refinement pass for one block (G.1.2.3): emit (run, 1) +
+    sign for newly-significant coefficients, buffer one correction
+    bit per already-significant coefficient, fold trailing history
+    into the EOB run. ZRLs are emitted at the position where the
+    zero-history run crosses 16 so buffered correction bits land in
+    the 16-skip span the decoder traverses for that ZRL."""
+    mags = [abs(int(v)) >> al for v in blk[ss:se + 1]]
+    eob_idx = max((i for i, t in enumerate(mags) if t == 1), default=-1)
+    r = 0
+    br: list[int] = []
+    for i, t in enumerate(mags):
+        if t == 0:
+            r += 1
+            continue
+        while r > 15 and i <= eob_idx:
+            st.flush()
+            code, ln = ac_codes[0xF0]
+            w.write(code, ln)
+            r -= 16
+            for bit in br:
+                w.write(bit, 1)
+            br = []
+        if t > 1:
+            br.append(t & 1)
+            continue
+        st.flush()
+        code, ln = ac_codes[(r << 4) | 1]
+        w.write(code, ln)
+        w.write(1 if blk[ss + i] > 0 else 0, 1)
+        for bit in br:
+            w.write(bit, 1)
+        br = []
+        r = 0
+    if r or br:
+        st.end_block(br)
+
+
+def encode_progressive_jpeg(width: int, height: int, qy, qcb=None,
+                            qcr=None, sampling=None, scans=None,
+                            restart_interval: int = 0) -> bytes:
+    """Assemble a REAL progressive (SOF2) JFIF file from the same
+    per-block QUANTIZED coefficient arrays ``encode_baseline_jpeg``
+    takes (MCU-major, within-MCU raster per component), so one input
+    can be encoded both ways and the decodes byte-compared. ``scans``
+    is a list of (comp_indices, Ss, Se, Ah, Al); the default script
+    covers DC first/refine, spectral AC bands, AC refinement, and
+    EOBn runs. DC scans are interleaved (or the component grid when
+    single-component); AC scans are per-component over the
+    NON-PADDED block grid (A.2.2), matching the decoder."""
+    gray = qcb is None
+    ncomp = 1 if gray else 3
+    if sampling is None:
+        sampling = ((1, 1),) * ncomp
+    if len(sampling) != ncomp:
+        raise ValueError("sampling length != component count")
+    hmax = max(s[0] for s in sampling)
+    vmax = max(s[1] for s in sampling)
+    mcols = (width + 8 * hmax - 1) // (8 * hmax)
+    mrows = (height + 8 * vmax - 1) // (8 * vmax)
+    n_mcu = mcols * mrows
+    blocks = [qy] if gray else [qy, qcb, qcr]
+    grids = []                                   # zigzag-order block grids
+    dims = []                                    # (bh_data, bw_data)
+    for ci, bl in enumerate(blocks):
+        hi, vi = sampling[ci]
+        if len(bl) != n_mcu * hi * vi:
+            raise ValueError(f"component {ci}: {len(bl)} blocks != "
+                             f"{n_mcu} MCUs x {hi}x{vi}")
+        grid = np.zeros((mrows * vi, mcols * hi, 64), dtype=np.int64)
+        for m in range(n_mcu):
+            mrow, mcol = divmod(m, mcols)
+            for yy in range(vi):
+                for xx in range(hi):
+                    blk = np.asarray(bl[m * hi * vi + yy * hi + xx],
+                                     dtype=np.int64)
+                    grid[mrow * vi + yy, mcol * hi + xx] = blk[ZIGZAG]
+        grids.append(grid)
+        cw = (width * hi + hmax - 1) // hmax
+        ch = (height * vi + vmax - 1) // vmax
+        dims.append(((ch + 7) // 8, (cw + 7) // 8))
+    if scans is None:
+        scans = _default_prog_scans(ncomp)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(int(QT_LUM[ZIGZAG[i]])
+                                         for i in range(64)))
+    if not gray:
+        out += _seg(0xDB, bytes([1]) + bytes(int(QT_CHROMA[ZIGZAG[i]])
+                                             for i in range(64)))
+    sof = bytes([8]) + height.to_bytes(2, "big") + width.to_bytes(2, "big") \
+        + bytes([ncomp])
+    for ci in range(ncomp):
+        hi, vi = sampling[ci]
+        sof += bytes([ci + 1, (hi << 4) | vi, 0 if ci == 0 else 1])
+    out += _seg(0xC2, sof)                       # SOF2 progressive
+    out += _seg(0xC4, _dht_payload(0x00, *HUFF_DC_LUM))
+    out += _seg(0xC4, _dht_payload(0x10, _PROG_AC_BITS, _PROG_AC_VALUES))
+    if not gray:
+        out += _seg(0xC4, _dht_payload(0x01, *HUFF_DC_CHROMA))
+        out += _seg(0xC4, _dht_payload(0x11, _PROG_AC_BITS,
+                                       _PROG_AC_VALUES))
+    if restart_interval:
+        out += _seg(0xDD, restart_interval.to_bytes(2, "big"))
+    dc_codes = [_canonical_codes(*HUFF_DC_LUM)] + \
+        [_canonical_codes(*HUFF_DC_CHROMA)] * (ncomp - 1)
+    ac_codes = _canonical_codes(_PROG_AC_BITS, _PROG_AC_VALUES)
+
+    for comp_idx, ss, se, ah, al in scans:
+        sos = bytes([len(comp_idx)])
+        for ci in comp_idx:
+            sos += bytes([ci + 1, ((0 if ci == 0 else 1) << 4)
+                          | (0 if ci == 0 else 1)])
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += _seg(0xDA, sos)
+        w = _BitWriter()
+        st = _ProgACState(w, ac_codes)
+        interleaved = len(comp_idx) > 1
+        if interleaved or (ss == 0 and ncomp == 1):
+            n_units = n_mcu
+        else:
+            n_units = dims[comp_idx[0]][0] * dims[comp_idx[0]][1]
+        preds = [0] * len(comp_idx)
+        rst = 0
+        for m in range(n_units):
+            if restart_interval and m and m % restart_interval == 0:
+                st.flush()
+                w.align_ones()
+                w.out += bytes([0xFF, 0xD0 + (rst & 7)])
+                rst += 1
+                preds = [0] * len(comp_idx)
+            unit_blocks = []                     # (si, block) in scan order
+            if interleaved:
+                mrow, mcol = divmod(m, mcols)
+                for si, ci in enumerate(comp_idx):
+                    hi, vi = sampling[ci]
+                    for yy in range(vi):
+                        for xx in range(hi):
+                            unit_blocks.append(
+                                (si, grids[ci][mrow * vi + yy,
+                                               mcol * hi + xx]))
+            else:
+                ci = comp_idx[0]
+                bw = mcols * sampling[ci][0] if ss == 0 and ncomp == 1 \
+                    else dims[ci][1]
+                unit_blocks.append((0, grids[ci][m // bw, m % bw]))
+            for si, blk in unit_blocks:
+                if ss == 0:
+                    if ah == 0:
+                        v = int(blk[0]) >> al
+                        diff = v - preds[si]
+                        preds[si] = v
+                        size = _bit_size(diff)
+                        code, ln = dc_codes[comp_idx[si]][size]
+                        w.write(code, ln)
+                        if size:
+                            w.write(diff if diff >= 0
+                                    else diff + (1 << size) - 1, size)
+                    else:
+                        w.write((int(blk[0]) >> al) & 1, 1)
+                elif ah == 0:
+                    _enc_ac_first(w, st, blk, ss, se, al, ac_codes)
+                else:
+                    _enc_ac_refine(w, st, blk, ss, se, al, ac_codes)
+        st.flush()
+        w.align_ones()
+        out += w.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # the AC(4,4) basis sign pattern: sign of cos((2x+1) pi/4), x = 0..7
 _S44 = np.array([1, -1, -1, 1, 1, -1, -1, 1], dtype=np.int64)
 
@@ -485,7 +761,8 @@ def _synth_block(doc_id: int, bi: int) -> "np.ndarray":
     return q
 
 
-def _synth_jpeg_bytes(doc_id: int, restart_interval: int = 0) -> bytes:
+def _synth_jpeg_bytes(doc_id: int, restart_interval: int = 0,
+                      progressive: bool = False) -> bytes:
     """One deterministic REAL baseline JPEG: per 8x8 block the
     quantized luminance coefficients are DC=(v-128)/2 (exact: the DC
     quant step is 16 and v-128 is even) and AC(4,4)=2e (dequantized
@@ -499,15 +776,19 @@ def _synth_jpeg_bytes(doc_id: int, restart_interval: int = 0) -> bytes:
     placed by its RASTER block index regardless of MCU interleaving,
     and all-zero chroma decodes to exactly 128 at either resolution,
     so both variants decode to IDENTICAL pixels — one SQL oracle
-    certifies both subsampling paths."""
+    certifies both subsampling paths. ``progressive=True`` writes the
+    SAME quantized coefficients as a multi-scan SOF2 file (default
+    Annex G script), so the progressive decode path is certified by
+    the SAME closed-form oracle."""
+    enc = encode_progressive_jpeg if progressive else encode_baseline_jpeg
     w, h = synth_jpeg_dims(doc_id)
     bw, bh = w // 8, h // 8
     if doc_id % 2 == 0:                                # 4:4:4
         qy = [_synth_block(doc_id, bi) for bi in range(bw * bh)]
         n = bw * bh
         qz = np.zeros(64, dtype=np.int64)
-        return encode_baseline_jpeg(w, h, qy, [qz] * n, [qz] * n,
-                                    restart_interval=restart_interval)
+        return enc(w, h, qy, [qz] * n, [qz] * n,
+                   restart_interval=restart_interval)
     # 4:2:0: Y blocks in MCU-major, within-MCU raster order; blocks
     # past the image edge are padding (flat 128, cropped on decode)
     mcols, mrows = (bw + 1) // 2, (bh + 1) // 2
@@ -521,9 +802,8 @@ def _synth_jpeg_bytes(doc_id: int, restart_interval: int = 0) -> bytes:
                 qy.append(_synth_block(doc_id, by * bw + bx)
                           if by < bh and bx < bw else pad)
     qz = [np.zeros(64, dtype=np.int64)] * (mcols * mrows)
-    return encode_baseline_jpeg(w, h, qy, qz, qz,
-                                restart_interval=restart_interval,
-                                sampling=((2, 2), (1, 1), (1, 1)))
+    return enc(w, h, qy, qz, qz, restart_interval=restart_interval,
+               sampling=((2, 2), (1, 1), (1, 1)))
 
 
 # ---------------------------------------------------------------------------
@@ -541,6 +821,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
     huff_ac: dict[int, _HuffDecoder] = {}
     frame = None
     restart_interval = 0
+    coeffs = None          # progressive: per-component coefficient grids
     while True:
         if pos + 2 > len(b):
             raise ValueError("JPEG truncated before SOS")
@@ -549,6 +830,8 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
         marker = b[pos + 1]
         pos += 2
         if marker == 0xD9:
+            if coeffs is not None:
+                return _reconstruct_progressive(frame, coeffs, qt)
             raise ValueError("JPEG EOI before any scan")
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue                                    # parameterless
@@ -580,7 +863,7 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
                 p += 17 + nv
         elif marker == 0xDD:                            # DRI
             restart_interval = int.from_bytes(seg[:2], "big")
-        elif marker == 0xC0 or marker == 0xC1:          # SOF0/1
+        elif marker in (0xC0, 0xC1, 0xC2):              # SOF0/1/2
             prec = seg[0]
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit JPEG unsupported")
@@ -602,25 +885,49 @@ def decode_jpeg(b: bytes) -> tuple[int, int, "np.ndarray"]:
             if ncomp not in (1, 3):
                 raise NotImplementedError(f"{ncomp}-component JPEG "
                                           "unsupported")
-            frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+            frame = {"w": w, "h": h, "comps": comps,
+                     "progressive": marker == 0xC2}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"non-baseline JPEG frame (marker FF{marker:02X}: "
-                "progressive/lossless/arithmetic) unsupported")
+                "lossless/hierarchical/arithmetic) unsupported")
         elif marker == 0xDA:                            # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = seg[0]
-            if ns != len(frame["comps"]):
-                raise NotImplementedError(
-                    "non-interleaved multi-scan JPEG unsupported")
-            tables = {}
+            if not frame["progressive"]:
+                if ns != len(frame["comps"]):
+                    raise NotImplementedError(
+                        "non-interleaved multi-scan sequential JPEG "
+                        "unsupported")
+                tables = {}
+                for si in range(ns):
+                    cs, td_ta = seg[1 + 2 * si:3 + 2 * si]
+                    tables[cs] = (td_ta >> 4, td_ta & 0xF)
+                return _decode_scan(b, pos + ln, frame, tables, qt,
+                                    huff_dc, huff_ac, restart_interval)
+            # progressive (T.81 Annex G): accumulate coefficient
+            # approximations scan by scan, reconstruct at EOI
+            ids = [c["id"] for c in frame["comps"]]
+            scomps = []
             for si in range(ns):
                 cs, td_ta = seg[1 + 2 * si:3 + 2 * si]
-                tables[cs] = (td_ta >> 4, td_ta & 0xF)
-            return _decode_scan(b, pos + ln, frame, tables, qt,
-                                huff_dc, huff_ac, restart_interval)
+                if cs not in ids:
+                    raise ValueError("JPEG scan references unknown "
+                                     "component")
+                scomps.append((ids.index(cs), td_ta >> 4, td_ta & 0xF))
+            ss, se, ahal = seg[1 + 2 * ns:4 + 2 * ns]
+            ah, al = ahal >> 4, ahal & 0xF
+            if coeffs is None:
+                _block_geometry(frame)
+                coeffs = [np.zeros((c["bh_full"], c["bw_full"], 64),
+                                   dtype=np.int64)
+                          for c in frame["comps"]]
+            pos = _decode_progressive_scan(
+                b, pos + ln, frame, scomps, ss, se, ah, al,
+                huff_dc, huff_ac, restart_interval, coeffs)
+            continue
         # APPn / COM / others: skipped
         pos += ln
 
@@ -691,7 +998,16 @@ def _decode_scan(b, pos, frame, tables, qt, huff_dc, huff_ac,
                     r0 = (mrow * comp["v"] + yy) * 8
                     c0 = (mcol * comp["h"] + xx) * 8
                     planes[ci][r0:r0 + 8, c0:c0 + 8] = _idct2(deq) + 128.0
-    # upsample subsampled planes by pixel replication, crop to (h, w)
+    return _planes_to_rgb(frame, planes)
+
+
+def _planes_to_rgb(frame, planes):
+    """Shared reconstruction tail (baseline + progressive): upsample
+    subsampled planes by pixel replication, crop MCU padding to
+    (h, w), and apply the JFIF color transform."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
     planes = [np.repeat(np.repeat(p, vmax // c["v"], axis=0),
                         hmax // c["h"], axis=1)[:h, :w]
               for p, c in zip(planes, comps)]
@@ -707,23 +1023,219 @@ def _decode_scan(b, pos, frame, tables, qt, huff_dc, huff_ac,
 
 
 # ---------------------------------------------------------------------------
+# progressive decode (ITU-T T.81 Annex G, Huffman successive
+# approximation + spectral selection)
+# ---------------------------------------------------------------------------
+
+def _block_geometry(frame) -> None:
+    """Annotate the frame with MCU and per-component block grids.
+    ``bh_full``/``bw_full`` are the MCU-padded grid an interleaved
+    scan covers; ``bh_data``/``bw_data`` are the (possibly smaller)
+    grid a non-interleaved single-component scan covers (A.2.2:
+    ceil of the scaled component dimensions, no MCU padding)."""
+    w, h, comps = frame["w"], frame["h"], frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    frame["mcols"] = (w + 8 * hmax - 1) // (8 * hmax)
+    frame["mrows"] = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        c["bw_full"] = frame["mcols"] * c["h"]
+        c["bh_full"] = frame["mrows"] * c["v"]
+        c["bw_data"] = ((w * c["h"] + hmax - 1) // hmax + 7) // 8
+        c["bh_data"] = ((h * c["v"] + vmax - 1) // vmax + 7) // 8
+
+
+def _restart(reader, m, ri, unit_name="MCU"):
+    """Consume the expected RSTn at an ``m % ri == 0`` boundary."""
+    reader.align()
+    mk = reader.at_marker()
+    if not mk or not (0xD0 <= mk[0] <= 0xD7):
+        raise ValueError("JPEG missing expected restart marker")
+    if mk[0] - 0xD0 != ((m // ri) - 1) & 7:
+        raise ValueError("JPEG restart marker out of sequence")
+    reader.pos = mk[1]
+
+
+def _decode_progressive_scan(b, pos, frame, scomps, ss, se, ah, al,
+                             huff_dc, huff_ac, ri, coeffs) -> int:
+    """Decode ONE progressive scan into the zigzag-order coefficient
+    grids, returning the byte offset of the next marker. Four scan
+    kinds (G.2): DC first (Ss=Se=0, Ah=0; point-transformed diffs),
+    DC refinement (Ah>0; one appended bit per block), AC first
+    (Ss>0, Ah=0; run/size with EOBn end-of-band runs), AC
+    refinement (Ss>0, Ah>0; newly-significant ±1<<Al insertions plus
+    correction bits for already-nonzero coefficients)."""
+    comps = frame["comps"]
+    if ss > se or se > 63 or (ss == 0) != (se == 0):
+        raise ValueError("JPEG invalid spectral selection")
+    if ah not in (0, al + 1):
+        raise ValueError("JPEG invalid successive approximation")
+    if ss > 0 and len(scomps) != 1:
+        raise ValueError("JPEG AC scan must be single-component")
+    interleaved = len(scomps) > 1
+    reader = _BitReader(b, pos)
+    preds = [0] * len(scomps)
+    eobrun = 0
+    p1 = 1 << al
+
+    def dc_unit(blk, si, td):
+        if ah == 0:
+            dec = huff_dc.get(td)
+            if dec is None:
+                raise ValueError("JPEG scan references missing table")
+            size = dec.decode(reader)
+            if size > 11:
+                raise ValueError("JPEG DC size out of range")
+            preds[si] += _extend(reader.receive(size), size)
+            blk[0] = preds[si] << al
+        elif reader.bit():
+            blk[0] |= p1
+
+    def ac_refine_tail(blk, k):
+        for kk in range(k, se + 1):
+            if blk[kk] != 0:
+                if reader.bit() and (abs(int(blk[kk])) & p1) == 0:
+                    blk[kk] += p1 if blk[kk] > 0 else -p1
+
+    def ac_unit(blk, ta):
+        nonlocal eobrun
+        if eobrun > 0:
+            if ah:
+                ac_refine_tail(blk, ss)
+            eobrun -= 1
+            return
+        dec = huff_ac.get(ta)
+        if dec is None:
+            raise ValueError("JPEG scan references missing table")
+        k = ss
+        while k <= se:
+            rs = dec.decode(reader)
+            r, s = rs >> 4, rs & 0xF
+            if not ah:                          # first pass (G.2.2)
+                if s == 0:
+                    if r != 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eobrun += reader.receive(r)
+                        return
+                    k += 16                     # ZRL
+                    continue
+                k += r
+                if k > se:
+                    raise ValueError("JPEG AC run overflows band")
+                blk[k] = _extend(reader.receive(s), s) << al
+                k += 1
+                continue
+            # refinement pass (G.2.3 / decoder mirror of G.1.2.3)
+            newval = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += reader.receive(r)
+                    break                       # tail corrects k..se
+                # ZRL: r stays 15 -> 16 zero-history skips below
+            elif s == 1:
+                newval = p1 if reader.bit() else -p1
+            else:
+                raise ValueError("JPEG AC refinement size != 1")
+            while k <= se:                      # advance r zero-history
+                if blk[k] != 0:
+                    if reader.bit() and (abs(int(blk[k])) & p1) == 0:
+                        blk[k] += p1 if blk[k] > 0 else -p1
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval:
+                if k > se:
+                    raise ValueError("JPEG AC refinement overflows band")
+                blk[k] = newval
+            k += 1
+        if ah and eobrun > 0:
+            ac_refine_tail(blk, k)
+            eobrun -= 1
+
+    if interleaved or (ss == 0 and len(comps) == 1):
+        n_units = frame["mrows"] * frame["mcols"]
+    else:
+        ci0 = scomps[0][0]
+        n_units = comps[ci0]["bh_data"] * comps[ci0]["bw_data"]
+    for m in range(n_units):
+        if ri and m and m % ri == 0:
+            _restart(reader, m, ri)
+            preds = [0] * len(scomps)
+            eobrun = 0
+        if interleaved:                          # DC scan over MCUs
+            mrow, mcol = divmod(m, frame["mcols"])
+            for si, (ci, td, _ta) in enumerate(scomps):
+                c = comps[ci]
+                for yy in range(c["v"]):
+                    for xx in range(c["h"]):
+                        dc_unit(coeffs[ci][mrow * c["v"] + yy,
+                                           mcol * c["h"] + xx], si, td)
+        else:
+            ci, td, ta = scomps[0]
+            c = comps[ci]
+            bw = c["bw_full"] if ss == 0 and len(comps) == 1 \
+                else c["bw_data"]
+            blk = coeffs[ci][m // bw, m % bw]
+            if ss == 0:
+                dc_unit(blk, 0, td)
+            else:
+                ac_unit(blk, ta)
+    # locate the next marker (skipping pad bits / stuffed bytes)
+    reader.align()
+    p = reader.pos
+    while p + 1 < len(b):
+        if b[p] == 0xFF and b[p + 1] != 0x00:
+            if 0xD0 <= b[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    raise ValueError("JPEG truncated after progressive scan")
+
+
+def _reconstruct_progressive(frame, coeffs, qt):
+    """Dequantize + IDCT every accumulated block and hand the planes
+    to the shared reconstruction tail."""
+    planes = []
+    for ci, c in enumerate(frame["comps"]):
+        if c["tq"] not in qt:
+            raise ValueError("JPEG frame references missing quant table")
+        grid = coeffs[ci]
+        bh, bw = grid.shape[:2]
+        nat = np.zeros((bh, bw, 64), dtype=np.int64)
+        nat[..., ZIGZAG] = grid                  # zigzag -> natural
+        deq = (nat * qt[c["tq"]]).astype(np.float64).reshape(bh, bw, 8, 8)
+        px = _IDCT_B.T @ deq @ _IDCT_B + 128.0
+        planes.append(px.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8))
+    return _planes_to_rgb(frame, planes)
+
+
+# ---------------------------------------------------------------------------
 # Spark surface
 # ---------------------------------------------------------------------------
 
 def synth_jpeg_blob(df: DataFrame, id_col: str = "doc_id",
-                    blob_col: str = "blob") -> DataFrame:
+                    blob_col: str = "blob",
+                    progressive: bool = False) -> DataFrame:
     """Deterministic REAL-JPEG source (the JPEG sibling of
-    synth_png_blob): every blob is a genuine baseline JFIF file —
-    markers, Annex-K tables in DQT/DHT, Huffman-coded interleaved
-    4:4:4 scan with byte stuffing — built from the closed-form
-    block pattern in synth_block_params, so an external SQL oracle
-    can replay the decoded pixels without any image code."""
+    synth_png_blob): every blob is a genuine JFIF file — markers,
+    quant/Huffman tables in DQT/DHT, Huffman-coded scans with byte
+    stuffing — built from the closed-form block pattern in
+    synth_block_params, so an external SQL oracle can replay the
+    decoded pixels without any image code. ``progressive=True``
+    writes multi-scan SOF2 files carrying the same coefficients."""
     key = df.schema[id_col]
     schema = StructType([key, StructField(blob_col, BinaryType(), False)])
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            blobs = [_synth_jpeg_bytes(int(i)) for i in pdf[id_col]]
+            blobs = [_synth_jpeg_bytes(int(i), progressive=progressive)
+                     for i in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
 
     return df.select(id_col).mapInPandas(fn, schema)

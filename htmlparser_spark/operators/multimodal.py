@@ -16,12 +16,14 @@ UDF signatures) is real and tested. Decode status, honestly stated:
   truecolor-alpha (RGBA, alpha stripped) — the most common web
   shapes. Palette / 16-bit / interlaced PNGs raise a clearly-marked
   NotImplementedError.
-- **Real baseline JPEG decode** (round 5, ``operators/jpeg.py``):
-  full marker walk, DHT-rebuilt canonical Huffman entropy decode
-  with DC prediction / restart markers / byte unstuffing, dequant,
-  float IDCT, 4:4:4 YCbCr->RGB — baseline sequential only;
-  progressive / arithmetic / subsampled JPEG still raises a
-  clearly-marked NotImplementedError (an image library's job), and
+- **Real JPEG decode** (round 5, ``operators/jpeg.py``): full
+  marker walk, DHT-rebuilt canonical Huffman entropy decode with
+  DC prediction / restart markers / byte unstuffing, chroma
+  subsampling (4:4:4 / 4:2:2 / 4:4:0 / 4:2:0), progressive (SOF2)
+  multi-scan spectral selection + successive approximation,
+  dequant, float IDCT, YCbCr->RGB — arithmetic-coded / lossless
+  JPEG still raises a clearly-marked NotImplementedError (an image
+  library's job), and
   ``decode_image_features(fake=True)`` remains the deterministic
   sha256 stand-in so downstream operators (dedup, ANN) are
   exercised end-to-end regardless.
@@ -145,9 +147,9 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
         from .jpeg import decode_jpeg
         return decode_jpeg(b)
     raise NotImplementedError(
-        "only PPM(P6)/BMP-24/PNG/baseline-JPEG decode without an "
-        "image library (progressive JPEG / WebP / ... need "
-        "PIL/libvips, not in this container)")
+        "only PPM(P6)/BMP-24/PNG/JPEG (baseline + progressive) decode "
+        "without an image library (WebP / AVIF / ... need PIL/libvips, "
+        "not in this container)")
 
 
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"

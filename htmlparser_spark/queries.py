@@ -692,6 +692,24 @@ def q_image_decode_jpeg(spark, sf_dir):
         "sum_r", "sum_g", "sum_b", "ac_r", "ac_g", "ac_b")
 
 
+def q_image_decode_jpeg_progressive(spark, sf_dir):
+    """REAL progressive JPEG decode (SOF2, T.81 Annex G): the synth
+    source writes multi-scan files — interleaved DC first at Al=1,
+    spectral AC bands, DC refinement, AC refinement with EOBn runs
+    and correction bits — carrying the SAME quantized coefficients
+    as the baseline variant, so decoded pixels are the same closed
+    form and the same sum / sign-weighted-sum witnesses certify the
+    whole successive-approximation path (a decoder that drops a
+    refinement scan or misorders correction bits fails ac_*)."""
+    from .operators.jpeg import jpeg_decode_stats, synth_jpeg_blob
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    stats = jpeg_decode_stats(synth_jpeg_blob(docs, progressive=True))
+    return stats.select(
+        "doc_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b", "ac_r", "ac_g", "ac_b")
+
+
 def q_callback_events(spark, sf_dir):
     """Parse-time callback dispatch (EP3, html.cpp:539-573): three
     callbacks — selector 'li', unconditional, error — over list markup
@@ -1315,6 +1333,11 @@ ORACLES["image_decode_jpeg"] = (
     "CAST(psum AS BIGINT) AS sum_b, "
     "CAST(acsum AS BIGINT) AS ac_r, CAST(acsum AS BIGINT) AS ac_g, "
     "CAST(acsum AS BIGINT) AS ac_b FROM s")
+
+# the progressive synth carries the same quantized coefficients as
+# the baseline file, so the decoded pixels — and the oracle — are
+# identical; a green row certifies the Annex G multi-scan path
+ORACLES["image_decode_jpeg_progressive"] = ORACLES["image_decode_jpeg"]
 
 # (the round-2 `frame_sample` stub query + oracle were retired in
 # round 4: the REAL Y4M decode path is the driver query
@@ -2767,6 +2790,7 @@ QUERIES = {
     "hashed_features": q_hashed_features,
     "inverted_index": q_inverted_index,
     "image_decode_jpeg": q_image_decode_jpeg,   # new in round 5
+    "image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,

@@ -228,9 +228,11 @@ def test_nonbaseline_refusals_are_marked():
     good = bytearray(_synth_jpeg_bytes(3))
     sof = good.find(b"\xff\xc0")
     assert sof > 0
-    prog = bytes(good[:sof + 1]) + b"\xc2" + bytes(good[sof + 2:])
+    # progressive (SOF2) is decoded since round 5; lossless (SOF3)
+    # stays an honest refusal
+    lossless = bytes(good[:sof + 1]) + b"\xc3" + bytes(good[sof + 2:])
     with pytest.raises(NotImplementedError):
-        decode_jpeg(prog)
+        decode_jpeg(lossless)
     # sampling factor above 2 inside SOF (first component 3x3)
     sub = bytearray(good)
     sub[sof + 2 + 2 + 5 + 1 + 1] = 0x33
