@@ -310,6 +310,44 @@ def q_orders_rollup(spark, sf_dir):
                  F.grouping_id().cast("long").alias("gid")))
 
 
+def q_bucketed_join(spark, sf_dir):
+    """Catalog-bucketed co-located join (operators/bucketed.py:44):
+    orders and customer are written ONCE as bucketBy(8, custkey)
+    sortBy external tables — the persisted clustering a 100-TB corpus
+    reuses across every downstream join — then sort-merge-joined. The
+    wrapper ASSERTS the join plan contains no Exchange on either side
+    (so this driver row certifies the shuffle elimination itself, not
+    just values) and returns the per-segment rollup; the oracle
+    replays the same join over the original parquet, pinning that
+    bucketing is value-invisible."""
+    import os
+    import tempfile
+
+    from .operators.bucketed import write_bucketed
+    from .plans.inspect import explain_string
+    base = tempfile.mkdtemp(prefix="bktq_")
+    orders = load(spark, sf_dir, "orders") \
+        .select(F.col("o_custkey").alias("custkey"), "o_orderkey")
+    cust = load(spark, sf_dir, "customer") \
+        .select(F.col("c_custkey").alias("custkey"), "c_mktsegment")
+    lspec = write_bucketed(orders, "bktq_orders",
+                           os.path.join(base, "o"), "custkey", 8)
+    rspec = write_bucketed(cust, "bktq_customer",
+                           os.path.join(base, "c"), "custkey", 8)
+    lt = spark.table(lspec["table"])
+    rt = spark.table(rspec["table"])
+    # merge hint: pin the sort-merge strategy regardless of the small
+    # side's size so the co-location (not a broadcast) is what the
+    # plan exercises
+    joined = lt.hint("merge").join(rt, "custkey")
+    plan = explain_string(joined)
+    assert "Exchange" not in plan, \
+        "bucketed join planned a shuffle:\n" + plan
+    return (joined.groupBy("c_mktsegment")
+            .agg(F.count("*").cast("long").alias("n_orders"),
+                 F.sum("o_orderkey").cast("long").alias("sum_okey")))
+
+
 def q_events_pivot(spark, sf_dir):
     """Pivot/crosstab: per-user event counts spread across event-type
     columns (explicit value list, so the plan is ONE aggregate pass —
@@ -2791,6 +2829,7 @@ QUERIES = {
     "inverted_index": q_inverted_index,
     "image_decode_jpeg": q_image_decode_jpeg,   # new in round 5
     "image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
+    "bucketed_join": q_bucketed_join,           # new in round 5
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,
@@ -3303,6 +3342,14 @@ ORACLES["orders_rollup"] = (
     "CAST(GROUPING(c_mktsegment) * 2 + GROUPING(o_orderpriority) "
     "  AS BIGINT) AS gid "
     "FROM j GROUP BY ROLLUP(c_mktsegment, o_orderpriority)")
+
+# same join over the original parquet: bucketed co-location must be
+# value-invisible (the plan property is asserted inside the wrapper)
+ORACLES["bucketed_join"] = (
+    "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, "
+    "CAST(sum(o_orderkey) AS BIGINT) AS sum_okey "
+    "FROM orders JOIN customer ON o_custkey = c_custkey "
+    "GROUP BY c_mktsegment")
 
 ORACLES["events_rolling"] = (
     "WITH t AS (SELECT event_id, user_id, "
