@@ -12,10 +12,12 @@ UDF signatures) is real and tested. Decode status, honestly stated:
 - **Real PNG decode** (stdlib ``zlib`` only): ``_decode_rgb`` walks
   the chunk stream, CRC-checks every chunk, inflates the IDAT
   stream, and unfilters all five scanline filter types (None / Sub /
-  Up / Average / Paeth) for 8-bit truecolor (RGB) and
-  truecolor-alpha (RGBA, alpha stripped) — the most common web
-  shapes. Palette / 16-bit / interlaced PNGs raise a clearly-marked
-  NotImplementedError.
+  Up / Average / Paeth) across the format's FULL shape surface
+  (round 5): every color type — grayscale, RGB, palette (PLTE
+  lookup), gray+alpha, RGBA (alpha stripped) — bit depths
+  1/2/4/8/16 (high byte for 16-bit, exact rescale for sub-8 gray),
+  and Adam7 interlacing (7 passes unfiltered as independent
+  sub-images, then scattered).
 - **Real JPEG decode** (round 5, ``operators/jpeg.py``): full
   marker walk, DHT-rebuilt canonical Huffman entropy decode with
   DC prediction / restart markers / byte unstuffing, chroma
@@ -53,7 +55,8 @@ from pyspark.sql.types import (
 
 __all__ = ["MEDIA_SCHEMA", "attach_media_blob", "media_metadata",
            "decode_image_features", "decode_image_pixels",
-           "synth_ppm_blob", "synth_png_blob", "frame_sample_stub",
+           "synth_ppm_blob", "synth_png_blob", "synth_png_blob_variants",
+           "frame_sample_stub",
            "synth_wav_blob", "decode_audio_features",
            "synth_y4m_blob", "frame_sample_real",
            "ahash_bits", "image_ahash",
@@ -155,54 +158,26 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
 _PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 
-def _decode_png(b: bytes) -> tuple[int, int, "np.ndarray"]:
-    """REAL PNG decode with stdlib ``zlib`` only (the format's public
-    spec: RFC 2083 / W3C PNG). Chunk walk with per-chunk CRC32
-    verification, concatenated-IDAT inflate, and full scanline
-    unfiltering for all five filter types. Supports the common web
-    shapes — 8-bit truecolor (color type 2) and truecolor+alpha
-    (color type 6, alpha stripped) — and honestly refuses palette,
-    sub-8/16-bit, and Adam7-interlaced images (an image library's
-    job). Raises ValueError on malformed bytes so the mapInPandas
-    quarantine path stays total."""
-    pos, ihdr, idat = 8, None, []
-    while pos + 8 <= len(b):
-        ln = int.from_bytes(b[pos:pos + 4], "big")
-        typ = b[pos + 4:pos + 8]
-        data = b[pos + 8:pos + 8 + ln]
-        if len(data) < ln or pos + 12 + ln > len(b):
-            raise ValueError("PNG truncated chunk")
-        crc = int.from_bytes(b[pos + 8 + ln:pos + 12 + ln], "big")
-        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
-            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
-        if typ == b"IHDR":
-            ihdr = data
-        elif typ == b"IDAT":
-            idat.append(data)
-        elif typ == b"IEND":
-            break
-        pos += 12 + ln
-    if ihdr is None or not idat:
-        raise ValueError("PNG missing IHDR/IDAT")
-    w = int.from_bytes(ihdr[0:4], "big")
-    h = int.from_bytes(ihdr[4:8], "big")
-    depth, ctype, comp, filt, interlace = ihdr[8:13]
-    if comp != 0 or filt != 0:
-        raise ValueError("PNG nonstandard compression/filter method")
-    if depth != 8 or ctype not in (2, 6) or interlace != 0:
-        raise NotImplementedError(
-            f"PNG depth={depth} color_type={ctype} interlace={interlace} "
-            "unsupported (8-bit RGB/RGBA, non-interlaced only)")
-    bpp = 3 if ctype == 2 else 4
-    stride = w * bpp
-    raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (stride + 1):
-        raise ValueError("PNG decompressed size mismatch")
-    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+# channels per PNG color type (0 gray, 2 RGB, 3 palette, 4 gray+alpha,
+# 6 RGBA) and the valid bit depths per type (W3C PNG §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+_PNG_DEPTHS = {0: (1, 2, 4, 8, 16), 2: (8, 16), 3: (1, 2, 4, 8),
+               4: (8, 16), 6: (8, 16)}
+# Adam7 pass origins/steps (W3C PNG §8.2): (x0, y0, dx, dy)
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def _png_unfilter(raw: bytes, h: int, stride: int,
+                  bpp: int) -> "np.ndarray":
+    """Undo the five scanline filters over one (sub-)image of ``h``
+    rows of ``stride`` filtered bytes each; ``bpp`` is the filter
+    pixel width in bytes (>=1 even for sub-byte depths)."""
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
     out = np.zeros((h, stride), np.uint8)
     for y in range(h):
-        ft = int(raw[y, 0])
-        row = raw[y, 1:].astype(np.int32)
+        ft = int(arr[y, 0])
+        row = arr[y, 1:].astype(np.int32)
         prev = out[y - 1].astype(np.int32) if y else np.zeros(stride,
                                                               np.int32)
         if ft == 0:
@@ -210,7 +185,10 @@ def _decode_png(b: bytes) -> tuple[int, int, "np.ndarray"]:
         elif ft == 2:                                  # Up
             cur = (row + prev) & 0xFF
         elif ft == 1:                                  # Sub: per-lane cumsum
-            cur = np.cumsum(row.reshape(-1, bpp), axis=0).reshape(-1) & 0xFF
+            pad = (-stride) % bpp
+            lanes = np.concatenate([row, np.zeros(pad, np.int32)])
+            cur = np.cumsum(lanes.reshape(-1, bpp),
+                            axis=0).reshape(-1)[:stride] & 0xFF
         else:                                          # Average / Paeth:
             cur = np.empty(stride, np.int32)           # left-dependency loop
             for x in range(stride):
@@ -229,8 +207,117 @@ def _decode_png(b: bytes) -> tuple[int, int, "np.ndarray"]:
                     raise ValueError(f"PNG filter type {ft} invalid")
                 cur[x] = v & 0xFF
         out[y] = cur.astype(np.uint8)
-    px = out.reshape(h, w, bpp)
-    return w, h, np.ascontiguousarray(px[:, :, :3])
+    return out
+
+
+def _png_rows_to_px(rows: "np.ndarray", w: int, h: int, depth: int,
+                    ctype: int, palette) -> "np.ndarray":
+    """Unfiltered rows -> (h, w, 3) uint8 RGB: unpack sub-byte
+    samples (MSB first), take the high byte of 16-bit samples,
+    rescale sub-8-bit grayscale to full range (v*255/(2^d-1), exact
+    in integers), look up palette indices, strip alpha."""
+    ch = _PNG_CHANNELS[ctype]
+    if depth == 16:
+        vals = rows.reshape(h, w, ch, 2)[..., 0]
+    elif depth == 8:
+        vals = rows.reshape(h, w, ch)
+    else:                                   # 1/2/4-bit gray or palette
+        per_byte = 8 // depth
+        shifts = (np.arange(per_byte - 1, -1, -1) * depth).astype(np.uint8)
+        mask = (1 << depth) - 1
+        expanded = (rows[:, :, None] >> shifts[None, None, :]) & mask
+        vals = expanded.reshape(h, -1)[:, :w][..., None]
+    if ctype == 0:
+        g = vals[..., 0].astype(np.int64)
+        if depth < 8:
+            g = (g * 255) // ((1 << depth) - 1)
+        return np.repeat(g[..., None], 3, axis=2).astype(np.uint8)
+    if ctype == 3:
+        if palette is None:
+            raise ValueError("PNG palette image missing PLTE")
+        idx = vals[..., 0].astype(np.int64)
+        if int(idx.max(initial=0)) >= len(palette):
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]
+    if ctype == 4:
+        return np.repeat(vals[..., 0:1], 3, axis=2).astype(np.uint8)
+    return np.ascontiguousarray(vals[..., :3]).astype(np.uint8)
+
+
+def _decode_png(b: bytes) -> tuple[int, int, "np.ndarray"]:
+    """REAL PNG decode with stdlib ``zlib`` only (the format's public
+    spec: RFC 2083 / W3C PNG). Chunk walk with per-chunk CRC32
+    verification, concatenated-IDAT inflate, full scanline
+    unfiltering for all five filter types, every color type
+    (grayscale, RGB, palette, gray+alpha, RGBA — alpha stripped),
+    bit depths 1/2/4/8/16 (16-bit samples take the high byte;
+    sub-8-bit grayscale rescales exactly), and Adam7 interlacing
+    (each of the 7 passes unfiltered as its own sub-image, then
+    scattered). Raises ValueError on malformed bytes so the
+    mapInPandas quarantine path stays total."""
+    pos, ihdr, idat, plte = 8, None, [], None
+    while pos + 8 <= len(b):
+        ln = int.from_bytes(b[pos:pos + 4], "big")
+        typ = b[pos + 4:pos + 8]
+        data = b[pos + 8:pos + 8 + ln]
+        if len(data) < ln or pos + 12 + ln > len(b):
+            raise ValueError("PNG truncated chunk")
+        crc = int.from_bytes(b[pos + 8 + ln:pos + 12 + ln], "big")
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {typ!r} CRC mismatch")
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"PLTE":
+            if len(data) % 3 or len(data) > 768:
+                raise ValueError("PNG PLTE size invalid")
+            plte = np.frombuffer(data, np.uint8).reshape(-1, 3)
+        elif typ == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    depth, ctype, comp, filt, interlace = ihdr[8:13]
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if ctype not in _PNG_CHANNELS or depth not in _PNG_DEPTHS[ctype]:
+        raise ValueError(
+            f"PNG depth={depth} color_type={ctype} combination invalid")
+    if interlace not in (0, 1):
+        raise NotImplementedError(
+            f"PNG interlace method {interlace} unsupported")
+    if w <= 0 or h <= 0:
+        raise ValueError("PNG zero dimension")
+    bits_pp = depth * _PNG_CHANNELS[ctype]
+    fbpp = max(1, bits_pp // 8)                 # filter pixel width
+    raw = zlib.decompress(b"".join(idat))
+    if interlace == 0:
+        stride = (w * bits_pp + 7) // 8
+        if len(raw) != h * (stride + 1):
+            raise ValueError("PNG decompressed size mismatch")
+        rows = _png_unfilter(raw, h, stride, fbpp)
+        return w, h, _png_rows_to_px(rows, w, h, depth, ctype, plte)
+    px = np.zeros((h, w, 3), np.uint8)          # Adam7
+    off = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        stride = (pw * bits_pp + 7) // 8
+        need = ph * (stride + 1)
+        if off + need > len(raw):
+            raise ValueError("PNG decompressed size mismatch")
+        rows = _png_unfilter(raw[off:off + need], ph, stride, fbpp)
+        off += need
+        px[y0::dy, x0::dx] = _png_rows_to_px(rows, pw, ph, depth,
+                                             ctype, plte)
+    if off != len(raw):
+        raise ValueError("PNG decompressed size mismatch")
+    return w, h, px
 
 
 def decode_image_pixels(df: DataFrame, blob_col: str = "blob",
@@ -419,15 +506,16 @@ def _png_filter_row(row: "np.ndarray", prev: "np.ndarray", ft: int,
     return (out & 0xFF).astype(np.uint8)
 
 
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (len(data).to_bytes(4, "big") + typ + data
+            + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
+
+
 def _png_encode(w: int, h: int, px: "np.ndarray",
                 filters=None) -> bytes:
     """Minimal REAL PNG encoder (stdlib zlib): 8-bit RGB, one IDAT,
     per-row filter types from ``filters`` (default: cycle 0..4 so a
     decoder must implement every unfilter path to read it back)."""
-    def chunk(typ: bytes, data: bytes) -> bytes:
-        return (len(data).to_bytes(4, "big") + typ + data
-                + (zlib.crc32(typ + data) & 0xFFFFFFFF).to_bytes(4, "big"))
-
     px = px.reshape(h, w * 3)
     lines = bytearray()
     for y in range(h):
@@ -437,9 +525,70 @@ def _png_encode(w: int, h: int, px: "np.ndarray",
         lines += _png_filter_row(px[y], prev, ft, 3).tobytes()
     ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
             + bytes([8, 2, 0, 0, 0]))
-    return (_PNG_SIG + chunk(b"IHDR", ihdr)
-            + chunk(b"IDAT", zlib.compress(bytes(lines)))
-            + chunk(b"IEND", b""))
+    return (_PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(lines)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_encode_ex(w: int, h: int, samples, ctype: int, depth: int,
+                   interlace: int = 0, palette=None,
+                   filter_seed: int = 0) -> bytes:
+    """General REAL PNG encoder for every shape the decoder supports:
+    ``samples`` is an integer array (h, w, channels-per-ctype) with
+    values < 2^depth (for palette ctype 3 the samples are indices and
+    ``palette`` the (n, 3) table). Packs sub-byte samples MSB-first
+    with row padding, 16-bit big-endian, cycles all five filters, and
+    for ``interlace=1`` splits into the 7 Adam7 passes (each filtered
+    as its own sub-image, per the spec)."""
+    ch = _PNG_CHANNELS[ctype]
+    samples = np.asarray(samples, dtype=np.int64).reshape(h, w, ch)
+    bits_pp = depth * ch
+    fbpp = max(1, bits_pp // 8)
+
+    def pack(sub: "np.ndarray") -> "np.ndarray":
+        ph, pw = sub.shape[:2]
+        if depth == 16:
+            by = np.zeros((ph, pw, ch, 2), np.uint8)
+            by[..., 0] = (sub >> 8) & 0xFF
+            by[..., 1] = sub & 0xFF
+            return by.reshape(ph, pw * ch * 2)
+        if depth == 8:
+            return sub.astype(np.uint8).reshape(ph, pw * ch)
+        per_byte = 8 // depth
+        pad = (-pw) % per_byte
+        flat = np.concatenate([sub.reshape(ph, pw),
+                               np.zeros((ph, pad), np.int64)], axis=1)
+        shifts = np.arange(per_byte - 1, -1, -1) * depth
+        return (flat.reshape(ph, -1, per_byte)
+                << shifts).sum(axis=2).astype(np.uint8)
+
+    def filt(rows: "np.ndarray", seed: int) -> bytes:
+        out = bytearray()
+        prev = np.zeros(rows.shape[1], np.uint8)
+        for y in range(rows.shape[0]):
+            ft = (y + seed) % 5
+            out.append(ft)
+            out += _png_filter_row(rows[y], prev, ft, fbpp).tobytes()
+            prev = rows[y]
+        return bytes(out)
+
+    if interlace == 0:
+        raw = filt(pack(samples), filter_seed)
+    else:
+        raw = b""
+        for pi, (x0, y0, dx, dy) in enumerate(_ADAM7):
+            sub = samples[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            raw += filt(pack(sub), filter_seed + pi)
+    ihdr = (w.to_bytes(4, "big") + h.to_bytes(4, "big")
+            + bytes([depth, ctype, 0, 0, interlace]))
+    out = _PNG_SIG + _png_chunk(b"IHDR", ihdr)
+    if ctype == 3:
+        out += _png_chunk(b"PLTE",
+                          np.asarray(palette, np.uint8).tobytes())
+    return (out + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
 
 
 def synth_png_blob(df: DataFrame, id_col: str = "doc_id",
@@ -466,6 +615,52 @@ def synth_png_blob(df: DataFrame, id_col: str = "doc_id",
                       ).astype(np.uint8)
                 filters = [(y + i) % 5 for y in range(h)]
                 blobs.append(_png_encode(w, h, px, filters))
+            yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
+
+    return df.select(id_col).mapInPandas(fn, schema)
+
+
+def _synth_png_variant_bytes(i: int) -> bytes:
+    """One deterministic PNG whose DECODED pixels equal the plain
+    synth arithmetic (``w=(i%13)+4, h=(i%11)+4``, byte
+    ``(i*7 + 31k) % 256``) but whose ENCODING cycles the decoder's
+    hard paths by ``i % 4``: RGBA (alpha stripped), 16-bit RGB (both
+    bytes carry the value, so the high byte IS the pixel), palette
+    (the <=224 distinct colors of one image always fit a PLTE), and
+    Adam7-interlaced RGB. Decoded pixels are identical across
+    variants, so the plain-PNG SQL oracle certifies all four."""
+    w, h = i % 13 + 4, i % 11 + 4
+    n = w * h * 3
+    px = ((i * 7 + 31 * np.arange(n, dtype=np.int64)) % 256
+          ).astype(np.uint8).reshape(h, w, 3)
+    v = i % 4
+    if v == 0:                                  # RGBA, alpha=255
+        rgba = np.concatenate(
+            [px, np.full((h, w, 1), 255, np.uint8)], axis=2)
+        return _png_encode_ex(w, h, rgba, ctype=6, depth=8,
+                              filter_seed=i)
+    if v == 1:                                  # 16-bit RGB, hi==lo==v
+        return _png_encode_ex(w, h, px.astype(np.int64) * 257,
+                              ctype=2, depth=16, filter_seed=i)
+    if v == 2:                                  # palette
+        colors, idx = np.unique(px.reshape(-1, 3), axis=0,
+                                return_inverse=True)
+        return _png_encode_ex(w, h, idx.reshape(h, w, 1), ctype=3,
+                              depth=8, palette=colors, filter_seed=i)
+    return _png_encode_ex(w, h, px, ctype=2, depth=8, interlace=1,
+                          filter_seed=i)
+
+
+def synth_png_blob_variants(df: DataFrame, id_col: str = "doc_id",
+                            blob_col: str = "blob") -> DataFrame:
+    """Deterministic REAL-PNG source over the decoder's full shape
+    surface (see ``_synth_png_variant_bytes``)."""
+    key = df.schema[id_col]
+    schema = StructType([key, StructField(blob_col, BinaryType(), False)])
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [_synth_png_variant_bytes(int(i)) for i in pdf[id_col]]
             yield pd.DataFrame({id_col: pdf[id_col], blob_col: blobs})
 
     return df.select(id_col).mapInPandas(fn, schema)

@@ -709,6 +709,23 @@ def q_image_decode_png(spark, sf_dir):
         "sum_r", "sum_g", "sum_b")
 
 
+def q_image_decode_png_variants(spark, sf_dir):
+    """Full-surface PNG decode: the synth cycles RGBA (alpha strip),
+    16-bit RGB (high-byte samples), palette (PLTE lookup), and
+    Adam7-interlaced RGB per doc — all carrying the SAME closed-form
+    pixels as the plain 8-bit synth, so one SQL oracle certifies
+    every color-type/depth/interlace path the decoder grew in
+    round 5."""
+    from .operators.multimodal import (decode_image_pixels,
+                                       synth_png_blob_variants)
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    media = synth_png_blob_variants(docs)
+    return decode_image_pixels(media).select(
+        "doc_id", F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        "sum_r", "sum_g", "sum_b")
+
+
 def q_image_decode_jpeg(spark, sf_dir):
     """REAL baseline JPEG decode, lib-free (round 5): synthesize a
     genuine JFIF file per doc — Annex-K quant/Huffman tables,
@@ -1350,6 +1367,11 @@ ORACLES["image_decode_real"] = (
 # independent of the per-row filter choice, so the PPM oracle form
 # certifies the zlib/unfilter stack too
 ORACLES["image_decode_png"] = ORACLES["image_decode_real"]
+
+# the RGBA/16-bit/palette/Adam7 variants decode to the same pixels
+# as the plain synth, so the same arithmetic oracle certifies the
+# decoder's full shape surface
+ORACLES["image_decode_png_variants"] = ORACLES["image_decode_real"]
 
 # replay of synth_jpeg_blob's block arithmetic (operators/jpeg.py):
 # block bi of doc id has flat gray level v = 128 + 2*((id*7+bi*13)%111
@@ -2830,6 +2852,7 @@ QUERIES = {
     "image_decode_jpeg": q_image_decode_jpeg,   # new in round 5
     "image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "bucketed_join": q_bucketed_join,           # new in round 5
+    "image_decode_png_variants": q_image_decode_png_variants,
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,

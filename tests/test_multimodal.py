@@ -251,8 +251,11 @@ def test_png_rgba_alpha_stripped():
 
 def test_png_malformed_rejected():
     """CRC corruption, truncation, and size mismatch raise ValueError
-    (quarantine path); palette/16-bit/interlace raise the honest
-    NotImplementedError."""
+    (quarantine path); unknown interlace methods raise the honest
+    NotImplementedError. (Palette/16-bit/Adam7 are DECODED since
+    round 5 — see test_png_full.py.)"""
+    import zlib as _z
+
     from htmlparser_spark.operators.multimodal import (_PNG_SIG,
                                                        _png_encode)
     good = bytearray(_png_encode(4, 4, np.zeros((4, 4, 3), np.uint8)))
@@ -262,14 +265,21 @@ def test_png_malformed_rejected():
         _decode_rgb(bytes(bad))
     with pytest.raises(ValueError, match="truncated|missing"):
         _decode_rgb(bytes(good[:30]))
-    # interlaced flag → NotImplementedError (rebuild CRC so we reach it)
-    import zlib as _z
-    ihdr = bytearray(good[16:29]); ihdr[12] = 1
-    patched = (bytes(good[:16]) + bytes(ihdr)
-               + (_z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
-                  ).to_bytes(4, "big") + bytes(good[33:]))
+
+    def patch_ihdr(byte12):
+        ihdr = bytearray(good[16:29])
+        ihdr[12] = byte12
+        return (bytes(good[:16]) + bytes(ihdr)
+                + (_z.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+                   ).to_bytes(4, "big") + bytes(good[33:]))
+
+    # flipping the interlace FLAG on sequential scan data is now a
+    # size mismatch (Adam7 expects different pass layout), not a gate
+    with pytest.raises(ValueError, match="size mismatch"):
+        _decode_rgb(patch_ihdr(1))
+    # unknown interlace method stays an honest refusal
     with pytest.raises(NotImplementedError, match="interlace"):
-        _decode_rgb(patched)
+        _decode_rgb(patch_ihdr(2))
 
 
 def test_png_spark_roundtrip(spark):
