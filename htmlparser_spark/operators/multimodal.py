@@ -96,7 +96,9 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
     """REAL image decode for the two lib-free public formats.
 
     - binary PPM (``P6``, Netpbm spec): ASCII header of width, height,
-      maxval (with ``#`` comment support), then ``w*h*3`` raw RGB bytes;
+      maxval (with ``#`` comment support), then ``w*h*3`` raw RGB
+      samples — one byte for maxval 255, two big-endian bytes for
+      maxval up to 65535 (rescaled exactly to 8-bit);
     - uncompressed 24-bit BMP (BITMAPINFOHEADER): pixel-array offset at
       byte 10, width/height at 18/22, bottom-up rows padded to 4 bytes,
       BGR sample order — all normalized here to a top-down RGB array.
@@ -120,13 +122,24 @@ def _decode_rgb(b: bytes) -> tuple[int, int, "np.ndarray"]:
             pos = end
         pos += 1                                      # single ws after maxval
         w, h, maxval = fields
-        if maxval != 255:
-            raise ValueError(f"PPM maxval {maxval} unsupported (8-bit only)")
-        n = w * h * 3
-        if len(b) - pos < n:
-            raise ValueError("PPM truncated pixel array")
-        px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
-        return w, h, px.reshape(h, w, 3)
+        if maxval == 255:
+            n = w * h * 3
+            if len(b) - pos < n:
+                raise ValueError("PPM truncated pixel array")
+            px = np.frombuffer(b, dtype=np.uint8, count=n, offset=pos)
+            return w, h, px.reshape(h, w, 3)
+        if 255 < maxval < 65536:
+            # two-byte big-endian samples (Netpbm spec); normalize to
+            # 8-bit the way the 16-bit PNG path does: high byte when
+            # maxval is full-range, else exact v*255//maxval
+            n = w * h * 3
+            if len(b) - pos < 2 * n:
+                raise ValueError("PPM truncated pixel array")
+            px = np.frombuffer(b, dtype=">u2", count=n, offset=pos) \
+                .astype(np.int64)
+            px = (px * 255) // maxval
+            return w, h, px.astype(np.uint8).reshape(h, w, 3)
+        raise ValueError(f"PPM maxval {maxval} invalid")
     if b[:2] == b"BM":
         off = int.from_bytes(b[10:14], "little")
         w = int.from_bytes(b[18:22], "little", signed=True)

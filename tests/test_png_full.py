@@ -70,6 +70,25 @@ def test_variant_synth_matches_plain_arithmetic(doc_id):
     assert np.array_equal(got, px)
 
 
+@pytest.mark.parametrize("maxval", [65535, 1023])
+def test_ppm_16bit_samples(maxval):
+    """PPM maxval > 255 (two-byte big-endian samples per the Netpbm
+    spec) decodes with the exact v*255//maxval rescale — full-range
+    65535 with hi==lo bytes round-trips the 8-bit value exactly."""
+    from htmlparser_spark.operators.multimodal import _decode_rgb
+    rng = np.random.default_rng(maxval)
+    w, h = 5, 4
+    s = rng.integers(0, maxval + 1, size=(h, w, 3)).astype(np.int64)
+    blob = f"P6 {w} {h} {maxval}\n".encode() + s.astype(">u2").tobytes()
+    dw, dh, got = _decode_rgb(blob)
+    assert (dw, dh) == (w, h)
+    assert np.array_equal(got, ((s * 255) // maxval).astype(np.uint8))
+    with pytest.raises(ValueError, match="truncated"):
+        _decode_rgb(blob[:-3])
+    with pytest.raises(ValueError, match="maxval"):
+        _decode_rgb(b"P6 2 2 70000\n" + b"\x00" * 24)
+
+
 def test_palette_index_out_of_range_rejected():
     pal = np.zeros((1, 3), np.uint8)
     blob = _png_encode_ex(3, 3, np.full((3, 3, 1), 1), 3, 8,
