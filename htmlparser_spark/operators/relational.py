@@ -1,5 +1,5 @@
-"""Time-relational operators Spark lacks as built-ins: as-of join and
-gap-based sessionization.
+"""Time-relational operators Spark lacks as built-ins: as-of join,
+interval (range) join, and gap-based sessionization.
 
 Both are single-shuffle, pure-Catalyst plans (no Python in the hot
 path):
@@ -29,7 +29,7 @@ from typing import Optional, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "sessionize", "global_rank"]
+__all__ = ["asof_join", "sessionize", "global_rank", "range_join"]
 
 
 def _epoch_s(col: Column) -> Column:
@@ -155,6 +155,66 @@ def sessionize(events: DataFrame, by: str = "user_id", ts_col: str = "ts",
     run = (Window.partitionBy(by).orderBy(ts_col, order_tiebreak)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.withColumn(out, F.sum(new_sess).over(run).cast("long"))
+
+
+def range_join(points: DataFrame, intervals: DataFrame,
+               point_col: str, lo_col: str, hi_col: str,
+               by: Sequence[str] = (), bucket: int = 3600,
+               max_buckets_per_interval: int = 256) -> DataFrame:
+    """Interval (range) join: each point row matches every interval
+    row with ``lo <= point < hi`` (half-open), within the same ``by``
+    key group. Columns must be integer-domain (cast timestamps to
+    epoch seconds first) so bucket arithmetic is exact.
+
+    Spark plans a raw range predicate as a broadcast-nested-loop /
+    cartesian — quadratic at scale. This is the bucketized
+    formulation instead:
+
+    - points get ONE bucket key ``floor(point / bucket)``;
+    - NARROW intervals (span covering <= ``max_buckets_per_interval``
+      buckets) explode into one row per covered bucket
+      (``F.sequence``), equi-join on (by..., bucket), then refine
+      with the exact predicate. A point's bucket is covered by every
+      interval that can contain it, and each (interval, bucket) pair
+      is unique, so the join is exact with no duplicates;
+    - WIDE intervals (a giant span would explode into unbounded
+      rows — the skew hazard) instead broadcast and join on the
+      ``by`` keys alone with the range predicate as a filter: the
+      wide set is small by construction, so the broadcast is bounded
+      and no bucket rows are materialized for them.
+
+    The union of the two arms is exact and disjoint (each interval is
+    in exactly one arm). Scale shape: the equi-join shuffles
+    (by, bucket) — never a theta-join; interval explosion is capped;
+    the only broadcast is the filtered wide set."""
+    by = list(by)
+    overlap = (set(points.columns) & set(intervals.columns)) - set(by)
+    if overlap:
+        raise ValueError(
+            f"range_join: columns {sorted(overlap)} exist on both "
+            "sides but are not by-keys — rename one side (the result "
+            "would be ambiguous)")
+    if "_bkt" in points.columns or "_bkt" in intervals.columns:
+        raise ValueError("range_join: '_bkt' is reserved")
+    pt = F.col(point_col).cast("long")
+    lo = F.col(lo_col).cast("long")
+    hi = F.col(hi_col).cast("long")
+    span_buckets = (F.floor((hi - 1) / bucket)
+                    - F.floor(lo / bucket) + 1)
+    valid = intervals.filter(hi > lo)
+    narrow = valid.filter(span_buckets <= max_buckets_per_interval)
+    wide = valid.filter(span_buckets > max_buckets_per_interval)
+    pts = points.withColumn("_bkt", F.floor(pt / bucket))
+    nrw = narrow.withColumn(
+        "_bkt", F.explode(F.sequence(F.floor(lo / bucket),
+                                     F.floor((hi - 1) / bucket))))
+    refine = (F.col(point_col).cast("long") >= F.col(lo_col).cast("long")) \
+        & (F.col(point_col).cast("long") < F.col(hi_col).cast("long"))
+    arm_n = pts.join(nrw, by + ["_bkt"]).filter(refine).drop("_bkt")
+    arm_w = (pts.drop("_bkt").join(F.broadcast(wide), by)
+             if by else
+             pts.drop("_bkt").crossJoin(F.broadcast(wide))).filter(refine)
+    return arm_n.unionByName(arm_w)
 
 
 def global_rank(df: DataFrame, order_cols: Sequence[str],

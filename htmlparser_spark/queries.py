@@ -1446,6 +1446,34 @@ ORACLES["paragraph_dedup"] = (
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def q_events_range_join(spark, sf_dir):
+    """Bucketized interval join (relational.py:range_join): per user,
+    three deterministic windows anchored at the user's first event —
+    [lo, lo+1h), [lo+2h, lo+3h), and a deliberately GIANT
+    [lo, lo+1e8s) whose span exceeds max_buckets_per_interval=16, so
+    the driver row exercises BOTH arms: the exploded-bucket equi-join
+    for narrow intervals and the broadcast wide-interval fallback.
+    The oracle replays the same join as a plain non-equi join, which
+    DuckDB can afford at oracle scale."""
+    from .operators.relational import range_join
+    ev = load(spark, sf_dir, "events") \
+        .select("user_id", "event_id",
+                F.col("ts").cast("timestamp").cast("long").alias("te"))
+    base = ev.groupBy("user_id").agg(F.min("te").alias("lo0"))
+    iv = base.selectExpr(
+        "user_id",
+        "stack(3, "
+        " 0L, lo0, lo0 + 3600L,"
+        " 1L, lo0 + 7200L, lo0 + 10800L,"
+        " 2L, lo0, lo0 + 100000000L) AS (iid, lo, hi)")
+    j = range_join(ev, iv, point_col="te", lo_col="lo", hi_col="hi",
+                   by=["user_id"], bucket=3600,
+                   max_buckets_per_interval=16)
+    return j.groupBy("user_id", "iid").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum("event_id").cast("long").alias("sum_eid"))
+
+
 def q_events_asof(spark, sf_dir):
     """Distributed as-of join: each click picks up the most recent
     purchase value for the same user (union + running-last, one
@@ -2853,6 +2881,7 @@ QUERIES = {
     "image_decode_jpeg_progressive": q_image_decode_jpeg_progressive,
     "bucketed_join": q_bucketed_join,           # new in round 5
     "image_decode_png_variants": q_image_decode_png_variants,
+    "events_range_join": q_events_range_join,  # new in round 5
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,
@@ -3012,6 +3041,22 @@ ORACLES["content_blocks"] = (
     "    AND 100 * (4 + idl) <= 33 * (9 + idl + pad)) FROM t")
 
 # oracles for the round-3 additions ------------------------------- #
+
+# plain non-equi replay of the bucketized range join (both arms)
+ORACLES["events_range_join"] = (
+    "WITH e AS (SELECT user_id, event_id, "
+    "  CAST(epoch(ts) AS BIGINT) AS te FROM events), "
+    "b AS (SELECT user_id, min(te) AS lo0 FROM e GROUP BY user_id), "
+    "iv AS ("
+    "  SELECT user_id, 0 AS iid, lo0 AS lo, lo0 + 3600 AS hi FROM b "
+    "  UNION ALL SELECT user_id, 1, lo0 + 7200, lo0 + 10800 FROM b "
+    "  UNION ALL SELECT user_id, 2, lo0, lo0 + 100000000 FROM b) "
+    "SELECT iv.user_id, CAST(iid AS BIGINT) AS iid, "
+    "CAST(count(*) AS BIGINT) AS n_events, "
+    "CAST(sum(e.event_id) AS BIGINT) AS sum_eid "
+    "FROM iv JOIN e ON e.user_id = iv.user_id "
+    "AND e.te >= iv.lo AND e.te < iv.hi "
+    "GROUP BY 1, 2")
 
 ORACLES["events_asof"] = (
     "WITH l AS (SELECT event_id, user_id, ts FROM events "

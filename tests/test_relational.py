@@ -179,3 +179,81 @@ def test_global_rank_equals_window_rank(spark):
         if "Window" in ln and "windowspecdefinition" in ln:
             assert "_pid" in ln
     assert "RangePartitioning" in plan or "rangepartitioning" in plan
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def _mk_range(seed=11, n_pts=300, n_iv=60, n_keys=7):
+    def h(i, salt):
+        return (i * 2654435761 + (salt + seed) * 40503) & 0xFFFFFFFF
+    points = pd.DataFrame({
+        "k": [h(i, 1) % n_keys for i in range(n_pts)],
+        "t": [h(i, 2) % 100000 for i in range(n_pts)],
+        "pid": list(range(n_pts)),
+    })
+    rows = []
+    for i in range(n_iv):
+        lo = h(i, 3) % 100000
+        # mix of narrow, empty, and giant spans (giant -> wide arm)
+        span = [h(i, 4) % 500, 0, h(i, 5) % 90000][i % 3]
+        rows.append({"k": h(i, 6) % n_keys, "iid": i,
+                     "lo": lo, "hi": lo + span})
+    return points, pd.DataFrame(rows)
+
+
+@pytest.mark.parametrize("use_by", [True, False])
+def test_range_join_matches_reference(spark, use_by):
+    """Randomized differential vs the all-pairs python reference:
+    half-open semantics, empty intervals dropped, and the
+    narrow/wide split (giant spans route to the broadcast arm via
+    max_buckets_per_interval) is value-invisible."""
+    from htmlparser_spark.operators.relational import range_join
+    points, intervals = _mk_range()
+    if not use_by:
+        intervals = intervals.rename(columns={"k": "ik"})
+    pf = spark.createDataFrame(points)
+    vf = spark.createDataFrame(intervals)
+    got = range_join(pf, vf, point_col="t", lo_col="lo", hi_col="hi",
+                     by=["k"] if use_by else [], bucket=1000,
+                     max_buckets_per_interval=8)
+    rows = sorted((int(r["pid"]), int(r["iid"]))
+                  for r in got.select("pid", "iid").collect())
+    ref = []
+    for _, p in points.iterrows():
+        for _, iv in intervals.iterrows():
+            if use_by and p["k"] != iv["k"]:
+                continue
+            if iv["lo"] <= p["t"] < iv["hi"]:
+                ref.append((int(p["pid"]), int(iv["iid"])))
+    assert rows == sorted(ref)
+
+
+def test_range_join_rejects_ambiguous_columns(spark):
+    from htmlparser_spark.operators.relational import range_join
+    points, intervals = _mk_range()
+    pf = spark.createDataFrame(points)
+    vf = spark.createDataFrame(intervals)
+    with pytest.raises(ValueError, match="both"):
+        range_join(pf, vf, point_col="t", lo_col="lo", hi_col="hi",
+                   by=[], bucket=1000)
+
+
+def test_range_join_narrow_arm_is_equi_join(spark):
+    """Plan pin: the narrow arm must be an equi-join on
+    (by, bucket) — no CartesianProduct / BroadcastNestedLoop for
+    narrow intervals when by-keys are present and every span fits
+    the cap."""
+    from htmlparser_spark.operators.relational import range_join
+    from htmlparser_spark.plans.inspect import explain_string
+    points, intervals = _mk_range()
+    intervals = intervals[intervals["hi"] - intervals["lo"] < 5000]
+    pf = spark.createDataFrame(points)
+    vf = spark.createDataFrame(intervals)
+    out = range_join(pf, vf, point_col="t", lo_col="lo", hi_col="hi",
+                     by=["k"], bucket=1000,
+                     max_buckets_per_interval=100)
+    plan = explain_string(out)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
