@@ -1446,6 +1446,27 @@ ORACLES["paragraph_dedup"] = (
 _TS_FMT = "yyyy-MM-dd HH:mm:ss.SSSSSS"
 
 
+def q_source_length_percentiles(spark, sf_dir):
+    """Per-source corpus length distribution: EXACT p50/p90/p99 of
+    text length via Spark's `percentile` (sort-based exact
+    aggregate, linear interpolation) — the corpus-profiling staple a
+    curation pipeline reports per shard. DuckDB's quantile_cont uses
+    the same interpolation, so values match to the bit; emitted as
+    integer centi-units to keep the driver's value hash away from
+    float formatting. At 100 TB exact percentile is one shuffle of
+    (source, length) pairs — lengths are already computed scan-side,
+    so no text moves."""
+    docs = load(spark, sf_dir, "documents")
+    q = (docs.groupBy("source")
+         .agg(F.expr("percentile(length(text), array(0.5, 0.9, 0.99))")
+              .alias("q"),
+              F.count("*").cast("long").alias("n_docs")))
+    return q.select(
+        "source", "n_docs",
+        *[F.round(F.col("q")[i] * 100, 0).cast("long").alias(name)
+          for i, name in enumerate(("p50_c", "p90_c", "p99_c"))])
+
+
 def q_events_range_join(spark, sf_dir):
     """Bucketized interval join (relational.py:range_join): per user,
     three deterministic windows anchored at the user's first event —
@@ -2882,6 +2903,7 @@ QUERIES = {
     "bucketed_join": q_bucketed_join,           # new in round 5
     "image_decode_png_variants": q_image_decode_png_variants,
     "events_range_join": q_events_range_join,  # new in round 5
+    "source_length_percentiles": q_source_length_percentiles,
     "image_decode_png": q_image_decode_png,
     "dataset_split": q_dataset_split,
     "events_pivot": q_events_pivot,
@@ -3041,6 +3063,19 @@ ORACLES["content_blocks"] = (
     "    AND 100 * (4 + idl) <= 33 * (9 + idl + pad)) FROM t")
 
 # oracles for the round-3 additions ------------------------------- #
+
+# exact interpolated percentiles: quantile_cont shares Spark
+# percentile's linear-interpolation definition, so centi-unit longs
+# match bit-for-bit
+ORACLES["source_length_percentiles"] = (
+    "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+    "CAST(round(quantile_cont(length(text), 0.5) * 100) AS BIGINT) "
+    "  AS p50_c, "
+    "CAST(round(quantile_cont(length(text), 0.9) * 100) AS BIGINT) "
+    "  AS p90_c, "
+    "CAST(round(quantile_cont(length(text), 0.99) * 100) AS BIGINT) "
+    "  AS p99_c "
+    "FROM documents GROUP BY source")
 
 # plain non-equi replay of the bucketized range join (both arms)
 ORACLES["events_range_join"] = (
