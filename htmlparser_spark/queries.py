@@ -2880,6 +2880,81 @@ def q_compression_ratio(spark, sf_dir):
     return compression_stats(docs)
 
 
+def _synth_transcripts(spark, sf_dir, wrapped: bool = False):
+    """The shared north-rule transcripts synth (same construction as
+    turn_stats): 50 conversations, turn_idx = doc_id // 50, roles
+    cycling user/assistant/tool on doc_id % 3, tool names tool-(id%4)
+    on tool turns. ``wrapped`` runs the documents text through the
+    deterministic HTML wrapper so downstream extraction is the
+    identity."""
+    docs = load(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    text = _wrapped_html() if wrapped else F.col("text")
+    return docs.select(
+        F.concat(F.lit("conv-"), (F.col("doc_id") % 50).cast("string"))
+        .alias("conv_id"),
+        (F.col("doc_id") / 50).cast("int").alias("turn_idx"),
+        role.alias("role"),
+        text.alias("text"),
+        F.when(F.col("doc_id") % 3 == 2,
+               F.concat(F.lit("tool-"),
+                        (F.col("doc_id") % 4).cast("string")))
+        .otherwise(F.lit("")).alias("tool"),
+        F.timestamp_seconds(
+            F.lit(1767225600).cast("long")
+            + (F.col("doc_id") / 50).cast("long") * 60).alias("ts"))
+
+
+# DuckDB twin of _synth_transcripts (text = raw documents.text — the
+# extraction identity under the HTML wrapper)
+_SYNTH_TR_SQL = (
+    "SELECT 'conv-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id, "
+    "CAST(doc_id // 50 AS BIGINT) AS turn_idx, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END AS role, text, "
+    "CASE WHEN doc_id % 3 = 2 THEN 'tool-' || "
+    "CAST(doc_id % 4 AS VARCHAR) ELSE '' END AS tool FROM documents")
+
+
+def q_sft_pairs(spark, sf_dir):
+    """Transcripts → SFT examples, through the full pipeline position:
+    synthesize the north-rule transcripts table with the HTML wrapper,
+    run the extraction kernel (extracted_text == documents.text
+    identity), then emit one (prompt, completion) example per
+    assistant turn with the last-3-turn bounded context. The oracle
+    replays the role cycle and the windowed context assembly exactly
+    (DuckDB windowed string_agg over ROWS 3 PRECEDING .. 1
+    PRECEDING), so a green row certifies the context ordering, the
+    truncation boundary, and the prior-turn accounting."""
+    from .operators.sft import sft_pairs
+    tr = _synth_transcripts(spark, sf_dir, wrapped=True)
+    out = extract_transcripts(tr, strip=True, include_raw=False,
+                              order=False)
+    return sft_pairs(out, text_col="extracted_text", last_k=3)
+
+
+def q_loss_mask_budget(spark, sf_dir):
+    """Per-conversation loss-mask token budget over the synthesized
+    transcripts: supervised (assistant) vs context-only tokens, with
+    the integer-ppm completion share. One map-side-combined aggregate;
+    the oracle replays the shared whitespace token count and the
+    floor-ppm arithmetic."""
+    from .operators.sft import loss_mask_budget
+    return loss_mask_budget(_synth_transcripts(spark, sf_dir))
+
+
+def q_tool_stats(spark, sf_dir):
+    """Per-tool usage audit over the synthesized transcripts: call
+    volume, conversation reach, floor-mean turn index, and
+    followed-by-assistant counts (lead(role) BEFORE the tool filter).
+    The oracle replays the cycle, the lead window and the integer
+    mean exactly."""
+    from .operators.sft import tool_stats
+    return tool_stats(_synth_transcripts(spark, sf_dir))
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -2888,6 +2963,10 @@ def q_compression_ratio(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
+    # -- round-5 SFT tier (newest, never driver-checked) --
+    "sft_pairs": q_sft_pairs,
+    "loss_mask_budget": q_loss_mask_budget,
+    "tool_stats": q_tool_stats,
     # -- round-5 priority block: the 3 r4 driver failures (array
     #    columns, now serialized to strings), the 22 queries no
     #    driver round has ever checked, and bpe_learn (oracled this
@@ -4529,3 +4608,55 @@ ORACLES["extract_tables"] = (
     "  'x ' || CAST(doc_id % 3 AS VARCHAR) FROM documents "
     "UNION ALL SELECT doc_id, 1, 0, 0, FALSE, "
     "  'solo ' || CAST(doc_id % 5 AS VARCHAR) FROM documents)")
+
+
+# ---------------------------------------------------------------- #
+# SFT tier oracles (round 5): full windowed replays over the shared #
+# transcripts synth (_SYNTH_TR_SQL)                                 #
+# ---------------------------------------------------------------- #
+
+# sft_pairs: windowed string_agg over ROWS 3 PRECEDING..1 PRECEDING
+# replays the bounded context (frame order == turn order); prior-turn
+# count over the unbounded frame; assistant filter AFTER the windows.
+ORACLES["sft_pairs"] = (
+    "WITH t AS (" + _SYNTH_TR_SQL + "), "
+    "w AS (SELECT conv_id, turn_idx, role, "
+    "  CAST(count(*) OVER (PARTITION BY conv_id ORDER BY turn_idx "
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT) "
+    "    AS n_ctx_turns, "
+    "  coalesce(string_agg(role || ': ' || text, "
+    "    chr(10) || chr(10)) OVER (PARTITION BY conv_id "
+    "    ORDER BY turn_idx "
+    "    ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), '') AS prompt, "
+    "  text AS completion FROM t) "
+    "SELECT conv_id, turn_idx, n_ctx_turns, prompt, completion "
+    "FROM w WHERE role = 'assistant'")
+
+# loss_mask_budget: shared whitespace token count (_NTOK_SQL), one
+# grouped aggregate, floor-ppm completion share
+ORACLES["loss_mask_budget"] = (
+    "WITH t AS (" + _SYNTH_TR_SQL + "), "
+    "k AS (SELECT conv_id, role, " + _NTOK_SQL + " AS ntok FROM t), "
+    "g AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns, "
+    "  CAST(sum(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) "
+    "    AS BIGINT) AS n_target_turns, "
+    "  CAST(sum(CASE WHEN role = 'assistant' THEN 0 ELSE ntok END) "
+    "    AS BIGINT) AS prompt_tokens, "
+    "  CAST(sum(CASE WHEN role = 'assistant' THEN ntok ELSE 0 END) "
+    "    AS BIGINT) AS completion_tokens FROM k GROUP BY conv_id) "
+    "SELECT *, CAST(CASE WHEN prompt_tokens + completion_tokens > 0 "
+    "THEN completion_tokens * 1000000 "
+    "  // (prompt_tokens + completion_tokens) ELSE 0 END AS BIGINT) "
+    "AS completion_ratio_ppm FROM g")
+
+# tool_stats: lead(role) BEFORE the tool filter, floor-mean turn_idx
+ORACLES["tool_stats"] = (
+    "WITH t AS (" + _SYNTH_TR_SQL + "), "
+    "w AS (SELECT *, lead(role) OVER (PARTITION BY conv_id "
+    "  ORDER BY turn_idx) AS next_role FROM t) "
+    "SELECT tool, CAST(count(*) AS BIGINT) AS n_calls, "
+    "CAST(count(DISTINCT conv_id) AS BIGINT) AS n_convs, "
+    "CAST(sum(turn_idx) // count(*) AS BIGINT) AS mean_turn_idx, "
+    "CAST(sum(CASE WHEN next_role = 'assistant' THEN 1 ELSE 0 END) "
+    "  AS BIGINT) AS n_followed_by_assistant "
+    "FROM w WHERE tool <> '' GROUP BY tool")
