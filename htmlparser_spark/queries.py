@@ -2955,6 +2955,45 @@ def q_tool_stats(spark, sf_dir):
     return tool_stats(_synth_transcripts(spark, sf_dir))
 
 
+def q_conv_dedup(spark, sf_dir):
+    """CONVERSATION-level fuzzy dedup: assemble each conversation into
+    one training document (assemble_conversations), then run the
+    composed MinHash-LSH keep pipeline over the assembled texts —
+    the dedup granularity a transcript corpus actually needs (two
+    crawls of the same session differ by a trailing turn, not by
+    per-turn text). Ten conversations are planted as near-dup clones
+    (same turns + one appended turn, Jaccard ≈ 1), so each planted
+    pair must collapse to its min-key member. GROUND-TRUTH oracle:
+    DuckDB re-assembles the identical corpus with windowed string_agg
+    and feeds it through the exact-Jaccard recursive closure — the
+    green row certifies assembly ordering AND the composed keep-set."""
+    from .operators.dedup import fuzzy_dedup_keep
+    from .operators.extract import assemble_conversations
+    docs = load(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    base = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_key"),
+        (F.col("doc_id") / 50).cast("long").alias("turn_idx"),
+        role.alias("role"), "text")
+    clone = base.filter(F.col("conv_key") < 10).select(
+        (F.col("conv_key") + 1000).alias("conv_key"),
+        "turn_idx", "role", "text")
+    extra = (base.filter(F.col("conv_key") < 10)
+             .select("conv_key").distinct()
+             .select((F.col("conv_key") + 1000).alias("conv_key"),
+                     F.lit(1000000).cast("long").alias("turn_idx"),
+                     F.lit("user").alias("role"),
+                     F.lit("extension turn appended").alias("text")))
+    turns = base.unionAll(clone).unionAll(extra)
+    conv_docs = assemble_conversations(turns, conv_col="conv_key")
+    kept = fuzzy_dedup_keep(conv_docs, text_col="doc_text",
+                            id_col="conv_key", threshold=0.5, bands=32)
+    return kept.select(F.col("conv_key").cast("long").alias("conv_key"),
+                       "n_turns")
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -2967,6 +3006,7 @@ QUERIES = {
     "sft_pairs": q_sft_pairs,
     "loss_mask_budget": q_loss_mask_budget,
     "tool_stats": q_tool_stats,
+    "conv_dedup": q_conv_dedup,
     # -- round-5 priority block: the 3 r4 driver failures (array
     #    columns, now serialized to strings), the 22 queries no
     #    driver round has ever checked, and bpe_learn (oracled this
@@ -3722,16 +3762,23 @@ ORACLES["classifier_gate"] = (
     "FROM documents)")
 
 
-def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20) -> str:
+def _fuzzy_closure_cte(k: int = 5, plant_mod: int = 20,
+                       dupped_body: str | None = None) -> str:
     """Shared ground-truth prefix: planted corpus → exact Jaccard
     pairs (lossless witness-prefiltered, see _jaccard_pairs_oracle) →
-    recursive transitive closure → lbl(node, comp)."""
+    recursive transitive closure → lbl(node, comp). ``dupped_body``
+    swaps the document-level planted construction for any other
+    (doc_id, text) corpus SQL — the conversation-level dedup oracle
+    feeds the assembled-transcript corpus through the same closure."""
+    if dupped_body is None:
+        dupped_body = (
+            "  SELECT doc_id, text FROM documents"
+            "  UNION ALL"
+            f"  SELECT doc_id + 1000000, text || ' tail' "
+            f"  FROM documents WHERE doc_id % {plant_mod} = 0")
     return (
         "WITH RECURSIVE dupped AS ("
-        "  SELECT doc_id, text FROM documents"
-        "  UNION ALL"
-        f"  SELECT doc_id + 1000000, text || ' tail' "
-        f"  FROM documents WHERE doc_id % {plant_mod} = 0), "
+        + dupped_body + "), "
         "sh AS ("
         f"  SELECT doc_id, {_shingle_sql(k)} AS sh "
         f"  FROM (SELECT *, {_TOKS_SQL} AS toks FROM dupped)), "
@@ -4660,3 +4707,31 @@ ORACLES["tool_stats"] = (
     "CAST(sum(CASE WHEN next_role = 'assistant' THEN 1 ELSE 0 END) "
     "  AS BIGINT) AS n_followed_by_assistant "
     "FROM w WHERE tool <> '' GROUP BY tool")
+
+
+# conv_dedup ground truth: re-assemble the identical conversation
+# corpus (windowed string_agg == assemble's struct-sorted join) and
+# run it through the exact-Jaccard recursive closure; keep min-key.
+_CONV_TURNS_SQL = (
+    "SELECT doc_id % 50 AS conv_key, doc_id // 50 AS turn_idx, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END AS role, text FROM documents "
+    "UNION ALL "
+    "SELECT doc_id % 50 + 1000, doc_id // 50, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END, text FROM documents WHERE doc_id % 50 < 10 "
+    "UNION ALL "
+    "SELECT conv + 1000, 1000000, 'user', 'extension turn appended' "
+    "FROM (SELECT DISTINCT doc_id % 50 AS conv FROM documents "
+    "WHERE doc_id % 50 < 10)")
+
+ORACLES["conv_dedup"] = (
+    _fuzzy_closure_cte(dupped_body=(
+        "SELECT conv_key AS doc_id, string_agg(role || ': ' || text, "
+        "chr(10) || chr(10) ORDER BY turn_idx) AS text "
+        "FROM (" + _CONV_TURNS_SQL + ") GROUP BY conv_key"))
+    + ", nt AS (SELECT conv_key, count(*) AS n_turns "
+    "FROM (" + _CONV_TURNS_SQL + ") GROUP BY conv_key) "
+    "SELECT d.doc_id AS conv_key, CAST(nt.n_turns AS BIGINT) "
+    "AS n_turns FROM dupped d JOIN nt ON nt.conv_key = d.doc_id "
+    "WHERE d.doc_id NOT IN (SELECT node FROM lbl WHERE node <> comp)")
