@@ -2994,6 +2994,45 @@ def q_conv_dedup(spark, sf_dir):
                        "n_turns")
 
 
+def q_hll_distinct(spark, sf_dir):
+    """HyperLogLog(64) distinct 5-gram-shingle estimate per language —
+    the mergeable-cardinality sketch a 100-TB run uses instead of an
+    exact distinct (registers combine with max, so the partial
+    aggregate ships ≤64 rows per group). Everything is integer
+    (portable md5-u32 hash, bin()-length rho, power-of-two harmonic
+    sum, ppm alpha, floor division), so the oracle reproduces the
+    ESTIMATE itself bit-for-bit, alongside the exact count and the
+    signed ppm error. ~4k shingles per lang keeps it in the raw-HLL
+    regime (no linear-counting arm)."""
+    from .operators.dedup import _shingle_array_expr
+    from .operators.sketch import hll_distinct
+    docs = load(spark, sf_dir, "documents").select(
+        "lang", F.explode(_shingle_array_expr("text", 5))
+        .alias("shingle"))
+    return hll_distinct(docs, "lang", "shingle", m=64,
+                        with_exact=True, pre_itemized=True)
+
+
+def q_countmin_topk(spark, sf_dir):
+    """Count-min(4×256) frequency sketch probed at the exact top-20
+    words: (word, exact_n, cm_est). cm_est ≥ exact by construction
+    (collisions only add); the oracle replays the counter table and
+    the depth-way min with the identical md5 bucketing, so the green
+    row certifies the sketch arithmetic, not just the ordering."""
+    from .operators.sketch import countmin_counters, countmin_estimate
+    docs = load(spark, sf_dir, "documents").select("text")
+    counters = countmin_counters(docs, "text", depth=4, width=256)
+    top = (docs.select(F.explode(
+        F.split(F.trim(F.col("text")), "[ \\t\\n\\x0b\\f\\r]+"))
+        .alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word").agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("word")).limit(20))
+    est = countmin_estimate(counters, top.select("word"),
+                            depth=4, width=256)
+    return top.join(est, "word").select("word", "exact_n", "cm_est")
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -3007,6 +3046,8 @@ QUERIES = {
     "loss_mask_budget": q_loss_mask_budget,
     "tool_stats": q_tool_stats,
     "conv_dedup": q_conv_dedup,
+    "hll_distinct": q_hll_distinct,
+    "countmin_topk": q_countmin_topk,
     # -- round-5 priority block: the 3 r4 driver failures (array
     #    columns, now serialized to strings), the 22 queries no
     #    driver round has ever checked, and bpe_learn (oracled this
@@ -4735,3 +4776,59 @@ ORACLES["conv_dedup"] = (
     "SELECT d.doc_id AS conv_key, CAST(nt.n_turns AS BIGINT) "
     "AS n_turns FROM dupped d JOIN nt ON nt.conv_key = d.doc_id "
     "WHERE d.doc_id NOT IN (SELECT node FROM lbl WHERE node <> comp)")
+
+
+# ---------------------------------------------------------------- #
+# sketch oracles (round 5): full integer replays                    #
+# ---------------------------------------------------------------- #
+
+# hll_distinct: md5-u32(shingle || ':hll7'), j = h % 64, rho from the
+# engines' shared minimal-bin() length, register max, power-of-two
+# harmonic sum, ppm alpha, floor division — the estimate replays
+# bit-for-bit (both engines truncate integer division toward zero).
+ORACLES["hll_distinct"] = (
+    "WITH it AS (SELECT lang, unnest(sh) AS s FROM "
+    "  (SELECT lang, " + _shingle_sql(5) + " AS sh FROM "
+    "  (SELECT lang, text, " + _TOKS_SQL + " AS toks FROM documents))), "
+    "h AS (SELECT lang, s, " + _md5_u32_of("s || ':hll7'") + " AS h "
+    "  FROM it), "
+    "r AS (SELECT lang, h % 64 AS j, CASE WHEN h // 64 = 0 THEN 27 "
+    "  ELSE 27 - length(bin(h // 64)) END AS rho FROM h), "
+    "mx AS (SELECT lang, j, max(rho) AS mj FROM r GROUP BY lang, j), "
+    "per AS (SELECT lang, count(*) AS n_regs, "
+    "  sum(1::BIGINT << CAST(27 - mj AS INTEGER)) AS sp "
+    "  FROM mx GROUP BY lang), "
+    "ex AS (SELECT lang, count(DISTINCT s)::BIGINT AS exact_distinct "
+    "  FROM it GROUP BY lang), "
+    "est AS (SELECT lang, n_regs, 64 - n_regs AS n_zero_regs, "
+    "  sp + (64 - n_regs) * (1::BIGINT << 27) AS harmonic_sum, "
+    "  (709340::BIGINT * 4096 * (1::BIGINT << 27)) "
+    "  // (sp + (64 - n_regs) * (1::BIGINT << 27)) // 1000000 AS e "
+    "  FROM per) "
+    "SELECT est.lang, CAST(n_regs AS BIGINT) AS n_regs, "
+    "CAST(n_zero_regs AS BIGINT) AS n_zero_regs, "
+    "CAST(harmonic_sum AS BIGINT) AS harmonic_sum, "
+    "CAST(e AS BIGINT) AS est_distinct, exact_distinct, "
+    "CAST((e - exact_distinct) * 1000000 // exact_distinct AS BIGINT) "
+    "AS err_ppm FROM est JOIN ex ON est.lang = ex.lang")
+
+# countmin_topk: 4×256 counter table from md5-u32(word || ':cm<d>'),
+# probe = depth-way min at the exact top-20 (n desc, word asc) words
+ORACLES["countmin_topk"] = (
+    "WITH w AS (SELECT unnest(string_split_regex(trim(text), "
+    "  '[ \\t\\n\\x0b\\f\\r]+')) AS word FROM documents), "
+    "wc AS (SELECT word, count(*)::BIGINT AS exact_n FROM w "
+    "  WHERE word <> '' GROUP BY word), "
+    "top AS (SELECT word, exact_n FROM wc "
+    "  ORDER BY exact_n DESC, word ASC LIMIT 20), "
+    "probes AS (" + " UNION ALL ".join(
+        f"SELECT word, {d} AS d, "
+        + _md5_u32_of(f"word || ':cm{d}'") + " % 256 AS bucket "
+        "FROM wc" for d in range(4)) + "), "
+    "counters AS (SELECT d, bucket, sum(exact_n)::BIGINT AS cnt "
+    "  FROM probes JOIN wc USING (word) GROUP BY d, bucket), "
+    "est AS (SELECT p.word, min(c.cnt)::BIGINT AS cm_est "
+    "  FROM probes p JOIN counters c ON p.d = c.d "
+    "  AND p.bucket = c.bucket GROUP BY p.word) "
+    "SELECT top.word, top.exact_n, est.cm_est "
+    "FROM top JOIN est ON top.word = est.word")
