@@ -36,9 +36,10 @@ from pyspark.sql import DataFrame, functions as F
 
 from .caching import cache_df
 from .dedup import _shingle_array_expr
+from .sample import hash_u32_col
 
 __all__ = ["benchmark_grams", "contamination_hits", "decontaminate",
-           "decontaminate_spans"]
+           "decontaminate_spans", "bloom_gate"]
 
 # benchmark gram sets above this row count stop being broadcast and
 # fall back to a shuffle join (the 8 GB Spark broadcast hard cap is
@@ -174,3 +175,64 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame,
             .filter(F.col("n_hits") >= min_overlap)
             .select(id_col))
     return corpus.join(F.broadcast(hits), id_col, "left_anti")
+
+
+def bloom_gate(corpus: DataFrame, bench_grams: DataFrame,
+               id_col: str = "doc_id", text_col: str = "text",
+               k: int = 5, n_hashes: int = 4, m_bits: int = 65536,
+               min_overlap: int = 1, salt: str = ":bf") -> DataFrame:
+    """Bloom-filter contamination pre-gate → (id, n_grams,
+    n_bloom_hits, n_exact_hits, bloom_flagged).
+
+    At 100 TB the exact gram probe broadcasts the whole benchmark
+    gram SET (10⁵..10⁷ strings); this gate broadcasts only the
+    filter's OCCUPIED BIT POSITIONS — at most ``m_bits`` ints however
+    large the eval suite grows — and a gram passes when all
+    ``n_hashes`` of its md5 positions are occupied. Bloom one-sided
+    error: every exact hit passes (no false negatives, so the gate is
+    safe as a PRE-filter — only flagged docs ever reach the exact
+    probe), false positives only add docs to the expensive side.
+    n_exact_hits rides along here as the false-positive audit; the
+    production pipeline computes it only for flagged docs.
+
+    All integer md5 arithmetic (portable-hash replica), so the DuckDB
+    oracle reproduces the filter, the probe, and both counts exactly.
+    """
+    def _positions(frame: DataFrame, col: str) -> DataFrame:
+        return frame.select(col, F.explode(F.array(*[
+            F.struct(F.lit(d).alias("d"),
+                     (hash_u32_col(F.col(col), f"{salt}{d}")
+                      % m_bits).alias("pos"))
+            for d in range(n_hashes)])).alias("_dp")) \
+            .select(col, F.col("_dp.d").alias("d"),
+                    F.col("_dp.pos").alias("pos"))
+
+    # the filter: occupied positions, ≤ m_bits rows whatever the
+    # benchmark size — the bounded broadcast this gate exists for
+    occupied = (_positions(bench_grams, "gram")
+                .select("pos").distinct())
+    cg = corpus.select(
+        F.col(id_col),
+        F.explode(_shingle_array_expr(text_col, k)).alias("gram"))
+    distinct_grams = cg.select("gram").distinct()
+    passing = (_positions(distinct_grams, "gram")
+               .join(F.broadcast(occupied), "pos")
+               .groupBy("gram").agg(F.count("*").alias("_nd"))
+               .filter(F.col("_nd") == n_hashes).select("gram"))
+    per_doc = (cg.join(F.broadcast(passing), "gram")
+               .groupBy(id_col)
+               .agg(F.count("*").cast("long").alias("n_bloom_hits")))
+    exact = (cg.join(F.broadcast(bench_grams.select("gram").distinct()),
+                     "gram")
+             .groupBy(id_col)
+             .agg(F.count("*").cast("long").alias("n_exact_hits")))
+    base = (corpus.select(
+        F.col(id_col),
+        F.size(_shingle_array_expr(text_col, k)).cast("long")
+        .alias("n_grams")))
+    out = (base.join(per_doc, id_col, "left")
+           .join(exact, id_col, "left")
+           .na.fill(0, ["n_bloom_hits", "n_exact_hits"]))
+    return out.select(
+        id_col, "n_grams", "n_bloom_hits", "n_exact_hits",
+        (F.col("n_bloom_hits") >= min_overlap).alias("bloom_flagged"))
