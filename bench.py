@@ -253,6 +253,11 @@ def main() -> int:
         ("to_markdown", Q.q_to_markdown),
         ("warc_extract", Q.q_warc_extract),
         ("web_pipeline", Q.q_web_pipeline),
+        # round-5 transcripts-training tier + sketches
+        ("sft_pairs", Q.q_sft_pairs),
+        ("conv_dedup", Q.q_conv_dedup),
+        ("bloom_gate", Q.q_bloom_gate),
+        ("hll_distinct", Q.q_hll_distinct),
     ]
     # Reps are INTERLEAVED across the suite (all queries once, then
     # again), not back-to-back per query: this VM's degraded windows

@@ -211,28 +211,37 @@ def bloom_gate(corpus: DataFrame, bench_grams: DataFrame,
     # benchmark size — the bounded broadcast this gate exists for
     occupied = (_positions(bench_grams, "gram")
                 .select("pos").distinct())
-    cg = corpus.select(
+    # fan the CPU-bound shingle stage out explicitly (same rationale
+    # as minhash_candidates: a 1-file parquet input would otherwise
+    # pin it to one task)
+    par = corpus.sparkSession.sparkContext.defaultParallelism
+    src = corpus.select(F.col(id_col), F.col(text_col))
+    if par:
+        src = src.repartition(par, F.col(id_col))
+    # ONE shingle explode feeds everything (cached: the probe's
+    # distinct and the final aggregate both read it; every doc has
+    # ≥1 shingle, so n_grams = its per-doc row count)
+    cg = cache_df(src.select(
         F.col(id_col),
-        F.explode(_shingle_array_expr(text_col, k)).alias("gram"))
-    distinct_grams = cg.select("gram").distinct()
-    passing = (_positions(distinct_grams, "gram")
+        F.explode(_shingle_array_expr(text_col, k)).alias("gram")))
+    passing = (_positions(cg.select("gram").distinct(), "gram")
                .join(F.broadcast(occupied), "pos")
                .groupBy("gram").agg(F.count("*").alias("_nd"))
-               .filter(F.col("_nd") == n_hashes).select("gram"))
-    per_doc = (cg.join(F.broadcast(passing), "gram")
-               .groupBy(id_col)
-               .agg(F.count("*").cast("long").alias("n_bloom_hits")))
-    exact = (cg.join(F.broadcast(bench_grams.select("gram").distinct()),
-                     "gram")
-             .groupBy(id_col)
-             .agg(F.count("*").cast("long").alias("n_exact_hits")))
-    base = (corpus.select(
-        F.col(id_col),
-        F.size(_shingle_array_expr(text_col, k)).cast("long")
-        .alias("n_grams")))
-    out = (base.join(per_doc, id_col, "left")
-           .join(exact, id_col, "left")
-           .na.fill(0, ["n_bloom_hits", "n_exact_hits"]))
-    return out.select(
+               .filter(F.col("_nd") == n_hashes)
+               .select("gram", F.lit(1).alias("_p")))
+    # exact membership rides on the pass set (bloom has no false
+    # negatives, so exact ⊆ passing) — one broadcast gram table
+    # carries both flags, one join + one aggregate produce all counts
+    gate = passing.join(
+        bench_grams.select("gram").distinct().withColumn("_e", F.lit(1)),
+        "gram", "left")
+    agg = (cg.join(F.broadcast(gate), "gram", "left")
+           .groupBy(id_col)
+           .agg(F.count("*").cast("long").alias("n_grams"),
+                F.sum(F.coalesce(F.col("_p"), F.lit(0))).cast("long")
+                .alias("n_bloom_hits"),
+                F.sum(F.coalesce(F.col("_e"), F.lit(0))).cast("long")
+                .alias("n_exact_hits")))
+    return agg.select(
         id_col, "n_grams", "n_bloom_hits", "n_exact_hits",
         (F.col("n_bloom_hits") >= min_overlap).alias("bloom_flagged"))

@@ -2987,7 +2987,12 @@ def q_conv_dedup(spark, sf_dir):
                      F.lit("user").alias("role"),
                      F.lit("extension turn appended").alias("text")))
     turns = base.unionAll(clone).unionAll(extra)
-    conv_docs = assemble_conversations(turns, conv_col="conv_key")
+    # cache the assembled frame: the keep pipeline reads it three
+    # times (signature stage, verify shingles, final anti-join) and
+    # each uncached read would re-run the assembly aggregation
+    from .operators.caching import cache_df
+    conv_docs = cache_df(assemble_conversations(turns,
+                                                conv_col="conv_key"))
     kept = fuzzy_dedup_keep(conv_docs, text_col="doc_text",
                             id_col="conv_key", threshold=0.5, bands=32)
     return kept.select(F.col("conv_key").cast("long").alias("conv_key"),
