@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 
 from .text_stats import token_count_col
 
-__all__ = ["sft_pairs", "loss_mask_budget", "tool_stats"]
+__all__ = ["sft_pairs", "loss_mask_budget", "tool_stats",
+           "prefix_containment"]
 
 
 def sft_pairs(df: DataFrame, conv_col: str = "conv_id",
@@ -134,3 +135,76 @@ def tool_stats(df: DataFrame, conv_col: str = "conv_id",
                  F.sum((F.col("_next_role") == assistant_role)
                        .cast("long")).cast("long")
                  .alias("n_followed_by_assistant")))
+
+
+def prefix_containment(df: DataFrame, conv_col: str = "conv_id",
+                       idx_col: str = "turn_idx", role_col: str = "role",
+                       text_col: str = "text") -> DataFrame:
+    """Exact conversation-prefix containment: one row per conversation
+    whose ordered (role, text) turn sequence is a strict prefix of
+    another conversation's (a truncated re-crawl / abandoned retry of
+    the same session) or an exact duplicate of one. Fuzzy conv-level
+    dedup (MinHash over assembled text) misses short prefixes — a
+    5-turn fragment of a 50-turn session has Jaccard ~0.1 against its
+    container — so a transcript corpus needs this exact structural
+    pass alongside it.
+
+    Mechanics: per conversation, a rolling md5 hash chain over the
+    turns in ``idx_col`` order (chain[i] = md5(chain[i-1] || md5(role
+    ": " text)), seed ''), so chain[i] identifies the whole prefix
+    0..i. Conversation A (nA turns, full hash hA) is contained in B
+    iff B's chain at position nA-1 equals hA and (nB > nA, or nB == nA
+    and B's key < A's — exact duplicates collapse onto the min key,
+    one direction only). Among multiple containers the min key wins
+    (``min``/``min_by`` — deterministic under retries).
+
+    Plan shape: ONE keyed shuffle on conv_id builds the chains
+    (higher-order ``aggregate`` over the sorted turn-hash array —
+    per-task memory = one conversation, the pipeline's documented
+    bound), then ONE equi-join on (32-hex chain hash, position): the
+    probe side is |convs| rows, the build side |turns| rows of
+    (conv, pos, hash) — text never reaches the join. Hash-equality
+    skew is bounded by the duplicate-group cardinality, the same class
+    as exact content dedup. md5 collisions are accepted as
+    negligible (2^-64 birthday scale at 10^12 prefixes). Turn
+    role/text must be non-null (the integrity audit enforces that
+    upstream).
+
+    Returns (contained, container, n_contained, n_container,
+    is_exact). The keep-set is ``df`` anti-joined on ``contained``.
+    """
+    turns = df.select(
+        F.col(conv_col).alias("conv"), F.col(idx_col).alias("i"),
+        F.md5(F.concat(F.col(role_col), F.lit(": "),
+                       F.col(text_col))).alias("th"))
+    chains = (turns.groupBy("conv")
+              .agg(F.expr("transform(array_sort(collect_list("
+                          "struct(i, th))), s -> s.th)").alias("hs"))
+              .select("conv", F.expr(
+                  "slice(aggregate(hs, array(''), (acc, x) -> "
+                  "concat(acc, array(md5(concat(element_at(acc, -1), "
+                  "x))))), 2, size(hs))").alias("chain")))
+    prefixes = chains.select(
+        "conv", F.size("chain").cast("long").alias("n"),
+        F.posexplode("chain").alias("pos", "ph"))
+    full = (prefixes.filter(F.col("pos") == F.col("n") - 1)
+            .select(F.col("conv").alias("a_conv"),
+                    F.col("n").alias("a_n"),
+                    (F.col("n") - 1).alias("a_pos"),
+                    F.col("ph").alias("a_h")))
+    cand = (full.join(prefixes,
+                      (F.col("a_h") == F.col("ph"))
+                      & (F.col("a_pos") == F.col("pos")))
+            .filter((F.col("conv") != F.col("a_conv"))
+                    & ((F.col("n") > F.col("a_n"))
+                       | ((F.col("n") == F.col("a_n"))
+                          & (F.col("conv") < F.col("a_conv"))))))
+    return (cand.groupBy(F.col("a_conv").alias("contained"),
+                         F.col("a_n").alias("n_contained"))
+            .agg(F.min("conv").alias("container"),
+                 F.expr("min_by(n, conv)").cast("long")
+                 .alias("n_container"))
+            .select("contained", "container", "n_contained",
+                    "n_container",
+                    (F.col("n_contained") == F.col("n_container"))
+                    .alias("is_exact")))

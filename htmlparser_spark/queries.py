@@ -3067,6 +3067,96 @@ def q_zorder_key(spark, sf_dir):
     return zorder_keys(docs, ["x", "y"], bits=16)
 
 
+def _synth_candidates(spark, sf_dir):
+    """Deterministic best-of-n candidate pool from documents: ~200
+    prompt groups of 2-3 candidates (doc_id % 200), score a fixed
+    affine-mod hash of the id. Planted structure: every doc with
+    doc_id % 50 == 7 gets a same-score clone at id+1000000 (a tie —
+    at the top OR the bottom of its group depending on where that
+    score lands), and every doc with doc_id % 50 == 9 also spawns a
+    singleton prompt (no preference signal). Mirrored verbatim by
+    _SYNTH_CANDS_SQL."""
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") % 200).cast("long").alias("prompt_id"),
+        F.col("doc_id").cast("long").alias("sample_id"),
+        F.col("text").alias("completion"),
+        ((F.col("doc_id") * 37 + 11) % 17).cast("long").alias("score"))
+    ties = docs.filter(F.col("doc_id") % 50 == 7).select(
+        (F.col("doc_id") % 200).cast("long").alias("prompt_id"),
+        (F.col("doc_id") + 1000000).cast("long").alias("sample_id"),
+        F.col("text").alias("completion"),
+        ((F.col("doc_id") * 37 + 11) % 17).cast("long").alias("score"))
+    solo = docs.filter(F.col("doc_id") % 50 == 9).select(
+        (F.col("doc_id") + 500000).cast("long").alias("prompt_id"),
+        (F.col("doc_id") + 2000000).cast("long").alias("sample_id"),
+        F.col("text").alias("completion"),
+        ((F.col("doc_id") * 37 + 11) % 17).cast("long").alias("score"))
+    return base.unionAll(ties).unionAll(solo)
+
+
+_SYNTH_CANDS_SQL = (
+    "SELECT doc_id % 200 AS prompt_id, doc_id AS sample_id, "
+    "text AS completion, (doc_id * 37 + 11) % 17 AS score "
+    "FROM documents "
+    "UNION ALL SELECT doc_id % 200, doc_id + 1000000, text, "
+    "(doc_id * 37 + 11) % 17 FROM documents WHERE doc_id % 50 = 7 "
+    "UNION ALL SELECT doc_id + 500000, doc_id + 2000000, text, "
+    "(doc_id * 37 + 11) % 17 FROM documents WHERE doc_id % 50 = 9")
+
+
+def q_preference_pairs(spark, sf_dir):
+    """Candidate completions → one (chosen, rejected) DPO pair per
+    prompt group with the score margin: ONE map-side-combined
+    max_by/min_by aggregate, deterministic tie-breaks (max score →
+    min id, min score → max id), no-signal groups (singletons,
+    all-tied) dropped. The oracle replays the grouping with explicit
+    ROW_NUMBER orderings, so a green row certifies the tie-break
+    directions and the margin arithmetic — including the planted
+    same-score clones."""
+    from .operators.preference import preference_pairs
+    return preference_pairs(_synth_candidates(spark, sf_dir))
+
+
+def q_best_of_n(spark, sf_dir):
+    """Rejection sampling over the same candidate pool: the single
+    best candidate per prompt (ties → min id), prompts whose best
+    score is below the reward threshold (5) dropped — singletons and
+    tied groups KEPT, unlike preference_pairs. Same one-aggregate
+    plan shape."""
+    from .operators.preference import best_of_n
+    return best_of_n(_synth_candidates(spark, sf_dir), min_score=5)
+
+
+def q_prefix_dups(spark, sf_dir):
+    """Exact conversation-prefix containment (operators/sft.py:
+    prefix_containment): planted 4-turn truncations (convs 1000-1009
+    ← convs 0-9) and full exact duplicates (2003 ← 3, 2004 ← 4) must
+    each resolve to their min-key container with the right length
+    pair and is_exact flag. The engine matches rolling md5 hash
+    chains (one keyed shuffle + one (hash, pos) equi-join — text
+    never reaches the join); the GROUND-TRUTH oracle compares the
+    actual ordered (role, text) sequences pairwise, so a green row
+    certifies the chain construction end-to-end, not a hash replay."""
+    from .operators.sft import prefix_containment
+    docs = load(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    base = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_id"),
+        (F.col("doc_id") / 50).cast("long").alias("turn_idx"),
+        role.alias("role"), "text")
+    prefix = (base.filter((F.col("conv_id") < 10)
+                          & (F.col("turn_idx") < 4))
+              .select((F.col("conv_id") + 1000).alias("conv_id"),
+                      "turn_idx", "role", "text"))
+    dup = (base.filter(F.col("conv_id").isin(3, 4))
+           .select((F.col("conv_id") + 2000).alias("conv_id"),
+                   "turn_idx", "role", "text"))
+    return prefix_containment(base.unionAll(prefix).unionAll(dup))
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -3075,6 +3165,10 @@ def q_zorder_key(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
+    # -- round-5 preference tier (newest, never driver-checked) --
+    "preference_pairs": q_preference_pairs,
+    "best_of_n": q_best_of_n,
+    "prefix_dups": q_prefix_dups,
     # -- round-5 SFT tier (newest, never driver-checked) --
     "sft_pairs": q_sft_pairs,
     "loss_mask_budget": q_loss_mask_budget,
@@ -4911,3 +5005,68 @@ ORACLES["zorder_key"] = (
         f"((((doc_id % 65536) & 65535) >> {i}) & 1) * {1 << (2 * i + 1)}"
         for i in range(16))
     + " AS BIGINT) AS zkey FROM documents")
+
+# preference_pairs: explicit ROW_NUMBER orderings replay max_by(score
+# DESC, id ASC) / min_by(score ASC, id DESC); no-signal groups drop
+# via the strict hi.score > lo.score filter.
+ORACLES["preference_pairs"] = (
+    "WITH c AS (" + _SYNTH_CANDS_SQL + "), "
+    "r AS (SELECT *, "
+    "  row_number() OVER (PARTITION BY prompt_id "
+    "    ORDER BY score DESC, sample_id ASC) AS rhi, "
+    "  row_number() OVER (PARTITION BY prompt_id "
+    "    ORDER BY score ASC, sample_id DESC) AS rlo, "
+    "  CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) "
+    "    AS n_cands FROM c) "
+    "SELECT h.prompt_id, h.n_cands, "
+    "h.sample_id AS chosen_id, l.sample_id AS rejected_id, "
+    "h.score AS chosen_score, l.score AS rejected_score, "
+    "h.score - l.score AS margin, "
+    "h.completion AS chosen, l.completion AS rejected "
+    "FROM (SELECT * FROM r WHERE rhi = 1) h "
+    "JOIN (SELECT * FROM r WHERE rlo = 1) l USING (prompt_id) "
+    "WHERE h.score > l.score")
+
+# best_of_n: the rhi=1 winner per prompt, reward threshold 5,
+# singletons and all-tied groups kept.
+ORACLES["best_of_n"] = (
+    "WITH c AS (" + _SYNTH_CANDS_SQL + "), "
+    "r AS (SELECT *, "
+    "  row_number() OVER (PARTITION BY prompt_id "
+    "    ORDER BY score DESC, sample_id ASC) AS rhi, "
+    "  CAST(count(*) OVER (PARTITION BY prompt_id) AS BIGINT) "
+    "    AS n_cands FROM c) "
+    "SELECT prompt_id, n_cands, sample_id AS best_id, "
+    "score AS best_score, completion FROM r "
+    "WHERE rhi = 1 AND score >= 5")
+
+# prefix_dups GROUND TRUTH: compare the actual ordered (role, text)
+# sequences pairwise (list_slice prefix equality) — independent of
+# the engine's md5 hash chains; containers = longer convs or
+# equal-length smaller keys; min-key container wins.
+_PREFIX_TURNS_SQL = (
+    "SELECT doc_id % 50 AS conv_id, doc_id // 50 AS turn_idx, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END AS role, text FROM documents "
+    "UNION ALL SELECT doc_id % 50 + 1000, doc_id // 50, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END, text FROM documents "
+    "WHERE doc_id % 50 < 10 AND doc_id // 50 < 4 "
+    "UNION ALL SELECT doc_id % 50 + 2000, doc_id // 50, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END, text FROM documents WHERE doc_id % 50 IN (3, 4)")
+
+ORACLES["prefix_dups"] = (
+    "WITH t AS (" + _PREFIX_TURNS_SQL + "), "
+    "seq AS (SELECT conv_id, "
+    "  list(role || ': ' || text ORDER BY turn_idx) AS s, "
+    "  CAST(count(*) AS BIGINT) AS n FROM t GROUP BY conv_id), "
+    "cand AS (SELECT a.conv_id AS contained, a.n AS nc, "
+    "  b.conv_id AS container, b.n AS nb FROM seq a JOIN seq b "
+    "  ON a.conv_id <> b.conv_id "
+    "  AND (b.n > a.n OR (b.n = a.n AND b.conv_id < a.conv_id)) "
+    "  AND list_slice(b.s, 1, CAST(a.n AS INT)) = a.s) "
+    "SELECT contained, min(container) AS container, "
+    "nc AS n_contained, arg_min(nb, container) AS n_container, "
+    "nc = arg_min(nb, container) AS is_exact "
+    "FROM cand GROUP BY contained, nc")
