@@ -258,6 +258,8 @@ def main() -> int:
         ("conv_dedup", Q.q_conv_dedup),
         ("bloom_gate", Q.q_bloom_gate),
         ("hll_distinct", Q.q_hll_distinct),
+        ("preference_pairs", Q.q_preference_pairs),
+        ("prefix_dups", Q.q_prefix_dups),
     ]
     # Reps are INTERLEAVED across the suite (all queries once, then
     # again), not back-to-back per query: this VM's degraded windows

@@ -3157,6 +3157,63 @@ def q_prefix_dups(spark, sf_dir):
     return prefix_containment(base.unionAll(prefix).unionAll(dup))
 
 
+def q_thread_paths(spark, sf_dir):
+    """Branching-thread linearization (operators/threads.py:
+    linearize_threads, pointer doubling — O(log depth) self-joins on
+    8-byte keys, id arrays only, text never in flight): each conv is
+    a 10-turn parent chain; convs 0-9 get a regenerated turn-5
+    branch, and convs 0-4 a follow-up child under it, so the planted
+    trees have two leaves with different depths. The oracle walks the
+    same trees with a recursive CTE root-down, so a green row
+    certifies leaf detection, path order, and depth."""
+    from .operators.threads import linearize_threads
+    docs = load(spark, sf_dir, "documents")
+    base = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_id"),
+        F.col("doc_id").cast("long").alias("turn_id"),
+        F.when((F.col("doc_id") / 50).cast("long") > 0,
+               F.col("doc_id") - 50).cast("long").alias("parent_id"))
+    at5 = docs.filter((F.col("doc_id") % 50 < 10)
+                      & ((F.col("doc_id") / 50).cast("long") == 5))
+    branch = at5.select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_id"),
+        (F.col("doc_id") + 1000000).cast("long").alias("turn_id"),
+        (F.col("doc_id") - 50).cast("long").alias("parent_id"))
+    child = (at5.filter(F.col("doc_id") % 50 < 5)
+             .select((F.col("doc_id") % 50).cast("long").alias("conv_id"),
+                     (F.col("doc_id") + 2000000).cast("long")
+                     .alias("turn_id"),
+                     (F.col("doc_id") + 1000000).cast("long")
+                     .alias("parent_id")))
+    return linearize_threads(base.unionAll(branch).unionAll(child))
+
+
+def q_merged_turns(spark, sf_dir):
+    """Adjacent same-role turn merging (operators/threads.py:
+    merge_adjacent_turns — one keyed shuffle, in-group fold, no
+    window): base turns at even indices, and every doc with
+    doc_id % 4 == 1 plants a same-role continuation at the next odd
+    index, so runs of length 2 appear mid-conversation. The oracle
+    replays the run segmentation with lag + cumulative sum and the
+    in-order string_agg."""
+    from .operators.threads import merge_adjacent_turns
+    docs = load(spark, sf_dir, "documents")
+    role = F.element_at(
+        F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
+        (F.col("doc_id") % 3).cast("int") + 1)
+    base = docs.select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_id"),
+        ((F.col("doc_id") / 50).cast("long") * 2).alias("turn_idx"),
+        role.alias("role"), "text")
+    cont = docs.filter(F.col("doc_id") % 4 == 1).select(
+        (F.col("doc_id") % 50).cast("long").alias("conv_id"),
+        ((F.col("doc_id") / 50).cast("long") * 2 + 1).alias("turn_idx"),
+        role.alias("role"),
+        F.concat(F.lit("cont: "),
+                 F.substring("text", 1, 40)).alias("text"))
+    return merge_adjacent_turns(base.unionAll(cont))
+
+
 # Registration order is deliberate: the driver's correctness harness
 # checks entries in dict order with a bounded budget (rounds 1-3
 # covered the FIRST 31/35/50 keys). The queries that have never had a
@@ -3165,10 +3222,13 @@ def q_prefix_dups(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
-    # -- round-5 preference tier (newest, never driver-checked) --
+    # -- round-5 preference + structure tier (newest, never
+    #    driver-checked) --
     "preference_pairs": q_preference_pairs,
     "best_of_n": q_best_of_n,
     "prefix_dups": q_prefix_dups,
+    "thread_paths": q_thread_paths,
+    "merged_turns": q_merged_turns,
     # -- round-5 SFT tier (newest, never driver-checked) --
     "sft_pairs": q_sft_pairs,
     "loss_mask_budget": q_loss_mask_budget,
@@ -5070,3 +5130,49 @@ ORACLES["prefix_dups"] = (
     "nc AS n_contained, arg_min(nb, container) AS n_container, "
     "nc = arg_min(nb, container) AS is_exact "
     "FROM cand GROUP BY contained, nc")
+
+# thread_paths: recursive CTE walks the planted trees root-down,
+# building the same comma-joined path; leaves = ids no node points at.
+_THREAD_NODES_SQL = (
+    "SELECT doc_id % 50 AS conv_id, doc_id AS id, "
+    "CASE WHEN doc_id // 50 > 0 THEN doc_id - 50 END AS parent "
+    "FROM documents "
+    "UNION ALL SELECT doc_id % 50, doc_id + 1000000, doc_id - 50 "
+    "FROM documents WHERE doc_id % 50 < 10 AND doc_id // 50 = 5 "
+    "UNION ALL SELECT doc_id % 50, doc_id + 2000000, doc_id + 1000000 "
+    "FROM documents WHERE doc_id % 50 < 5 AND doc_id // 50 = 5")
+
+ORACLES["thread_paths"] = (
+    "WITH RECURSIVE nodes AS (" + _THREAD_NODES_SQL + "), "
+    "paths AS ("
+    "  SELECT conv_id, id, CAST(id AS VARCHAR) AS path, "
+    "    CAST(1 AS BIGINT) AS depth FROM nodes WHERE parent IS NULL "
+    "  UNION ALL "
+    "  SELECT n.conv_id, n.id, p.path || ',' || CAST(n.id AS VARCHAR), "
+    "    p.depth + 1 FROM nodes n JOIN paths p ON n.parent = p.id) "
+    "SELECT conv_id, id AS leaf_id, depth, path FROM paths "
+    "WHERE id NOT IN "
+    "(SELECT parent FROM nodes WHERE parent IS NOT NULL)")
+
+# merged_turns: lag + cumulative-sum run segmentation, in-order
+# string_agg per run — the standard SQL replay of the in-group fold.
+_MERGE_TURNS_SQL = (
+    "SELECT doc_id % 50 AS conv_id, (doc_id // 50) * 2 AS turn_idx, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END AS role, text FROM documents "
+    "UNION ALL SELECT doc_id % 50, (doc_id // 50) * 2 + 1, "
+    "CASE doc_id % 3 WHEN 0 THEN 'user' WHEN 1 THEN 'assistant' "
+    "ELSE 'tool' END, 'cont: ' || substr(text, 1, 40) "
+    "FROM documents WHERE doc_id % 4 = 1")
+
+ORACLES["merged_turns"] = (
+    "WITH t AS (" + _MERGE_TURNS_SQL + "), "
+    "w AS (SELECT *, CASE WHEN lag(role) OVER (PARTITION BY conv_id "
+    "  ORDER BY turn_idx) = role THEN 0 ELSE 1 END AS brk FROM t), "
+    "s AS (SELECT *, sum(brk) OVER (PARTITION BY conv_id "
+    "  ORDER BY turn_idx) - 1 AS seg FROM w) "
+    "SELECT conv_id, CAST(seg AS BIGINT) AS turn_idx, min(role) AS role, "
+    "string_agg(text, chr(10) || chr(10) ORDER BY turn_idx) AS text, "
+    "CAST(count(*) AS BIGINT) AS n_merged, "
+    "min(s.turn_idx) AS first_idx "
+    "FROM s GROUP BY conv_id, seg")
