@@ -20,7 +20,7 @@ from ..htmldom.constants import (
 __all__ = [
     "collapse_spaces", "contains_word", "attr_get", "attr_has",
     "is_void_tag", "is_inline_tag", "is_rawtext_tag", "n_tokens",
-    "content_hash",
+    "content_hash", "bind",
 ]
 
 # serializer collapse set INCLUDES \v (html.cpp:16); tokenizer
@@ -117,3 +117,20 @@ def content_hash(*cols) -> Column:
     """Per-row lineage hash (the checkpoint manifest's unit of
     integrity): xxhash64 over the identifying columns."""
     return F.xxhash64(*[_col(c) for c in cols])
+
+
+def bind(expr: Column, fn) -> Column:
+    """Evaluate ``expr`` ONCE per row and pass the materialized value
+    into ``fn`` as a lambda variable.
+
+    Catalyst does not common-subexpression-eliminate across
+    higher-order-function lambda bodies: a lambda that captures an
+    outer expression (e.g. ``split(text)``) re-executes it for EVERY
+    array element, turning an O(n) transform into O(n²) on the row's
+    data. Routing the expression through a single-element array and a
+    ``transform`` lambda binds it to a NamedLambdaVariable, which the
+    inner lambdas then reference in O(1). Measured on 30 KB assembled
+    conversation docs this is ~40× on the shingle expression (16.1 s
+    → 0.4 s for 20 docs, byte-identical output).
+    """
+    return F.transform(F.array(expr), fn)[0]

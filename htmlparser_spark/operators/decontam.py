@@ -36,6 +36,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .caching import cache_df
 from .dedup import _shingle_array_expr
+from ..functions.columns import bind
 from .sample import hash_u32_col
 
 __all__ = ["benchmark_grams", "contamination_hits", "decontaminate",
@@ -124,15 +125,22 @@ def decontaminate_spans(corpus: DataFrame, benchmark: DataFrame,
     own token count — the rebuild is per-document work by nature).
     The rebuild joins those bounded arrays back by id; document text
     never shuffles."""
-    ltoks = F.split(F.trim(F.lower(F.col(text_col))), _WS)
     otoks = F.split(F.trim(F.col(text_col)), _WS)
-    n = F.size(ltoks)
-    count = F.greatest(n - F.lit(k - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), count - 1)
-    positioned = F.transform(
-        idx, lambda i: F.struct(
-            i.alias("s"),
-            F.array_join(F.slice(ltoks, i + 1, k), " ").alias("gram")))
+
+    # token array lambda-bound (bind): capturing the split expression
+    # in the transform lambda would re-split the whole text once per
+    # gram position — O(n²) in token count on long documents
+    def _positioned(ltoks):
+        n = F.size(ltoks)
+        count = F.greatest(n - F.lit(k - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), count - 1)
+        return F.transform(
+            idx, lambda i: F.struct(
+                i.alias("s"),
+                F.array_join(F.slice(ltoks, i + 1, k), " ").alias("gram")))
+
+    positioned = bind(
+        F.split(F.trim(F.lower(F.col(text_col))), _WS), _positioned)
     grams = (corpus
              .select(F.col(id_col), F.explode(positioned).alias("pg"))
              .select(id_col, F.col("pg.s").alias("s"),

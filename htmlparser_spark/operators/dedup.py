@@ -41,6 +41,8 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 from pyspark.sql.functions import pandas_udf
 
+from ..functions.columns import bind
+
 from .caching import cache_df
 
 __all__ = [
@@ -487,13 +489,23 @@ def _shingle_array_expr(text_col: str, k: int):
     """Distinct word-k-shingle array as a Catalyst expression (JVM-side
     transform over token positions — no UDF). The split class is
     written out explicitly (== Java regex \\s) so the DuckDB oracle
-    can reproduce it byte-for-byte (RE2's \\s excludes \\x0b)."""
-    toks = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
-    n = F.size(toks)
-    count = F.greatest(n - F.lit(k - 1), F.lit(1))
-    idx = F.sequence(F.lit(0), count - 1)
-    return F.array_distinct(F.transform(
-        idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")))
+    can reproduce it byte-for-byte (RE2's \\s excludes \\x0b).
+
+    The token array is bound to a lambda variable (``bind``) before
+    the per-position transform: capturing the raw ``split`` expression
+    in the lambda would re-split the full text once PER POSITION —
+    O(n²) in token count, which turned 30 KB assembled-conversation
+    docs into multi-second rows."""
+    toks0 = F.split(F.trim(F.lower(F.col(text_col))), r"[ \t\n\x0b\f\r]+")
+
+    def shingles(toks):
+        n = F.size(toks)
+        count = F.greatest(n - F.lit(k - 1), F.lit(1))
+        idx = F.sequence(F.lit(0), count - 1)
+        return F.array_distinct(F.transform(
+            idx, lambda i: F.array_join(F.slice(toks, i + 1, k), " ")))
+
+    return bind(toks0, shingles)
 
 
 def _jaccard_expr(col_a: str, col_b: str, k: int):
@@ -840,10 +852,13 @@ def dedup_lines(df: DataFrame, text_col: str = "text",
     Per-row cost is O(L²) in the LINE count of one document (the
     first-occurrence test is array_position), which is bounded and
     tiny next to the parse kernel; documents are never compared to
-    each other here."""
-    lines = F.split(F.col(text_col), sep)
-    kept = F.filter(lines,
-                    lambda x, i: F.array_position(lines, x) == i + 1)
+    each other here. The line array is lambda-bound (``bind``) so the
+    filter probes a materialized value — capturing the ``split``
+    expression would re-split the text once per line AND once per
+    array_position probe."""
+    lines0 = F.split(F.col(text_col), sep)
+    kept = bind(lines0, lambda lines: F.filter(
+        lines, lambda x, i: F.array_position(lines, x) == i + 1))
     return df.withColumn(out_col, F.array_join(kept, sep))
 
 

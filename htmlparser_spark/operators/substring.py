@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.columns import bind
+
 __all__ = ["cdc_chunks_expr", "cdc_chunks", "repeated_chunks",
            "dup_chunk_stats"]
 
@@ -60,14 +62,21 @@ def cdc_chunks_expr(text_col: str, w: int = 8,
         1, zeros) == prefix)
     bpos = F.when(n >= w, F.filter(F.sequence(F.lit(w), n), cut)) \
         .otherwise(F.array().cast("array<int>"))
-    bnds = F.concat(F.array(F.lit(0)).cast("array<int>"),
-                    bpos.cast("array<int>"),
-                    F.array(n).cast("array<int>"))
-    lo = F.slice(bnds, 1, F.size(bnds) - 1)
-    hi = F.slice(bnds, 2, F.size(bnds) - 1)
-    chunks = F.zip_with(lo, hi,
-                        lambda a, b: F.substr(text, a + 1, b - a))
-    return F.filter(chunks, lambda c: F.length(c) > 0)
+    bnds0 = F.concat(F.array(F.lit(0)).cast("array<int>"),
+                     bpos.cast("array<int>"),
+                     F.array(n).cast("array<int>"))
+
+    # boundary array lambda-bound (bind): lo/hi each reference it and
+    # so does each slice length — unbound, the md5 boundary scan
+    # would run 4× per row
+    def _chunks(bnds):
+        lo = F.slice(bnds, 1, F.size(bnds) - 1)
+        hi = F.slice(bnds, 2, F.size(bnds) - 1)
+        chunks = F.zip_with(lo, hi,
+                            lambda a, b: F.substr(text, a + 1, b - a))
+        return F.filter(chunks, lambda c: F.length(c) > 0)
+
+    return bind(bnds0, _chunks)
 
 
 def cdc_chunks(df: DataFrame, text_col: str = "text",
