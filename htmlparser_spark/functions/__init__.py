@@ -23,6 +23,7 @@ from .columns import (
     attr_get,
     attr_has,
     attr_set,
+    bind,
     collapse_spaces,
     contains_word,
     content_hash,
@@ -37,6 +38,7 @@ __all__ = [
     "attr_get",
     "attr_has",
     "attr_set",
+    "bind",
     "collapse_spaces",
     "contains_word",
     "content_hash",

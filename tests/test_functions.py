@@ -166,3 +166,56 @@ def test_attr_set_del(spark):
 def test_n_tokens(spark, s, n):
     df = spark.createDataFrame([(s,)], "s string")
     assert df.select(n_tokens("s").alias("n")).first().n == n
+
+
+# ---- bind(): lambda-capture materialization ----------------------- #
+
+def test_bind_identity_and_null(spark):
+    """bind(expr, fn) must be value-equal to fn applied directly to the
+    expression — it only changes the evaluation strategy (one eval per
+    row instead of one per array element)."""
+    from htmlparser_spark.functions import bind
+    df = spark.createDataFrame(
+        [("a b c d e",), ("",), (None,), ("🎈 x\t\ny",), ("one",)],
+        "s string")
+    toks = F.split(F.trim(F.coalesce(F.col("s"), F.lit(""))), r"\s+")
+    direct = F.transform(toks, lambda x: F.upper(x))
+    bound = bind(toks, lambda t: F.transform(t, lambda x: F.upper(x)))
+    rows = df.select(direct.alias("d"), bound.alias("b")).collect()
+    assert all(r.d == r.b for r in rows)
+
+
+def test_bind_nested_hof_references(spark):
+    """Inner lambdas may reference the bound variable any number of
+    times (the dedup_lines shape: filter + array_position probe)."""
+    from htmlparser_spark.functions import bind
+    df = spark.createDataFrame(
+        [("x\ny\nx\nz\ny",), ("a",), ("",)], "s string")
+    first_occ = bind(
+        F.split(F.col("s"), "\n"),
+        lambda lines: F.filter(
+            lines, lambda x, i: F.array_position(lines, x) == i + 1))
+    got = [r.k for r in df.select(
+        F.array_join(first_occ, "\n").alias("k")).collect()]
+    assert got == ["x\ny\nz", "a", ""]
+
+
+def test_shingles_match_unbound_form(spark):
+    """_shingle_array_expr (now bind-routed) must equal the naive
+    unbound formulation byte-for-byte — the bind fix is an evaluation-
+    strategy change only."""
+    from htmlparser_spark.operators.dedup import _shingle_array_expr
+    df = spark.createDataFrame(
+        [("the quick brown fox jumps over the lazy dog",),
+         ("a b",), ("",), ("  padded   with \t tabs \n lines  ",),
+         ("Sévère ünïcode 🎈 text with more than five tokens here",)],
+        "text string")
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"[ \t\n\x0b\f\r]+")
+    n = F.size(toks)
+    count = F.greatest(n - F.lit(4), F.lit(1))
+    idx = F.sequence(F.lit(0), count - 1)
+    naive = F.array_distinct(F.transform(
+        idx, lambda i: F.array_join(F.slice(toks, i + 1, 5), " ")))
+    rows = df.select(_shingle_array_expr("text", 5).alias("a"),
+                     naive.alias("b")).collect()
+    assert all(r.a == r.b for r in rows)
