@@ -128,3 +128,71 @@ def test_differential_random_docs(ref_tool):
         assert to_text(d, raw=True) == txt_raw, repr(doc_s)
         assert to_html(d) == pretty, repr(doc_s)
         assert len(d.errors) == n_err, repr(doc_s)
+
+
+# -- second campaign: generator families the doc-shaped fuzz above
+#    under-weights (found nothing in a 54k-doc offline run; kept here
+#    at CI-sized counts as regression insurance) ------------------- #
+
+def _gen_soup(rng: random.Random) -> str:
+    """latin-1 byte soup weighted toward structural chars."""
+    alphabet = "<>/=\"' \t\n\v\f\r!-?abAB01\x00&;" + "".join(
+        chr(rng.randint(1, 255)) for _ in range(8))
+    return "".join(rng.choice(alphabet)
+                   for _ in range(rng.randint(1, 300)))
+
+
+def _gen_deep(rng: random.Random) -> str:
+    """Deep homogeneous nesting with under/over-closure."""
+    t = rng.choice(["div", "p", "li", "span", "b"])
+    n = rng.randint(1, 60)
+    mid = rng.choice(["x", "<script>a</script>", "", "<!--c-->", "</p>"])
+    return f"<{t}>" * n + mid + (f"</{t}>" * rng.randint(0, n))
+
+
+def _gen_rawtext(rng: random.Random) -> str:
+    """Rawtext torture: near-miss closers, case, truncation, NULs."""
+    t = rng.choice(["script", "style", "title", "textarea", "SCRIPT"])
+    body = "".join(rng.choice("<>/scriptSTYLE aA0-!\x00\n")
+                   for _ in range(rng.randint(0, 80)))
+    close = rng.choice([f"</{t}>", f"</{t} >", f"</{t}x>", f"</{t}",
+                        "", f"</{t.upper()}>"])
+    return f"<{t}>{body}{close}"
+
+
+def _gen_mut(rng: random.Random, base: str) -> str:
+    """Byte-level mutations of a doc-shaped input."""
+    s = list(base)
+    for _ in range(rng.randint(1, 6)):
+        if not s:
+            break
+        op = rng.random()
+        i = rng.randrange(len(s))
+        if op < 0.4:
+            s[i] = chr(rng.randint(1, 255))
+        elif op < 0.7:
+            del s[i]
+        else:
+            s.insert(i, rng.choice("<>/='\"!-"))
+    return "".join(s)
+
+
+def test_differential_adversarial_families(ref_tool):
+    rng = random.Random(20260819)
+    docs = []
+    for _ in range(150):
+        docs.append(_gen_soup(rng))
+    for _ in range(80):
+        docs.append(_gen_deep(rng))
+    for _ in range(150):
+        docs.append(_gen_rawtext(rng))
+    for _ in range(120):
+        docs.append(_gen_mut(rng, gen_doc(rng)))
+    expected = run_reference(ref_tool, docs)
+    for doc_s, (raw, txt, txt_raw, pretty, n_err) in zip(docs, expected):
+        d = parse(doc_s)
+        assert to_raw_html(d) == raw, repr(doc_s)
+        assert to_text(d) == txt, repr(doc_s)
+        assert to_text(d, raw=True) == txt_raw, repr(doc_s)
+        assert to_html(d) == pretty, repr(doc_s)
+        assert len(d.errors) == n_err, repr(doc_s)
