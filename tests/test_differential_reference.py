@@ -196,3 +196,115 @@ def test_differential_adversarial_families(ref_tool):
         assert to_text(d, raw=True) == txt_raw, repr(doc_s)
         assert to_html(d) == pretty, repr(doc_s)
         assert len(d.errors) == n_err, repr(doc_s)
+
+
+# -- selector-engine differential: random grammar-grounded selectors
+#    over random docs vs the reference's node::select (a 20k-case
+#    offline campaign found zero mismatches; CI-sized here) --------- #
+
+SEL_TOOL_SRC = Path(__file__).parent / "tools" / "ref_sel_tool.cpp"
+SEL_TOOL_BIN = Path("/tmp/htmlparser_ref_sel_tool")
+
+_SEL_TAGS = ["div", "p", "span", "b", "a", "li", "ul", "h1", "meta",
+             "title", "img", "DiV", "SCRIPT", "script", "br", "i"]
+_SEL_IDS = ["x", "div_id", "h1_id", "a1", ""]
+_SEL_CLASSES = ["a", "class_name", "h1_class", "c1", "x y"]
+_SEL_ATTR_KEYS = ["href", "id", "class", "CLASS", "data-x", "attr",
+                  "attr2", "=", "a'b"]
+_SEL_ATTR_VALS = ["x", "a b", "attr-val1", "value", "a", "1", "xy", "",
+                  'q"q', "x\x00y", "a  b\v c", "attr"]
+
+
+@pytest.fixture(scope="module")
+def ref_sel_tool():
+    if not REF.exists() or shutil.which("g++") is None:
+        pytest.skip("reference tree or g++ unavailable")
+    if (not SEL_TOOL_BIN.exists()
+            or SEL_TOOL_BIN.stat().st_mtime < SEL_TOOL_SRC.stat().st_mtime):
+        r = subprocess.run(
+            ["g++", "-std=c++11", "-O1", f"-I{REF}", str(SEL_TOOL_SRC),
+             str(REF / "html.cpp"), "-o", str(SEL_TOOL_BIN)],
+            capture_output=True, text=True)
+        if r.returncode != 0:
+            pytest.skip(f"selector tool build failed: {r.stderr[:500]}")
+    return SEL_TOOL_BIN
+
+
+def _gen_simple_selector(rng: random.Random) -> str:
+    parts = []
+    if rng.random() < 0.55:
+        parts.append(rng.choice(_SEL_TAGS))
+    for _ in range(rng.randint(0 if parts else 1, 2)):
+        c = rng.random()
+        if c < 0.18:
+            parts.append("#" + rng.choice(_SEL_IDS))
+        elif c < 0.36:
+            parts.append("." + rng.choice(_SEL_CLASSES))
+        elif c < 0.72:
+            k = rng.choice(_SEL_ATTR_KEYS)
+            op = rng.choice(["", "=", "!=", "^=", "$=", "*=", "~=", "|="])
+            if op == "":
+                parts.append(f"[{k}]")
+            else:
+                parts.append(f"[{k}{op}'{rng.choice(_SEL_ATTR_VALS)}']")
+        else:
+            parts.append(rng.choice(
+                [":first", ":last", ":FIRST", ":odd", ":x",
+                 f":eq({rng.randint(0, 4)})", f":gt({rng.randint(0, 3)})",
+                 f":lt({rng.randint(1, 4)})", ":eq()", ":eq(12a3)"]))
+    return "".join(parts)
+
+
+def gen_selector(rng: random.Random) -> str:
+    r = rng.random()
+    if r < 0.04:
+        return "*"
+    if r < 0.07:
+        return ""
+    groups = []
+    for _ in range(rng.randint(1, 3)):
+        chain = [_gen_simple_selector(rng)]
+        for _ in range(rng.randint(0, 2)):
+            chain.append(rng.choice([" ", ">", " > ", "  "]))
+            chain.append(_gen_simple_selector(rng))
+        groups.append("".join(chain))
+    return ",".join(groups)
+
+
+def run_reference_select(tool: Path, cases):
+    inp = []
+    for doc, sel, nested in cases:
+        db = doc.encode("latin-1")
+        sb = sel.encode("latin-1")
+        inp.append(str(len(db)).encode() + b"\n" + db + b"\n"
+                   + str(len(sb)).encode() + b"\n" + sb + b"\n"
+                   + (b"1" if nested else b"0") + b"\n")
+    out = subprocess.run([str(tool)], input=b"".join(inp),
+                         capture_output=True).stdout
+    res = []
+    pos = 0
+    for _ in cases:
+        nl = out.index(b"\n", pos)
+        n = int(out[pos:nl])
+        pos = nl + 1
+        matches = []
+        for _m in range(n):
+            nl = out.index(b"\n", pos)
+            ln = int(out[pos:nl])
+            matches.append(out[nl + 1:nl + 1 + ln].decode("latin-1"))
+            pos = nl + 1 + ln + 1
+        res.append(matches)
+    return res
+
+
+def test_differential_random_selectors(ref_sel_tool):
+    from htmlparser_spark.htmldom import select
+    rng = random.Random(20260819)
+    cases = [(gen_doc(rng), gen_selector(rng), rng.random() < 0.8)
+             for _ in range(800)]
+    expected = run_reference_select(ref_sel_tool, cases)
+    for (doc, sel, nested), exp in zip(cases, expected):
+        d = parse(doc)
+        got = [to_raw_html(d, node_id=i)
+               for i in select(d, sel, nested=nested)]
+        assert got == exp, (sel, nested, doc[:200])
