@@ -22,9 +22,22 @@ Close-tag events dispatch against the transient close node exactly
 like the reference: a tag-kind view carrying the close tag's parsed
 name/attrs, index 0 (html.hpp:112 default — close nodes never get an
 index assigned), and the allocation-time parent for ``:last``.
-Rawtext close tags (``</script foo=1>``) carry attrs=None: the
-reference parses them into the transient node, but no selector
-observable distinguishes this in its test corpus (pinned corner).
+Rawtext close tags (``</script foo=1>``) carry their parsed attrs
+like any other close tag (the reference parses them into the
+transient node via before_attribute_name, html.cpp:745-747).
+
+Two EOF/degenerate corners pinned by the callback differential fuzz:
+
+- a selector that compiles to ZERO matchers (e.g. a NUL byte kills
+  the only matcher mid-compile) is falsy in the reference's dispatch
+  (``if(!c.first)``, html.cpp:541), making the callback
+  UNCONDITIONAL — ``Selector.match_first`` reproduces this;
+- the EOF flush (html.cpp:1008-1010) reuses the pending node, so a
+  rawtext document truncated mid ``</clos...`` flushes a TEXT node
+  that still carries the partial close-tag name and any committed
+  attrs; ``parse`` stores them on the Doc row, where unconditional
+  callbacks (and nothing else — the matcher rejects non-tag nodes)
+  can observe them.
 """
 
 from __future__ import annotations

@@ -223,7 +223,7 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                 continue
             if oname in _rawtags:
                 parts: List[str] = []
-                i, closed = _scan_rawtext(s, i, n, oname, parts)
+                i, closed, _lk, _lat = _scan_rawtext(s, i, n, oname, parts)
                 rawc = "".join(parts)
                 if closed:
                     if rawc:
@@ -308,7 +308,7 @@ def extract_fused(s: str, strip: bool = True, want_raw: bool = True,
                 continue
             if name in RAWTEXT_TAGS:
                 parts: List[str] = []
-                i, closed = _scan_rawtext(s, i, n, name, parts)
+                i, closed, _lk, _lat = _scan_rawtext(s, i, n, name, parts)
                 rawc = "".join(parts)
                 if closed:
                     if rawc:

@@ -115,6 +115,15 @@ def _scan_value(s: str, i: int, n: int, attrs: dict, k: str) -> Tuple[int, int]:
     if c == '"' or c == "'":
         j = s.find(c, i + 1)
         if j < 0:
+            # EOF mid-value: the reference appends value chars one at a
+            # time (html.cpp:841-857), so the partial value IS in the
+            # attribute map when the EOF flush reuses the node. Commit
+            # it — observable only through the rawtext EOF-leak path
+            # (every other EOF caller discards the dict).
+            v = s[i + 1:]
+            if "\x00" in v:
+                v = v.translate(NUL_TABLE)
+            attrs[k] = attrs.get(k, "") + v
             return 0, n
         v = s[i + 1:j]
         if "\x00" in v:
@@ -142,6 +151,10 @@ def _scan_value(s: str, i: int, n: int, attrs: dict, k: str) -> Tuple[int, int]:
     # unquoted value
     m2 = RE_UNQUOTED_END.search(s, i)
     if m2 is None:
+        v = s[i:]  # EOF mid-value: committed per char in the reference
+        if "\x00" in v:
+            v = v.translate(NUL_TABLE)
+        attrs[k] = attrs.get(k, "") + v
         return 0, n
     v = s[i:m2.start()]
     if "\x00" in v:
@@ -379,11 +392,18 @@ def _scan_bogus(s: str, content_from: int, scan_from: int, n: int):
 def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
     """Rawtext content until a matching ``</close_name`` end tag.
 
-    Returns ``(next_i, closed)``. On EOF (closed=False) the accumulated
-    parts become the pending text (an unfinished ``</nam`` is lost, as
-    in the reference). A non-matching end tag is re-emitted lowercased.
-    Covers reference states rawtext..rawtext_end_tag_name
-    (html.cpp:657-665, 720-776).
+    Returns ``(next_i, closed, leak_tag, attrs)``. On EOF
+    (closed=False) the accumulated parts become the pending text (an
+    unfinished ``</nam`` is lost from the CONTENT, as in the
+    reference) — but the reference's EOF flush (html.cpp:1008-1010)
+    reuses the in-progress node without clearing its fields, so the
+    flushed text node still carries the partial end-tag name and any
+    attributes committed so far. ``leak_tag``/``attrs`` report them
+    (empty/None when the EOF hit plain rawtext). On closed=True,
+    ``attrs`` carries the close tag's parsed attributes (``</script
+    id=3>`` parses them into the transient close node). A non-matching
+    end tag is re-emitted lowercased. Covers reference states
+    rawtext..rawtext_end_tag_name (html.cpp:657-665, 720-776).
     """
     tr = NUL_TABLE
     while i < n:
@@ -391,19 +411,19 @@ def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
         if j < 0:
             seg = s[i:]
             parts.append(seg.translate(tr) if "\x00" in seg else seg)
-            return n, False
+            return n, False, "", None
         if j > i:
             seg = s[i:j]
             parts.append(seg.translate(tr) if "\x00" in seg else seg)
         if j + 1 >= n:
-            return n, False  # lone '<' at EOF: lost
+            return n, False, "", None  # lone '<' at EOF: lost
         if s[j + 1] != "/":
             parts.append("<")
             i = j + 1
             continue
         k = j + 2
         if k >= n:
-            return n, False  # '</' at EOF: lost
+            return n, False, "", None  # '</' at EOF: lost
         c = s[k]
         if not (("a" <= c <= "z") or ("A" <= c <= "Z")):
             parts.append("</")
@@ -413,28 +433,32 @@ def _scan_rawtext(s: str, i: int, n: int, close_name: str, parts: List[str]):
         e = m.end()
         name = s[k:e].lower()  # [A-Za-z] only: plain lower is ASCII-safe
         if e >= n:
-            return n, False  # EOF mid end-tag name: name lost
+            # EOF mid end-tag name: content loses it, the node keeps it
+            return n, False, name, None
         d = s[e]
         if name == close_name and d in _SPACE_SLASH_GT:
             if d == ">":
-                return e + 1, True
+                return e + 1, True, name, None
+            at: dict = {}
             if d == "/":
                 if e + 1 >= n:
-                    return n, False
+                    return n, False, name, None  # EOF in self_closing
                 if s[e + 1] == ">":
-                    return e + 2, True
-                emitted, i2, _sc = _scan_attrs(s, e + 1, n, {})
+                    return e + 2, True, name, None
+                emitted, i2, _sc = _scan_attrs(s, e + 1, n, at)
             else:  # space: before_attribute_name
-                emitted, i2, _sc = _scan_attrs(s, e + 1, n, {})
+                emitted, i2, _sc = _scan_attrs(s, e + 1, n, at)
             if not emitted:
-                return n, False  # EOF mid close-tag attrs: content kept
-            return i2, True
+                # EOF mid close-tag attrs: content kept; the committed
+                # attrs + name leak into the flushed text node
+                return n, False, name, at or None
+            return i2, True, name, at or None
         # mismatch (or '=' etc. delimiter): re-emit '</name' lowercased,
         # reconsume the delimiter in rawtext
         parts.append("</")
         parts.append(name)
         i = e
-    return n, False
+    return n, False, "", None
 
 
 def parse(s: str, events: Optional[list] = None) -> Doc:
@@ -574,12 +598,18 @@ def parse(s: str, events: Optional[list] = None) -> Doc:
             emit_open(name, at, sc)
             if (not sc) and (name not in VOID_TAGS) and name in RAWTEXT_TAGS:
                 parts: List[str] = []
-                i, closed = _scan_rawtext(s, i, n, name, parts)
+                i, closed, lk, lat = _scan_rawtext(s, i, n, name, parts)
                 raw = "".join(parts)
                 if closed:
-                    emit_close(name, raw)
+                    emit_close(name, raw, lat)
                 elif raw:
-                    add_node(KIND_TEXT, "", raw, None, False)
+                    # EOF flush (html.cpp:1008-1010): the reference
+                    # reuses the pending node, so the flushed TEXT node
+                    # keeps the partial close-tag name and committed
+                    # attrs. Selectors never see them (the matcher
+                    # rejects non-tag nodes, html.cpp:241-243) but the
+                    # unconditional callback surface does.
+                    add_node(KIND_TEXT, lk, raw, lat, False)
         elif c == "/":
             k = i + 1
             if k >= n:

@@ -261,9 +261,17 @@ class Selector:
 
     def match_first(self, doc: Doc, nid: int) -> bool:
         """Callback-mode match: only the FIRST matcher is applied and the
-        selector fires only if it is the only one (html.cpp:545-549)."""
+        selector fires only if it is the only one (html.cpp:545-549).
+
+        Zero-matcher quirk (#16, html.cpp:541-543 + html.hpp:128-130):
+        a selector that COMPILES to no matchers — e.g. a NUL byte
+        inside the first matcher terminates compilation and drops the
+        in-progress matcher — is falsy in the reference's dispatch
+        (`if(!c.first)`), which makes the callback UNCONDITIONAL, not
+        dead. Found by the callback differential fuzz; node::select is
+        unaffected (an empty walk matches nothing there)."""
         if not self.matchers:
-            return False
+            return True
         if not self.matchers[0].match(doc, nid):
             return False
         return len(self.matchers) == 1

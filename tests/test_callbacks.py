@@ -87,3 +87,60 @@ def test_events_off_by_default_and_tree_unchanged():
     assert to_text_stripped(parse(html)) == \
         to_text_stripped(parse(html, events=ev))
     assert ev  # events recorded when asked
+
+
+def test_zero_matcher_selector_is_unconditional():
+    """Quirk #16 (html.cpp:541 + compile loop at :43-46): a selector
+    that COMPILES to zero matchers — NUL terminates compilation and an
+    in-progress matcher with no condition is dropped — is falsy in
+    dispatch (``if(!c.first)``), which makes the callback fire for
+    EVERY handled node, exactly like the unconditional overload."""
+    html = "<div><p>t</p></div>"
+    uncond = collect(html, None)
+    for poisoned in ("\x00", "#", "#\x00", ".", ":", "div\x00"):
+        got = collect(html, poisoned)
+        if poisoned == "div\x00":
+            # 'div' saves one matcher before the NUL kills the loop:
+            # NOT zero matchers -> normal single-matcher dispatch
+            assert [f for f in got if f[1] == 1] == [(0, 1, "div")]
+        else:
+            assert got == uncond, repr(poisoned)
+    # node::select is unaffected: zero matchers match nothing there
+    from htmlparser_spark.htmldom import parse, select
+    assert select(parse(html), "\x00") == []
+
+
+def test_eof_truncated_rawtext_closer_leaks_into_flushed_node():
+    """EOF flush (html.cpp:1008-1010) reuses the pending node: a doc
+    truncated mid ``</scr...`` inside rawtext flushes a TEXT node that
+    still carries the partial close-tag name and any attrs committed
+    so far. Only the unconditional callback can see them — the matcher
+    rejects non-tag nodes (html.cpp:241-243)."""
+    got = collect("<script>x</scr", None)
+    assert got == [(0, 1, "script"), (0, 0, "scr")]
+    # selector 'scr' does NOT match the leaked-name text node
+    assert collect("<script>x</scr", "scr") == []
+    # attrs committed before EOF leak too (incl. a partial value)
+    fired = []
+    p = CallbackParser()
+    p.set_callback(lambda d, n: fired.append((d.kind[n], d.tag[n],
+                                              d.attrs[n])))
+    p.parse('<script>x</script id="ab')
+    assert fired[-1] == (0, "script", {"id": "ab"})
+    # ...but a name still being scanned at EOF never commits
+    fired.clear()
+    p.parse("<script>x</script id")
+    assert fired[-1] == (0, "script", None)
+    # and the text output is unaffected by the leak
+    from htmlparser_spark.htmldom import parse, to_text
+    assert to_text(parse("<script>x</scr")) == "x"
+
+
+def test_rawtext_close_tag_carries_parsed_attrs():
+    """Rawtext close tags parse their attrs into the transient close
+    node (html.cpp:745-747 routes to before_attribute_name), so
+    selector-guarded callbacks can match on them."""
+    got = collect("<script>x</script id='3'>", "[id='3']")
+    assert got == [(0, "close", "script")]
+    got = collect("<script>x</script id='3'>", "[id='4']")
+    assert got == []
