@@ -15,7 +15,7 @@ Two execution strategies (SURVEY §2.C):
 
 from __future__ import annotations
 
-from typing import Iterator, List
+from typing import Iterator, List, Optional
 
 import pandas as pd
 
@@ -196,7 +196,8 @@ def filter_nodes(nodes_df: DataFrame, selector: str) -> DataFrame:
 
 def callback_events(df: DataFrame, selectors, text_col: str = "text",
                     key_cols=("doc_id",),
-                    with_err: bool = True) -> DataFrame:
+                    with_err: bool = True,
+                    attr: Optional[str] = None) -> DataFrame:
     """Parse-time callback firings as rows (reference EP3 surface,
     html.cpp:539-573 via htmldom.CallbackParser).
 
@@ -206,7 +207,12 @@ def callback_events(df: DataFrame, selectors, text_col: str = "text",
     kind ∈ open|text|comment|doctype|close|err. ``event_seq`` is the
     document's absolute event index, ``cb_idx`` the registration index
     (err callback = len(selectors)), so ORDER BY (event_seq, cb_idx)
-    replays the reference's dispatch exactly.
+    replays the reference's dispatch exactly. ``attr``, if given, adds
+    an ``{attr}_attr`` column echoing that attribute of the fired node
+    (get_attr semantics: '' when absent) — this makes the EOF-leak
+    surface observable (a rawtext doc truncated mid ``</clos...``
+    flushes a text node carrying the partial close-tag name and
+    committed attrs, html.cpp:1008-1010).
 
     Scale: the same mapInPandas shape as the other kernel operators —
     per-document work, no shuffle, Arrow-batched; output rows are tiny
@@ -226,7 +232,8 @@ def callback_events(df: DataFrame, selectors, text_col: str = "text",
             StructField("cb_idx", LongType(), False),
             StructField("kind", StringType(), False),
             StructField("tag_name", StringType(), False),
-        ])
+        ] + ([StructField(f"{attr}_attr", StringType(), False)]
+             if attr else []))
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -235,6 +242,7 @@ def callback_events(df: DataFrame, selectors, text_col: str = "text",
             cbs: List[int] = []
             kinds: List[str] = []
             tags: List[str] = []
+            avals: List[str] = []
 
             for row in pdf[key_cols + [text_col]].itertuples(index=False):
                 html = row[-1]
@@ -246,13 +254,19 @@ def callback_events(df: DataFrame, selectors, text_col: str = "text",
                 seq = {"i": -1}
                 fired: List[tuple] = []
 
+                def _aval(d, n):
+                    at = d.attrs[n]
+                    return at.get(attr, "") if at else ""
+
                 def mk(idx):
                     def cb(d, n):
                         if isinstance(d, CloseNode):
-                            fired.append((seq["i"], idx, "close", d.tag[0]))
+                            fired.append((seq["i"], idx, "close",
+                                          d.tag[0], _aval(d, 0)))
                         else:
                             fired.append((seq["i"], idx,
-                                          kind_name[d.kind[n]], d.tag[n]))
+                                          kind_name[d.kind[n]], d.tag[n],
+                                          _aval(d, n)))
                     return cb
 
                 # an unconditional tracker callback advances the event
@@ -271,17 +285,22 @@ def callback_events(df: DataFrame, selectors, text_col: str = "text",
 
                     def ecb(e, d, n):
                         seq["i"] += 1
-                        fired.append((seq["i"], err_idx, "err", d.tag[n]))
+                        fired.append((seq["i"], err_idx, "err", d.tag[n],
+                                      _aval(d, n)))
                     p.set_err_callback(ecb)
                 p.parse(html)
-                for (s_, c_, k_, t_) in fired:
+                for (s_, c_, k_, t_, a_) in fired:
                     for k, v in zip(key_cols, row[:-1]):
                         keys[k].append(v)
                     seqs.append(s_)
                     cbs.append(c_)
                     kinds.append(k_)
                     tags.append(t_)
-            yield pd.DataFrame({**keys, "event_seq": seqs, "cb_idx": cbs,
-                                "kind": kinds, "tag_name": tags})
+                    avals.append(a_)
+            out = {**keys, "event_seq": seqs, "cb_idx": cbs,
+                   "kind": kinds, "tag_name": tags}
+            if attr:
+                out[f"{attr}_attr"] = avals
+            yield pd.DataFrame(out)
 
     return df.select(*key_cols, text_col).mapInPandas(fn, schema)

@@ -784,6 +784,37 @@ def q_callback_events(spark, sf_dir):
     return callback_events(df, ["li", None])
 
 
+def q_callback_eof_leak(spark, sf_dir):
+    """The callback-dispatch corners pinned by this round's callback
+    differential fuzz (tests/test_differential_callbacks.py), under a
+    driver oracle: (a) the EOF flush reuses the pending node
+    (html.cpp:1008-1010), so rawtext truncated mid ``</clos...``
+    flushes a text node still carrying the partial close-tag name and
+    committed attrs — including a PARTIAL attribute value, since the
+    reference appends value chars one at a time; (b) a zero-matcher
+    selector (a NUL kills the only matcher mid-compile) is falsy in
+    dispatch (html.cpp:541) and fires UNCONDITIONALLY; (c) a
+    single-matcher selector never matches text nodes, leaked name or
+    not (html.cpp:241-243). Four truncation classes by doc_id%4; the
+    oracle reconstructs the full (event_seq, cb_idx, kind, tag, id)
+    stream arithmetically."""
+    from .operators.select import callback_events
+    d = load(spark, sf_dir, "documents")
+    k = F.col("doc_id").cast("string")
+    m = F.col("doc_id") % 4
+    tail = (F.when(m == 0, F.lit("</scr"))
+            .when(m == 1, F.concat(F.lit('</script id="v'), k))
+            .when(m == 2, F.lit("</script id"))
+            .otherwise(F.lit("</script>after")))
+    df = d.select(
+        "doc_id",
+        F.concat(F.lit('<div id="d'), k, F.lit('"><script>p'), k,
+                 tail).alias("text"))
+    # cb0 unconditional, cb1 'scr' (never fires: matchers reject
+    # non-tag nodes), cb2 '\x00' (zero matchers -> unconditional)
+    return callback_events(df, [None, "scr", "\x00"], attr="id")
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher-style repetition witnesses over a corpus with planted
     repeated lines (each doc becomes 4 lines: text, text again, a
@@ -1147,6 +1178,26 @@ ORACLES = {
         "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank "
         "FROM ranked WHERE rank <= 10",
 }
+ORACLES["callback_eof_leak"] = (
+    # arithmetic replay of the four truncation classes: per doc,
+    # open div (id=dK) -> open script -> then class 0/1/2 flush a
+    # leaked text node (tag scr|script, id '' | vK | '') while class
+    # 3 closes cleanly (close script, then text 'after'); every event
+    # fires twice (cb0 unconditional + cb2 zero-matcher), cb1 never
+    "WITH d AS (SELECT doc_id, doc_id % 4 AS m, "
+    "CAST(doc_id AS VARCHAR) AS k FROM documents), "
+    "ev AS ("
+    "SELECT doc_id, 0 AS event_seq, 'open' AS kind, 'div' AS tag_name, "
+    "'d' || k AS id_attr FROM d "
+    "UNION ALL SELECT doc_id, 1, 'open', 'script', '' FROM d "
+    "UNION ALL SELECT doc_id, 2, 'text', "
+    "CASE WHEN m = 0 THEN 'scr' ELSE 'script' END, "
+    "CASE WHEN m = 1 THEN 'v' || k ELSE '' END FROM d WHERE m < 3 "
+    "UNION ALL SELECT doc_id, 2, 'close', 'script', '' FROM d WHERE m = 3 "
+    "UNION ALL SELECT doc_id, 3, 'text', '', '' FROM d WHERE m = 3) "
+    "SELECT doc_id, CAST(event_seq AS BIGINT) AS event_seq, "
+    "CAST(c.cb_idx AS BIGINT) AS cb_idx, kind, tag_name, id_attr "
+    "FROM ev CROSS JOIN (VALUES (0), (2)) AS c(cb_idx)")
 ORACLES["lang_id"] = _lang_id_oracle()
 # full ground-truth oracle: exact jaccard over ALL pairs ⇒ certifies
 # the verify stage and 100% LSH recall on this corpus
@@ -3222,6 +3273,9 @@ def q_merged_turns(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
+    # -- round-5 callback-differential findings (newest, never
+    #    driver-checked) --
+    "callback_eof_leak": q_callback_eof_leak,
     # -- round-5 preference + structure tier (newest, never
     #    driver-checked) --
     "preference_pairs": q_preference_pairs,
