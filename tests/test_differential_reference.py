@@ -308,3 +308,25 @@ def test_differential_random_selectors(ref_sel_tool):
         got = [to_raw_html(d, node_id=i)
                for i in select(d, sel, nested=nested)]
         assert got == exp, (sel, nested, doc[:200])
+
+
+def test_differential_soup_selectors(ref_sel_tool):
+    """Byte-soup selectors: compile-loop parity on arbitrary bytes
+    (NUL termination, high bytes, unbalanced quotes/brackets)."""
+    from htmlparser_spark.htmldom import select
+    rng = random.Random(31337)
+
+    def soup_sel(r):
+        alphabet = ("#.:,>[]'=^$!~|*() abAB01\x00"
+                    + "".join(chr(r.randint(1, 255)) for _ in range(6)))
+        return "".join(r.choice(alphabet)
+                       for _ in range(r.randint(0, 25)))
+
+    cases = [(gen_doc(rng), soup_sel(rng), rng.random() < 0.8)
+             for _ in range(400)]
+    expected = run_reference_select(ref_sel_tool, cases)
+    for (doc, sel, nested), exp in zip(cases, expected):
+        d = parse(doc)
+        got = [to_raw_html(d, node_id=i)
+               for i in select(d, sel, nested=nested)]
+        assert got == exp, (repr(sel), nested, doc[:200])
