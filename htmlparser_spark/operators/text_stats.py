@@ -36,7 +36,7 @@ __all__ = [
     "bpe_token_count_col", "with_bpe_token_count", "BPE_ISH_RE",
     "quality_counts", "quality_score_col",
     "lang_id_col", "with_lang_id",
-    "fingerprint_md5_col", "rolling_hash_udf",
+    "fingerprint_md5_col", "rolling_hash_udf", "winnow_fingerprints",
     "repetition_stats", "redact_pii", "PII_PATTERNS",
     "vocab_topk", "bpe_pair_counts", "classifier_score_col",
     "classifier_gate",
@@ -243,6 +243,101 @@ def rolling_hash_udf(texts: pd.Series) -> pd.Series:
             np.cumprod(pw, out=pw)          # pw[i] = BASE^i mod 2^64
             out[i] = np.uint64((b * pw[::-1]).sum())
     return pd.Series(out.view(np.int64))
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+# Local Algorithms for Document Fingerprinting", SIGMOD 2003) —
+# position-robust k-gram fingerprint selection: any shared substring
+# of length >= w + k - 1 between two documents is GUARANTEED to share
+# at least one selected fingerprint (unlike MinHash, which is only
+# probabilistic). Integer-exact by construction so a SQL engine
+# replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_WINNOW_MOD = 2147483647     # 2^31 - 1; Horner step < 2^40, int64-safe
+_WINNOW_BASE = 257
+_WINNOW_POSCAP = 1048576     # 2^20: gram positions encoded below this
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = 5, w: int = 4) -> DataFrame:
+    """Robust winnowing over character ``k``-grams of the normalized
+    text (lowercase, runs of non-[a-z0-9] collapsed to one space):
+    per sliding window of ``w`` consecutive gram hashes, select the
+    RIGHTMOST minimal hash; emit the distinct selected (pos, fp)
+    pairs per document.
+
+    100% whole-stage codegen — the gram hash is a Horner chain over
+    codepoints mod 2^31-1 built with array higher-order functions; the
+    window argmin is a single `least`-fold over an encoded
+    ``h * 2^20 + (2^20-1 - pos)`` key, so the rightmost tie-break is
+    pure integer math. Every intermediate array is routed through
+    ``bind`` (Catalyst re-evaluates captured expressions per lambda
+    element otherwise). Documents are capped at the first 2^20 grams
+    (the position encode's range); docs shorter than ``w + k - 1``
+    normalized chars yield no fingerprints (no full window exists).
+
+    Scale: per-row arrays only — no shuffle; the natural consumers
+    (fingerprint → doc inverted join for overlap audit) group on the
+    8-byte fp, never on text. Output: (id_col, pos, fp) longs.
+    """
+    from ..functions.columns import bind
+
+    M = F.lit(_WINNOW_MOD).cast("long")
+    B = F.lit(_WINNOW_BASE).cast("long")
+    PC = F.lit(_WINNOW_POSCAP).cast("long")
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)),
+                                   "[^a-z0-9]+", " "))
+
+    def codes_of(s: Column) -> Column:
+        return F.when(
+            F.length(s) >= k,
+            F.transform(
+                F.sequence(F.lit(1),
+                           F.least(F.length(s),
+                                   F.lit(_WINNOW_POSCAP + k - 1))),
+                lambda p: F.ascii(s.substr(p, F.lit(1))).cast("long")),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def hashes_of(codes: Column) -> Column:
+        def gram(i: Column) -> Column:
+            h = F.element_at(codes, (i + 1).cast("int"))
+            for j in range(1, k):
+                h = (h * B + F.element_at(codes,
+                                          (i + j + 1).cast("int"))) % M
+            return h
+        return F.when(
+            F.size(codes) >= k,
+            F.transform(F.sequence(F.lit(0),
+                                   F.size(codes) - k), gram),
+        ).otherwise(F.array().cast("array<long>"))
+
+    def keys_of(hs: Column) -> Column:
+        def win(t: Column) -> Column:
+            return F.aggregate(
+                F.sequence(t, t + w - 1),
+                F.lit(1 << 62).cast("long"),
+                lambda acc, i: F.least(
+                    acc,
+                    F.element_at(hs, (i + 1).cast("int")) * PC
+                    + (PC - 1 - i)))
+        return F.when(
+            F.size(hs) >= w,
+            F.array_distinct(
+                F.transform(F.sequence(F.lit(0), F.size(hs) - w), win)),
+        ).otherwise(F.array().cast("array<long>"))
+
+    keys = bind(norm, lambda s: bind(codes_of(s),
+                lambda c: bind(hashes_of(c), keys_of)))
+    return (df
+            .select(id_col, F.explode(keys).alias("key"))
+            .select(id_col,
+                    (F.lit(_WINNOW_POSCAP - 1)
+                     - F.pmod("key", PC)).alias("pos"),
+                    F.expr(f"key div {_WINNOW_POSCAP}").alias("fp")))
 
 
 # ---------------------------------------------------------------------------

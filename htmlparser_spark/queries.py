@@ -654,6 +654,31 @@ def q_rolling_fingerprint(spark, sf_dir):
             .select("doc_id", rolling_hash_udf(F.col("text")).alias("fp64")))
 
 
+def q_winnow_fingerprints(spark, sf_dir):
+    """MOSS winnowing (Schleimer et al., SIGMOD 2003): rightmost-min
+    selection over sliding windows of k-gram Horner hashes — the
+    deterministic fingerprinting scheme that GUARANTEES any shared
+    substring of length >= w+k-1 shares a fingerprint (MinHash only
+    promises it probabilistically). Planted overlap: each doc is its
+    text plus the previous doc's first 60 chars, so cross-doc shared
+    fingerprints are non-trivially exercised. The oracle replays the
+    identical Horner chain + encoded window-min in SQL (a window MIN
+    over ``h*2^20 + (2^20-1-i)`` keys)."""
+    from .operators.text_stats import winnow_fingerprints
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    # shift via an equi-join on doc_id-1 (not a global window — this
+    # stays shuffle-partitioned at scale)
+    prev = docs.select((F.col("doc_id") + 1).alias("doc_id"),
+                       F.substring("text", 1, 60).alias("prev60"))
+    planted = docs.join(prev, "doc_id", "left").select(
+        "doc_id",
+        F.concat_ws(" ", "text", F.coalesce("prev60", F.lit(""))
+                    ).alias("text"))
+    return winnow_fingerprints(planted).select(
+        "doc_id", F.col("pos").cast("long").alias("pos"),
+        F.col("fp").cast("long").alias("fp"))
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Decode→feature stage (deterministic sha256-derived stand-in —
     real decode stubbed, container has no image libs). Output is the
@@ -1178,6 +1203,41 @@ ORACLES = {
         "SELECT query_id, vec_id, CAST(rank AS BIGINT) AS rank "
         "FROM ranked WHERE rank <= 10",
 }
+def _winnow_oracle(k: int = 5, w: int = 4) -> str:
+    # identical Horner chain (codepoints, base 257, mod 2^31-1) over
+    # k grams of the normalized planted text, then a trailing window
+    # MIN over the encoded h*2^20 + (2^20-1-i) keys (rightmost
+    # minimal hash wins by construction), DISTINCT decode. The Horner
+    # chain is generated so its parenthesization provably matches the
+    # Spark loop in winnow_fingerprints (text_stats.py).
+    h = "CAST(ord(substr(s, CAST(t.i+1 AS INT), 1)) AS BIGINT)"
+    for j in range(2, k + 1):
+        h = (f"(({h}) * 257 + ord(substr(s, CAST(t.i+{j} AS INT), 1)))"
+             " % 2147483647")
+    return (
+        "WITH planted AS ("
+        "SELECT d.doc_id, concat_ws(' ', d.text, coalesce(p.prev60, ''))"
+        " AS text FROM documents d LEFT JOIN ("
+        "SELECT doc_id + 1 AS doc_id, substr(text, 1, 60) AS prev60 "
+        "FROM documents) p USING (doc_id)), "
+        "d AS (SELECT doc_id, trim(regexp_replace(lower(text), "
+        "'[^a-z0-9]+', ' ', 'g')) AS s FROM planted), "
+        "g AS ("
+        f"SELECT doc_id, CAST(t.i AS BIGINT) AS i, {h} AS h "
+        f"FROM d, UNNEST(range(least(length(s) - {k - 1}, 1048576)))"
+        " AS t(i) "
+        f"WHERE length(s) >= {k}), "
+        "w AS ("
+        "SELECT doc_id, i, "
+        "min(h * 1048576 + (1048575 - i)) OVER ("
+        "PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS key, "
+        "max(i) OVER (PARTITION BY doc_id) AS maxi FROM g) "
+        "SELECT DISTINCT doc_id, 1048575 - (key % 1048576) AS pos, "
+        f"key // 1048576 AS fp FROM w WHERE i <= maxi - {w - 1}")
+
+
+ORACLES["winnow_fingerprints"] = _winnow_oracle()
 ORACLES["callback_eof_leak"] = (
     # arithmetic replay of the four truncation classes: per doc,
     # open div (id=dK) -> open script -> then class 0/1/2 flush a
@@ -3273,9 +3333,10 @@ def q_merged_turns(spark, sf_dir):
 # CORRECTNESS file covers them; the 50 keys already driver-green in
 # CORRECTNESS_r03.json follow.
 QUERIES = {
-    # -- round-5 callback-differential findings (newest, never
-    #    driver-checked) --
+    # -- round-5 callback-differential findings + winnowing (newest,
+    #    never driver-checked) --
     "callback_eof_leak": q_callback_eof_leak,
+    "winnow_fingerprints": q_winnow_fingerprints,
     # -- round-5 preference + structure tier (newest, never
     #    driver-checked) --
     "preference_pairs": q_preference_pairs,

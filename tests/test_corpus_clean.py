@@ -313,3 +313,57 @@ def test_template_line_dedup_plan_no_window(spark):
     plan = explain_string(out, "formatted")
     assert "Window" not in plan
     assert_no_python_row_udf(out)
+
+
+# -- winnowing fingerprints (Schleimer et al. 2003) ----------------- #
+
+def _py_winnow(text, k=5, w=4):
+    """Independent reference replay of robust winnowing (rightmost
+    minimal gram hash per window, distinct (pos, fp) set)."""
+    import re as _re
+    from htmlparser_spark.operators.text_stats import (
+        _WINNOW_BASE, _WINNOW_MOD, _WINNOW_POSCAP)
+    s = _re.sub("[^a-z0-9]+", " ", text.lower()).strip()
+    s = s[:_WINNOW_POSCAP + k - 1]
+    if len(s) < k:
+        return set()
+    hs = []
+    for i in range(len(s) - k + 1):
+        h = ord(s[i])
+        for j in range(1, k):
+            h = (h * _WINNOW_BASE + ord(s[i + j])) % _WINNOW_MOD
+        hs.append(h)
+    out = set()
+    for t in range(len(hs) - w + 1):
+        key = min(hs[i] * _WINNOW_POSCAP + (_WINNOW_POSCAP - 1 - i)
+                  for i in range(t, t + w))
+        out.add((_WINNOW_POSCAP - 1 - key % _WINNOW_POSCAP,
+                 key // _WINNOW_POSCAP))
+    return out
+
+
+def test_winnow_fingerprints_matches_replay(spark):
+    from htmlparser_spark.operators.text_stats import winnow_fingerprints
+    texts = ["The quick brown fox jumps over the lazy dog",
+             "abcdefgh", "shor", "", "aaaaaaaaaaaaaaaa",
+             "Hello, WORLD!  Hello, world again...",
+             "x" * 30 + " SHARED SEGMENT HERE " + "y" * 30,
+             "padding " * 10 + " SHARED SEGMENT HERE "]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    out = winnow_fingerprints(df)
+    got = {(r.doc_id, r.pos, r.fp) for r in out.collect()}
+    exp = {(i, p, f) for i, t in enumerate(texts)
+           for (p, f) in _py_winnow(t)}
+    assert got == exp
+    # the winnowing guarantee: a shared substring of length >= w+k-1
+    # (here far longer) must share at least one fingerprint
+    fp6 = {f for (d, _p, f) in got if d == 6}
+    fp7 = {f for (d, _p, f) in got if d == 7}
+    assert fp6 & fp7
+    # docs shorter than w+k-1 normalized chars yield no fingerprints
+    assert not any(d in (2, 3) for (d, _p, _f) in got)
+    # plan: pure codegen, no Python UDF, no shuffle before explode
+    assert_no_python_row_udf(out)
+    plan = explain_string(out, "formatted")
+    assert "Exchange" not in plan
